@@ -1,38 +1,120 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build the transcripts inverted index with the
+real engine (deterministic synthetic corpus, BASELINE.json input_hint
+schema) and run a BM25 top-10 search through the block-max pruned path.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family from SURVEY.md §2 plus the training-data-pipeline operators
+(dedup / similarity / text analysis), each over /root/testdata parquet
+with a DuckDB oracle twin (column aliases, rounding, and tie-breaks match
+by construction — see parser_indexer_py_spark/entry_queries.py and
+entry_text_queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parser_indexer_py_spark import entry_queries as Q  # noqa: E402
+from parser_indexer_py_spark import entry_text_queries as TQ  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index a deterministic synthetic transcript corpus and run a
+    multi-term BM25 top-10 query (pruned path). Idempotent: the index build
+    resumes from its manifest on re-run."""
+    # executors need the package importable regardless of driver cwd
+    pkg_parent = os.path.dirname(os.path.abspath(__file__))
+    if pkg_parent not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
+
+    from parser_indexer_py_spark.datagen import generate_transcripts
+    from parser_indexer_py_spark.index.build import build_index
+    from parser_indexer_py_spark.index.search import load_index, search
+
+    out = os.path.join(tempfile.gettempdir(), "pi_spark_entry_index_v1")
+    df = generate_transcripts(spark, 200)
+    build_index(spark, df, out, n_buckets=16, salt=4, n_chunks=1)
+    idx = load_index(spark, out)
+    return search(idx, "bace rikizudi cedi", k=10, mode="pruned")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator families (SURVEY.md §2.2-2.7)
+        "pricing_summary": Q.q_pricing_summary,
+        "filter_pushdown": Q.q_filter_pushdown,
+        "facet_event_types": Q.q_facet_event_types,
+        "numeric_literal_cast": Q.q_numeric_literal_cast,
+        "broadcast_join_facet": Q.q_broadcast_join_facet,
+        "semi_join": Q.q_semi_join,
+        "anti_join": Q.q_anti_join,
+        "block_join_rollup": Q.q_block_join_rollup,
+        "asof_last_click": Q.q_asof_last_click,
+        "sessionize": Q.q_sessionize,
+        "top1_per_group": Q.q_top1_per_group,
+        "window_lead_gap": Q.q_window_lead_gap,
+        "topk_orders": Q.q_topk_orders,
+        "union_dedup": Q.q_union_dedup,
+        "grouped_time_windows": Q.q_grouped_time_windows,
+        # fulltext / term statistics (§2.4 A6, suggester, BM25)
+        "termstats_docs": TQ.q_termstats_docs,
+        "suggest_prefix": TQ.q_suggest_prefix,
+        "bm25_docs_topk": TQ.q_bm25_docs_topk,
+        # text analysis (training-data pipeline)
+        "token_counts": TQ.q_token_counts,
+        "doc_fingerprint": TQ.q_doc_fingerprint,
+        "quality_score": TQ.q_quality_score,
+        "langid": TQ.q_langid,
+        # deduplication family
+        "dedup_exact": TQ.q_dedup_exact,
+        "dedup_ngram_jaccard": TQ.q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": TQ.q_dedup_minhash_lsh,
+        "dedup_simhash": TQ.q_dedup_simhash,
+        # similarity search over embeddings
+        "ann_cosine_topk": TQ.q_ann_cosine_topk,
+        "embedding_near_dup": TQ.q_embedding_near_dup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": Q.SQL_PRICING,
+        "filter_pushdown": Q.SQL_FILTER_PUSHDOWN,
+        "facet_event_types": Q.SQL_FACET_EVENTS,
+        "numeric_literal_cast": Q.SQL_NUMERIC_CAST,
+        "broadcast_join_facet": Q.SQL_BROADCAST_JOIN,
+        "semi_join": Q.SQL_SEMI_JOIN,
+        "anti_join": Q.SQL_ANTI_JOIN,
+        "block_join_rollup": Q.SQL_BLOCK_JOIN,
+        "asof_last_click": Q.SQL_ASOF,
+        "sessionize": Q.SQL_SESSIONIZE,
+        "top1_per_group": Q.SQL_TOP1,
+        "window_lead_gap": Q.SQL_WINDOW_LEAD,
+        "topk_orders": Q.SQL_TOPK_ORDERS,
+        "union_dedup": Q.SQL_UNION_DEDUP,
+        "grouped_time_windows": Q.SQL_TIME_WINDOWS,
+        "termstats_docs": TQ.SQL_TERMSTATS,
+        "suggest_prefix": TQ.SQL_SUGGEST,
+        "bm25_docs_topk": TQ.SQL_BM25_DOCS,
+        "token_counts": TQ.SQL_TOKEN_COUNTS,
+        "doc_fingerprint": TQ.SQL_FINGERPRINT,
+        "quality_score": TQ.SQL_QUALITY,
+        "langid": TQ.SQL_LANGID,
+        "dedup_exact": TQ.SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": TQ.SQL_NGRAM_JACCARD,
+        "dedup_minhash_lsh": TQ.SQL_MINHASH_LSH,
+        "dedup_simhash": TQ.SQL_SIMHASH,
+        "ann_cosine_topk": TQ.SQL_ANN_TOPK,
+        "embedding_near_dup": TQ.SQL_EMB_NEAR_DUP,
+    }

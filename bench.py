@@ -1,0 +1,118 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Components:
+- transcripts inverted-index build (the north-star pipeline) on a
+  deterministic synthetic corpus sized to the scale factor, reporting
+  turns/sec;
+- BM25 top-10 searches (hot term / multi-term OR / block-max pruned path);
+- representative operator queries over $SPARK_GRAFT_SF_DIR parquet
+  (aggregation, dedup LSH, ANN, sessionization).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parser_indexer_py_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# ~33 turns/conv average -> sf0.1 ≈ 132k turns, sf0.01 ≈ 13k
+CONVS_PER_SF = 40_000
+
+
+def infer_sf(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf = infer_sf(SF_DIR)
+    spark = get_spark("bench", cores=CORES)
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    # ---- index build -------------------------------------------------------
+    from parser_indexer_py_spark.datagen import generate_transcripts
+    from parser_indexer_py_spark.index.build import build_index
+    from parser_indexer_py_spark.index.search import load_index, search
+
+    n_convs = max(50, int(CONVS_PER_SF * sf))
+    idx_dir = os.path.join(
+        os.environ.get("BENCH_TMP", "/tmp"), f"bench_idx_sf{sf}_c{CORES}"
+    )
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    df = generate_transcripts(spark, n_convs)
+    build_index(spark, df, idx_dir, n_chunks=1)
+    idx = load_index(spark, idx_dir)
+    timings["index_build"] = time.time() - t0
+    turns_per_sec = idx.n_docs / timings["index_build"]
+
+    # ---- searches ----------------------------------------------------------
+    def run(name: str, fn) -> None:
+        t = time.time()
+        fn()
+        timings[name] = time.time() - t
+
+    run("search_hot", lambda: search(idx, "bace", k=10).collect())
+    run(
+        "search_multi_or",
+        lambda: search(idx, "bace cedi wedi rikizudi", k=10).collect(),
+    )
+    run(
+        "search_pruned",
+        lambda: search(idx, "bace cedi wedi rikizudi", k=10, mode="pruned").collect(),
+    )
+    run(
+        "search_filtered",
+        lambda: search(idx, "bace cedi", k=10, role="assistant").collect(),
+    )
+
+    # ---- operator queries over the sf tables --------------------------------
+    from parser_indexer_py_spark import entry_queries as Q
+    from parser_indexer_py_spark import entry_text_queries as TQ
+
+    for name, fn in [
+        ("pricing_summary", Q.q_pricing_summary),
+        ("sessionize", Q.q_sessionize),
+        ("block_join_rollup", Q.q_block_join_rollup),
+        ("dedup_minhash_lsh", TQ.q_dedup_minhash_lsh),
+        ("ann_cosine_topk", TQ.q_ann_cosine_topk),
+        ("bm25_docs_topk", TQ.q_bm25_docs_topk),
+    ]:
+        run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
+
+    total = time.time() - t_all
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_suite",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+                "cores": CORES,
+                "index_docs": idx.n_docs,
+                "index_turns_per_sec": round(turns_per_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""Deterministic synthetic transcript corpus generator.
+
+Schema (BASELINE.json input_hint):
+  conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+  ts:timestamp
+
+Design requirements it satisfies:
+- **Deterministic at any parallelism.** Every value is a pure function of
+  (SEED, conv number, turn index, token position) via a splitmix64
+  counter-based hash — no RNG state crosses rows, so local[8] and local[32]
+  produce byte-identical corpora (needed for the N-vs-4N scaling bench and
+  the docID-stability test).
+- **Zipfian vocabulary (s≈1.1, 50k terms)** so hot-term skew is real and the
+  salted posting build is actually exercised (SURVEY.md §7.2 risk register).
+- **Unicode punctuation cases** (curly quotes, unicode hyphens, nbsp —
+  /root/reference/src/parserindexer/paper_parser.py:36-52) injected into a
+  deterministic subset of turns to exercise normalization.
+
+Generation is distributed: ``spark.range(n_convs)`` -> ``mapInPandas`` where
+each conversation expands to its turns with numpy-vectorized token draws.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SEED = np.uint64(0x5EED_CAFE_F00D_2026)
+VOCAB_SIZE = 50_000
+ZIPF_S = 1.1
+MAX_TURNS_PER_CONV = 64
+MIN_TOKENS, MAX_TOKENS = 5, 48
+ROLES = np.array(["user", "assistant", "system", "tool"])
+TOOLS = np.array(["search", "python", "browser", "calculator", "none"])
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+_SYLLABLES = [
+    "ba", "ce", "di", "fo", "gu", "ha", "je", "ki", "lo", "mu",
+    "na", "pe", "ri", "so", "tu", "va", "we", "xi", "yo", "zu",
+]
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized uint64 avalanche hash."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _h(*parts: np.ndarray) -> np.ndarray:
+    acc = np.asarray(SEED, dtype=np.uint64)
+    for p in parts:
+        acc = _mix(acc ^ np.asarray(p, dtype=np.uint64))
+    return acc
+
+
+def _u01(x: np.ndarray) -> np.ndarray:
+    return (x >> np.uint64(11)).astype(np.float64) * 2.0**-53
+
+
+def make_vocab(size: int = VOCAB_SIZE) -> list[str]:
+    """Pseudo-word vocabulary: base-20 syllable expansion of the term id
+    (unique, pronounceable-ish, stable)."""
+    words = []
+    for i in range(size):
+        n, parts = i + 20, []  # +20 guarantees >=2 syllables, no collisions
+        while n:
+            n, d = divmod(n, 20)
+            parts.append(_SYLLABLES[d])
+        words.append("".join(parts))
+    return words
+
+
+def zipf_cdf(size: int = VOCAB_SIZE, s: float = ZIPF_S) -> np.ndarray:
+    p = 1.0 / np.power(np.arange(1, size + 1, dtype=np.float64), s)
+    return np.cumsum(p / p.sum())
+
+
+def _gen_convs(conv_nums: np.ndarray, vocab: np.ndarray, cdf: np.ndarray) -> pd.DataFrame:
+    """Expand an array of conversation numbers into their turn rows."""
+    conv_nums = conv_nums.astype(np.uint64)
+    n_turns = 1 + (
+        _u01(_h(conv_nums, np.uint64(1))) * MAX_TURNS_PER_CONV
+    ).astype(np.int64)
+    conv_per_turn = np.repeat(conv_nums, n_turns)
+    turn_idx = np.concatenate([np.arange(n) for n in n_turns]).astype(np.int64)
+
+    h_turn = _h(conv_per_turn, turn_idx.astype(np.uint64), np.uint64(2))
+    n_tok = MIN_TOKENS + (
+        _u01(h_turn) * (MAX_TOKENS - MIN_TOKENS)
+    ).astype(np.int64)
+
+    # roles: turn 0 is system ~20% of convs; else alternate user/assistant
+    # with ~8% tool turns — mirrors agent-transcript shape.
+    r = _u01(_h(conv_per_turn, turn_idx.astype(np.uint64), np.uint64(3)))
+    role = np.where(turn_idx % 2 == 0, "user", "assistant")
+    role = np.where((turn_idx == 0) & (r < 0.2), "system", role)
+    role = np.where((turn_idx > 0) & (r > 0.92), "tool", role)
+    tool_pick = (r * 1e6).astype(np.int64) % (len(TOOLS) - 1)
+    tool = np.where(role == "tool", TOOLS[tool_pick], None)
+
+    # tokens: one flat draw for every token position in the batch
+    tok_conv = np.repeat(conv_per_turn, n_tok)
+    tok_turn = np.repeat(turn_idx, n_tok).astype(np.uint64)
+    tok_pos = np.concatenate([np.arange(n) for n in n_tok]).astype(np.uint64)
+    u = _u01(_h(tok_conv, tok_turn * np.uint64(1_000_003), tok_pos, np.uint64(4)))
+    term_ids = np.searchsorted(cdf, u, side="left")
+    words = vocab[np.minimum(term_ids, len(vocab) - 1)]
+
+    # unicode punctuation injection on a deterministic subset of tokens
+    deco = _h(tok_conv, tok_turn, tok_pos, np.uint64(5)) % np.uint64(211)
+    words = np.where(deco == 0, np.char.add(np.char.add("“", words), "”"), words)
+    words = np.where(deco == 1, np.char.add(np.char.add("‘", words), "’"), words)
+    words = np.where(deco == 2, np.char.add(words, "–next"), words)
+    words = np.where(deco == 3, np.char.add(words, " "), words)
+
+    turn_of_token = np.repeat(np.arange(len(turn_idx)), n_tok)
+    text = (
+        pd.Series(words)
+        .groupby(turn_of_token)
+        .agg(" ".join)
+        .reindex(np.arange(len(turn_idx)), fill_value="")
+        .to_numpy()
+    )
+
+    base = np.datetime64("2025-01-01T00:00:00")
+    conv_offset = (_h(conv_per_turn, np.uint64(6)) % np.uint64(86_400 * 365)).astype(
+        np.int64
+    )
+    ts = base + conv_offset.astype("timedelta64[s]") + (turn_idx * 7).astype(
+        "timedelta64[s]"
+    )
+
+    return pd.DataFrame(
+        {
+            "conv_id": np.char.add(
+                "conv-", np.char.zfill(conv_per_turn.astype(np.int64).astype(str), 8)
+            ),
+            "turn_idx": turn_idx.astype(np.int32),
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": pd.Series(ts),
+        }
+    )
+
+
+def generate_transcripts(
+    spark: SparkSession, n_convs: int, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic generation of ``n_convs`` conversations."""
+    vocab = np.array(make_vocab())
+    cdf = zipf_cdf()
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _gen_convs(pdf["id"].to_numpy(), vocab, cdf)
+
+    return (
+        spark.range(0, n_convs, numPartitions=parts)
+        .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+    )
+
+
+def generate_transcripts_pandas(n_convs: int) -> pd.DataFrame:
+    """Driver-side twin for small unit-test corpora (identical output)."""
+    return _gen_convs(
+        np.arange(n_convs, dtype=np.uint64), np.array(make_vocab()), zipf_cdf()
+    )

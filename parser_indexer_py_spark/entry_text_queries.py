@@ -1,0 +1,576 @@
+"""Driver-contract queries, part 2: text-analysis, deduplication, and
+similarity-search operators over the ``documents`` and ``embeddings``
+tables — the training-data-pipeline operator family, each with a DuckDB
+oracle that runs the *same deterministic pipeline* (same md5-based hashes,
+same thresholds), so candidate generation matches exactly, not just
+statistically.
+
+Tokenization here is deliberately simpler than the engine's full analyzer:
+``documents.text`` is single-space separated, so the whitespace split is
+exact in both engines (the full analyzer is exercised by the pytest golden
+gate instead — Java vs RE2 regex dialects are not bit-compatible enough to
+make the rich analyzer a cross-engine oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .entry_queries import _md5_long, _t
+
+# shared SQL prelude: lowercased positional token table over documents
+SQL_TOK = """
+WITH tok AS (
+  SELECT doc_id, lower(w) AS w, pos FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents) t WHERE length(w) > 0
+)
+"""
+
+
+def _tok(spark, sf_dir) -> DataFrame:
+    """(doc_id, w, pos) — pos is 1-based to match generate_subscripts."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w")
+        )
+        .filter(F.length("w") > 0)
+        .select("doc_id", F.lower("w").alias("w"), (F.col("pos0") + 1).alias("pos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/A7 analogs over documents: term statistics, suggester
+# ---------------------------------------------------------------------------
+
+def q_termstats_docs(spark, sf_dir):
+    """A6: df/cf term statistics (the Lucene term dictionary made explicit;
+    managed-schema:539-554)."""
+    return (
+        _tok(spark, sf_dir)
+        .groupBy("w")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+        )
+        .withColumnRenamed("w", "term")
+    )
+
+
+SQL_TERMSTATS = SQL_TOK + """
+SELECT w AS term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+FROM tok GROUP BY w
+"""
+
+
+def q_suggest_prefix(spark, sf_dir):
+    """Suggester analog (solrconfig.xml:1241-1265): top terms by collection
+    frequency under a prefix, deterministic tie-break."""
+    return (
+        _tok(spark, sf_dir)
+        .filter(F.col("w").startswith("s"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("w"))
+        .limit(10)
+        .withColumnRenamed("w", "term")
+    )
+
+
+SQL_SUGGEST = SQL_TOK + """
+SELECT w AS term, COUNT(*) AS cf FROM tok WHERE w LIKE 's%'
+GROUP BY w ORDER BY cf DESC, w LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting, fingerprint, quality, language-ID
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex token counts per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0)).alias(
+            "n_ws_tokens"
+        ),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("n_re_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_re_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: stable content hash of normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(F.lower("text")).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents"
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length + lexical-diversity heuristic (training-data
+    filter shape). All ratios rounded to 6 decimals in both engines."""
+    t = _tok(spark, sf_dir)
+    return (
+        t.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("w").alias("n_distinct"),
+            F.sum(F.length("w")).alias("chars"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+            F.round(F.col("chars") / F.col("n_tokens"), 6).alias("avg_token_len"),
+            F.round(
+                0.5 * F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+                + 0.5 * (F.col("n_distinct") / F.col("n_tokens")),
+                6,
+            ).alias("quality"),
+        )
+    )
+
+
+SQL_QUALITY = SQL_TOK + """
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(COUNT(DISTINCT w) * 1.0 / COUNT(*), 6) AS distinct_ratio,
+       ROUND(SUM(length(w)) * 1.0 / COUNT(*), 6) AS avg_token_len,
+       ROUND(0.5 * least(COUNT(*) / 50.0, 1.0)
+             + 0.5 * (COUNT(DISTINCT w) * 1.0 / COUNT(*)), 6) AS quality
+FROM tok GROUP BY doc_id
+"""
+
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "y", "que"],
+}
+
+
+def q_langid(spark, sf_dir):
+    """Language-ID n-gram/stopword heuristic: argmax of marker-word hits
+    with fixed priority tie-break (en > de > fr > es > und)."""
+    t = _tok(spark, sf_dir)
+    agg = t.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("w").isin(ws), 1).otherwise(0)).alias(f"s_{lang}")
+            for lang, ws in _LANG_MARKERS.items()
+        ]
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _LANG_MARKERS])
+    pred = F.when(best == 0, "und")
+    for lang in _LANG_MARKERS:  # fixed priority order on ties
+        pred = pred.when(F.col(f"s_{lang}") == best, lang)
+    return agg.select("doc_id", pred.alias("pred_lang"))
+
+
+def _sql_langid() -> str:
+    hits = ",\n".join(
+        f"       SUM(CASE WHEN w IN ({', '.join(repr(w) for w in ws)}) THEN 1 ELSE 0 END) AS s_{lang}"
+        for lang, ws in _LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANG_MARKERS) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in _LANG_MARKERS:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return (
+        SQL_TOK
+        + f", hits AS (\n  SELECT doc_id,\n{hits}\n  FROM tok GROUP BY doc_id)\n"
+        + f"SELECT doc_id, {case} AS pred_lang FROM hits"
+    )
+
+
+SQL_LANGID = _sql_langid()
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content-key hash-groupBy: keep min doc_id per group
+    (A4 dedup family, scaled: group key is a hash so the shuffle key is
+    narrow even for megabyte documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.lower("text")).alias("content_key"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_members"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(text)) AS content_key, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_members
+FROM documents GROUP BY 1
+"""
+
+
+def _grams(spark, sf_dir) -> DataFrame:
+    """Distinct word-3-gram shingles per doc."""
+    t = _tok(spark, sf_dir).select("doc_id", "w", "pos")
+    t1, t2, t3 = t.alias("t1"), t.alias("t2"), t.alias("t3")
+    return (
+        t1.join(
+            t2,
+            (F.col("t2.doc_id") == F.col("t1.doc_id"))
+            & (F.col("t2.pos") == F.col("t1.pos") + 1),
+        )
+        .join(
+            t3,
+            (F.col("t3.doc_id") == F.col("t1.doc_id"))
+            & (F.col("t3.pos") == F.col("t1.pos") + 2),
+        )
+        .select(
+            F.col("t1.doc_id").alias("doc_id"),
+            F.concat_ws(" ", "t1.w", "t2.w", "t3.w").alias("g"),
+        )
+        .distinct()
+    )
+
+
+SQL_GRAMS = SQL_TOK + """
+, grams AS (
+  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS g
+  FROM tok t1
+  JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+), sz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id)
+"""
+
+JACCARD_TAU = 0.8
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exhaustive n-gram Jaccard near-dup pairs (the oracle path for LSH:
+    O(n^2)-ish via the shared-gram join, exact)."""
+    grams = _grams(spark, sf_dir)
+    sz = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        inter.join(sz.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sz.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .select(
+            "da",
+            "db",
+            F.round(
+                F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= JACCARD_TAU)
+
+
+SQL_NGRAM_JACCARD = SQL_GRAMS + f"""
+, inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT da, db, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_TAU}
+"""
+
+N_MINHASH = 8  # 4 bands x 2 rows
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH near-dup: shingle -> 8 md5-derived minhashes -> 4
+    banded signatures -> bucket-join candidates -> exact-Jaccard verify.
+    The scale path for q_dedup_ngram_jaccard (candidates only, no full
+    self-join); at tau=0.8 with 4x2 bands recall is ~1 and the oracle runs
+    the IDENTICAL pipeline, so outputs match exactly."""
+    grams = _grams(spark, sf_dir)
+    hashed = grams.select(
+        "doc_id",
+        "g",
+        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        _md5_long(F.concat_ws("#", F.col("i").cast("string"), F.col("g"))).alias("h"),
+    )
+    sig = (
+        hashed.groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+        .withColumn("band", (F.col("i") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.max(F.when(F.col("i") % 2 == 0, F.col("mh"))).alias("h0"),
+            F.max(F.when(F.col("i") % 2 == 1, F.col("mh"))).alias("h1"),
+        )
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h0") == F.col("b.h0"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    grams_a = grams.select(F.col("doc_id").alias("da"), F.col("g").alias("ga"))
+    grams_b = grams.select(F.col("doc_id").alias("db2"), F.col("g").alias("gb"))
+    inter = (
+        cand.join(grams_a, "da")
+        .join(
+            grams_b,
+            (F.col("db") == F.col("db2")) & (F.col("ga") == F.col("gb")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    sz = _grams(spark, sf_dir).groupBy("doc_id").agg(F.count("*").alias("n"))
+    out = (
+        inter.join(sz.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sz.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .select(
+            "da",
+            "db",
+            F.round(
+                F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+    )
+    return out
+
+
+SQL_MINHASH_LSH = SQL_GRAMS + f"""
+, hashed AS (
+  SELECT doc_id, i, MIN(('0x' || substr(md5(i::VARCHAR || '#' || g), 1, 15))::BIGINT) AS mh
+  FROM grams, range(0, {N_MINHASH}) r(i)
+  GROUP BY doc_id, i
+), sig AS (
+  SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         MAX(CASE WHEN i % 2 = 0 THEN mh END) AS h0,
+         MAX(CASE WHEN i % 2 = 1 THEN mh END) AS h1
+  FROM hashed GROUP BY doc_id, CAST(i // 2 AS INT)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.da
+  JOIN grams gb ON gb.doc_id = c.db AND gb.g = ga.g
+  GROUP BY c.da, c.db)
+SELECT da, db, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_TAU}
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash document signatures (16-bit, md5-derived bit votes) — exact
+    signature-collision groups; the cheap first-pass near-dup detector."""
+    t = _tok(spark, sf_dir)
+    bits = (
+        t.withColumn("h", _md5_long(F.col("w")))
+        .select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+        )
+        .withColumn("vote", F.expr("(shiftright(h, j) & 1) * 2 - 1"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
+            .otherwise(F.lit(0)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+    return bits
+
+
+SQL_SIMHASH = SQL_TOK + """
+, bits AS (
+  SELECT doc_id, j,
+         SUM(((('0x' || substr(md5(w), 1, 15))::BIGINT >> j) & 1) * 2 - 1) AS s
+  FROM tok, range(0, 16) r(j)
+  GROUP BY doc_id, j)
+SELECT doc_id, SUM(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _cosine_expr(a, b):
+    """Canonical double-precision cosine over two float arrays (cast each
+    element to double first — float32 arithmetic differs between engines)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return dot / (na * nb)
+
+
+SQL_COSINE_PAIRS = """
+, ex AS (
+  SELECT vec_id, unnest(embedding) AS e,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), pr AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         SUM(CAST(a.e AS DOUBLE) * CAST(b.e AS DOUBLE)) AS dot,
+         SQRT(SUM(CAST(a.e AS DOUBLE) * CAST(a.e AS DOUBLE))) AS na,
+         SQRT(SUM(CAST(b.e AS DOUBLE) * CAST(b.e AS DOUBLE))) AS nb
+  FROM ex a JOIN ex b ON a.i = b.i AND {pair_cond}
+  GROUP BY a.vec_id, b.vec_id)
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: query = vec 0 vs all others; the baseline
+    ANN path (broadcast the query; one pass over embeddings)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = _cosine_expr(F.col("q_emb"), F.col("embedding"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+SQL_ANN_TOPK = ("WITH x AS (SELECT 1)" + SQL_COSINE_PAIRS.format(
+    pair_cond="a.vec_id = 0 AND b.vec_id != 0"
+) + """
+SELECT vb AS vec_id, ROUND(dot / (na * nb), 6) AS cosine
+FROM pr ORDER BY dot / (na * nb) DESC, vb LIMIT 10
+""")
+
+COS_TAU = 0.45
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exhaustive; filter applied on the
+    ROUNDED value in both engines so the boundary is identical)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    return (
+        pairs.withColumn(
+            "cosine", F.round(_cosine_expr(F.col("ea"), F.col("eb")), 6)
+        )
+        .filter(F.col("cosine") >= COS_TAU)
+        .select("va", "vb", "cosine")
+    )
+
+
+SQL_EMB_NEAR_DUP = ("WITH x AS (SELECT 1)" + SQL_COSINE_PAIRS.format(
+    pair_cond="a.vec_id < b.vec_id"
+) + f"""
+SELECT va, vb, ROUND(dot / (na * nb), 6) AS cosine
+FROM pr WHERE ROUND(dot / (na * nb), 6) >= {COS_TAU}
+""")
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance over documents (the query-engine shape, DataFrame-native,
+# with a full SQL oracle; the transcripts index engine itself is gated by
+# the pytest golden suite against the pure-Python oracle)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ["merge", "window", "stream"]
+
+
+def q_bm25_docs_topk(spark, sf_dir):
+    """T3 + A6/A7: BM25 top-10 (k1=1.2, b=0.75, Lucene-6 idf) computed as a
+    declarative DataFrame plan over the documents table. Deterministic
+    output: ORDER BY rounded score DESC, doc_id."""
+    t = _tok(spark, sf_dir)
+    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    g = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["sdl"]) / float(g["n"])
+    tf = (
+        t.filter(F.col("w").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.join(F.broadcast(dfs), "w")
+        .join(dl, "doc_id")
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_BM25_DOCS = SQL_TOK + f"""
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       WHERE w IN ({', '.join(repr(w) for w in BM25_QUERY_TERMS)})
+       GROUP BY doc_id, w),
+dfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS contrib
+  FROM tf JOIN dfs USING (w) JOIN dl ON dl.doc_id = tf.doc_id, g)
+SELECT doc_id, ROUND(SUM(contrib), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""

@@ -1,0 +1,110 @@
+"""The text analyzer: normalize + tokenize + lowercase.
+
+Reimplements, natively in Spark, the analysis chain the reference gets from
+Solr's ``text_general`` field type (StandardTokenizer -> StopFilter with an
+effectively-empty stopword list -> LowerCaseFilter;
+/root/reference/conf/solr/docs/conf/managed-schema:539-554) composed with the
+reference's own pre-tokenization text cleanup:
+
+- Unicode->ASCII punctuation folding (curly quotes, unicode hyphens, nbsp,
+  bullets): /root/reference/src/parserindexer/paper_parser.py:36-52
+- End-of-line de-hyphenation + newline normalization:
+  /root/reference/src/parserindexer/paper_parser.py:54-62
+
+Token grammar (documented UAX#29 approximation, locked in SURVEY.md §7.0):
+maximal runs of word characters, allowing *internal* apostrophes and periods
+(``don't``, ``u.s.a``, ``3.14``), lowercased. Stopword and synonym hooks
+exist but default to empty, matching the shipped Solr config
+(conf/solr/docs/conf/stopwords.txt contains only license comments).
+
+Three implementations are provided and golden-tested for exact equality:
+
+1. ``tokens_expr`` — pure Catalyst expressions (JVM, whole-stage codegen);
+   the fast path used by the index build.
+2. ``tokenize_udf`` — a vectorized Arrow/pandas UDF (Series->Series of
+   list<str>); the UDF surface named in the north star, kept for cases where
+   per-batch Python logic must compose with tokenization.
+3. ``analyze_text`` — scalar pure-Python twin; the oracle used by tests and
+   by query-time analysis on the driver.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 1:1 character folds (Spark F.translate requires equal-length alphabets).
+# Mirrors paper_parser.py:36-52's translate table.
+_FOLD = {
+    "‘": "'", "’": "'", "‛": "'",   # curly single quotes
+    "“": '"', "”": '"',                  # curly double quotes
+    "‐": "-", "‑": "-", "‒": "-",   # unicode hyphens
+    "–": "-", "—": "-", "―": "-",   # en/em/horizontal-bar
+    " ": " ", " ": " ", " ": " ",   # non-breaking spaces
+    "•": " ", "·": " ", "⁃": " ",   # bullets
+    "…": " ",                                 # ellipsis
+}
+_FOLD_SRC = "".join(_FOLD.keys())
+_FOLD_DST = "".join(_FOLD.values())
+assert len(_FOLD_SRC) == len(_FOLD_DST)
+
+# Token: word-char run with internal apostrophes/periods.
+# Java regex (Spark) and Python re are kept semantically identical for the
+# character classes we rely on: \p{L}\p{N}_ (Java) vs \w (Python, unicode).
+_TOKEN_RE_JAVA = r"[\p{L}\p{N}_]+(?:['.][\p{L}\p{N}_]+)*"
+_TOKEN_RE_PY = re.compile(r"[\w]+(?:['.][\w]+)*", re.UNICODE)
+
+# De-hyphenation of wrapped lines: "-\n" -> "" (paper_parser.py:54-59),
+# then any remaining newline -> space.
+_DEHYPH_PY = re.compile(r"-\n")
+
+
+def normalize_expr(col: Column) -> Column:
+    """Catalyst expression: fold unicode punctuation, de-hyphenate wrapped
+    lines, collapse newlines, lowercase."""
+    c = F.translate(col, _FOLD_SRC, _FOLD_DST)
+    c = F.regexp_replace(c, "-\\n", "")
+    c = F.regexp_replace(c, "\\n", " ")
+    return F.lower(c)
+
+
+def tokens_expr(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Catalyst expression producing ``array<string>`` of analyzed tokens.
+
+    The fast path: whole-stage-codegen'd, no Python worker involved.
+    ``stopwords`` is the configurable default-empty hook (managed-schema's
+    StopFilter with an empty list)."""
+    toks = F.regexp_extract_all(normalize_expr(col), F.lit(_TOKEN_RE_JAVA), 0)
+    if stopwords:
+        sw = F.array(*[F.lit(s) for s in stopwords])
+        toks = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+    return toks
+
+
+def analyze_text(text: str | None, stopwords: frozenset | None = None) -> list[str]:
+    """Pure-Python twin of ``tokens_expr`` — the test oracle and the
+    query-side analyzer (queries are analyzed on the driver)."""
+    if text is None:
+        return []
+    t = text.translate(str.maketrans(_FOLD_SRC, _FOLD_DST))
+    t = _DEHYPH_PY.sub("", t)
+    t = t.replace("\n", " ").lower()
+    toks = _TOKEN_RE_PY.findall(t)
+    if stopwords:
+        toks = [x for x in toks if x not in stopwords]
+    return toks
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    """Vectorized Arrow/pandas twin of ``tokens_expr`` (Series -> Series of
+    token lists). Arrow-batched; never per-row pickled."""
+    trans = str.maketrans(_FOLD_SRC, _FOLD_DST)
+    folded = texts.fillna("").str.translate(trans)
+    folded = folded.str.replace("-\n", "", regex=False)
+    folded = folded.str.replace("\n", " ", regex=False).str.lower()
+    return folded.str.findall(_TOKEN_RE_PY)

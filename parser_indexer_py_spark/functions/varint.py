@@ -1,0 +1,126 @@
+"""Vectorized LEB128 varint codec over numpy arrays.
+
+The posting-list payload format: docIDs are sorted ascending, delta-encoded
+(first value absolute, then gaps), then LEB128 varint-packed into a
+``binary`` column. tfs and dls are varint-packed as-is. This is the explicit
+reimplementation of the compression Lucene applies inside Solr — the part the
+reference delegates entirely (/root/reference/conf/solr/docs/conf/
+managed-schema:539-554 defines analyzed fields; the postings encoding itself
+is Lucene-internal and never appears in the reference's Python).
+
+All functions are numpy-vectorized: no per-element Python loops over values
+(the loop below is over *byte position within a varint*, bounded by 10).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U7 = np.uint64(7)
+_U127 = np.uint64(0x7F)
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative integer array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value = number of 7-bit groups
+    nb = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> _U7
+    while tmp.any():
+        nb += tmp > 0
+        tmp = tmp >> _U7
+    total = int(nb.sum())
+    out = np.empty(total, dtype=np.uint8)
+    pos = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nb[:-1], out=pos[1:])
+    rem = v.copy()
+    for i in range(int(nb.max())):
+        mask = nb > i
+        idx = pos[mask] + i
+        byte = (rem[mask] & _U127).astype(np.uint8)
+        cont = (nb[mask] - 1 > i).astype(np.uint8)
+        out[idx] = byte | (cont << 7)
+        rem = rem >> _U7
+    return out.tobytes()
+
+
+def decode_varint(buf: bytes, n: int | None = None) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.nonzero(is_end)[0]
+    count = ends.size
+    if n is not None and count != n:
+        raise ValueError(f"varint stream has {count} values, expected {n}")
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # group id for each byte = number of terminators strictly before it
+    grp = np.zeros(b.size, dtype=np.int64)
+    grp[1:] = np.cumsum(is_end[:-1])
+    shift = (np.arange(b.size, dtype=np.int64) - starts[grp]).astype(np.uint64)
+    vals = np.zeros(count, dtype=np.uint64)
+    np.add.at(vals, grp, (b & 0x7F).astype(np.uint64) << (shift * _U7))
+    return vals
+
+
+def encode_deltas(sorted_values: np.ndarray) -> bytes:
+    """Delta + varint encode a strictly-increasing array (docIDs)."""
+    v = np.ascontiguousarray(sorted_values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    deltas = np.empty_like(v)
+    deltas[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=deltas[1:])
+    return encode_varint(deltas)
+
+
+def decode_deltas(buf: bytes, n: int | None = None) -> np.ndarray:
+    """Inverse of :func:`encode_deltas`."""
+    deltas = decode_varint(buf, n)
+    return np.cumsum(deltas, dtype=np.uint64)
+
+
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    """Bytes each value needs under LEB128."""
+    nb = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> _U7
+    while tmp.any():
+        nb += tmp > 0
+        tmp = tmp >> _U7
+    return nb
+
+
+def encode_varint_grouped(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """LEB128-encode a concatenation of groups in ONE vectorized pass and
+    return the per-group byte strings. ``starts`` are group start offsets
+    (ascending, starts[0] == 0). This removes the per-group Python/Arrow
+    overhead that makes one-group-at-a-time encoding O(n_groups) in fixed
+    costs — the difference between minutes and seconds at 50k+ terms."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return []
+    buf = np.frombuffer(encode_varint(v), dtype=np.uint8)
+    nb = _varint_nbytes(v)
+    byte_off = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=byte_off[1:])
+    ends = np.append(starts[1:], v.size)
+    raw = buf.tobytes()
+    return [raw[byte_off[s]:byte_off[e]] for s, e in zip(starts, ends)]
+
+
+def encode_deltas_grouped(sorted_values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Per-group delta encoding (first value of each group absolute), then
+    one vectorized LEB128 pass; returns per-group byte strings."""
+    v = np.ascontiguousarray(sorted_values, dtype=np.uint64)
+    if v.size == 0:
+        return []
+    deltas = np.empty_like(v)
+    deltas[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=deltas[1:])
+    deltas[starts] = v[starts]
+    return encode_varint_grouped(deltas, starts)

@@ -1,0 +1,445 @@
+"""Inverted-index build: the Lucene half the reference delegates to Solr.
+
+The reference streams JSON docs into Solr (`src/parserindexer/indexer.py:199-231`,
+`src/parserindexer/solr.py:47-84`) and Lucene builds postings/norms/segments
+invisibly. Here that machinery is explicit, as Spark dataflow:
+
+  transcripts
+    -> stage "staged":  range-partition by (conv_id, turn_idx), sort within
+       partitions (the global order that defines docIDs)
+    -> stage "docmap":  stable dense docIDs via per-partition row_number +
+       broadcast prefix-sum offsets (NO global sort shuffle; docIDs are the
+       true global rank regardless of partition boundaries — see note below)
+    -> stage "tf":      tokenize (Catalyst exprs) -> explode ->
+       groupBy(term, doc_id).count() (partial+final hash agg), bucketed by
+       crc32(term) % n_buckets for query-time partition pruning
+    -> stage "postings": two-level salted aggregation —
+       groupBy(term, salt=doc_id % S).applyInPandas(encode partial run)
+       then groupBy(term).applyInPandas(merge runs -> fixed-size blocks with
+       exact per-block BM25 upper bounds). Salting bounds the memory of the
+       hottest term's group at 1/S of its postings (SURVEY.md §4.2 skew note);
+       the merge sees S *compressed* runs, not raw rows.
+    -> termstats / docstats / manifest
+
+Stable-docID correctness argument (SURVEY.md §7.2): for ANY disjoint ordered
+range partitioning, within-partition rank + prefix-sum of partition sizes
+equals the global rank of the row under (conv_id, turn_idx) — which is a
+unique key — so docIDs are identical at every partition count. This is what
+makes "rank-identical top-k between cluster sizes" hold.
+
+Resume: each stage (and each postings chunk) is recorded in
+``manifest.json`` with per-partition lineage rows; a restarted build skips
+completed entries (north_rule checkpoint requirement; the reference's analog
+is Solr commits — `src/parserindexer/solr.py:97-104`).
+
+BM25 constants: k1=1.2, b=0.75 — Lucene 6 defaults pinned by
+``luceneMatchVersion 6.1.0`` (/root/reference/conf/solr/docs/conf/
+solrconfig.xml:38), idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+idf is computed with *Python* ``math.log`` inside the merge encoder (not a
+JVM expression) so the pure-Python oracle reproduces it bit-for-bit — JVM
+``Math.log`` may differ from C libm by 1 ulp, which would break exact
+score-identity (SURVEY.md §7.0 decision 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions.analyzer import tokens_expr
+from ..functions.varint import (
+    decode_varint,
+    encode_deltas_grouped,
+    encode_varint_grouped,
+)
+from ..operators.grouped import grouped_map_batched
+from .scoring import BM25_B, BM25_K1, bm25_contrib, bm25_idf
+
+BLOCK_SIZE = 128
+DEFAULT_BUCKETS = 32
+DEFAULT_SALT = 8
+
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("cf", T.LongType(), False),
+        T.StructField("docs_bin", T.BinaryType(), False),
+        T.StructField("tfs_bin", T.BinaryType(), False),
+        T.StructField("dls_bin", T.BinaryType(), False),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("doc_min", T.LongType(), False),
+        T.StructField("doc_max", T.LongType(), False),
+        T.StructField("docs_bin", T.BinaryType(), False),
+        T.StructField("tfs_bin", T.BinaryType(), False),
+        T.StructField("dls_bin", T.BinaryType(), False),
+        T.StructField("block_cf", T.LongType(), False),
+        T.StructField("block_max_score", T.DoubleType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("cf", T.LongType(), False),
+        T.StructField("idf", T.DoubleType(), False),
+    ]
+)
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Python twin of the JVM bucket expression (F.crc32 == zlib.crc32)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def staged(self) -> str:
+        return os.path.join(self.root, "_stage", "staged")
+
+    @property
+    def tf(self) -> str:
+        return os.path.join(self.root, "_stage", "tf")
+
+    @property
+    def docmap(self) -> str:
+        return os.path.join(self.root, "docmap")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def termstats(self) -> str:
+        return os.path.join(self.root, "termstats")
+
+    @property
+    def globals_json(self) -> str:
+        return os.path.join(self.root, "globals.json")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+
+class Manifest:
+    """Tiny atomic JSON manifest: stage/chunk completion + per-partition
+    lineage rows (the Parquet-local stand-in for Iceberg snapshot metadata)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.records: list[dict] = []
+        if os.path.exists(path):
+            with open(path) as f:
+                self.records = json.load(f)
+
+    def done(self, stage: str) -> bool:
+        return any(r["stage"] == stage and r["status"] == "ok" for r in self.records)
+
+    def add(self, stage: str, **kw) -> None:
+        self.records.append({"stage": stage, "status": "ok", "ts": time.time(), **kw})
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.records, f, indent=1)
+        os.replace(tmp, self.path)
+
+
+def _encode_partials_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized multi-group partial-run encoder. Input: many complete
+    (term, salt) groups, sorted by (term, salt, doc_id). One numpy pass for
+    group detection, delta/varint packing, and per-group cf — no per-group
+    Python/Arrow fixed costs (see operators/grouped.py)."""
+    terms = pdf["term"].to_numpy()
+    salts = pdf["salt"].to_numpy()
+    docs = pdf["doc_id"].to_numpy().astype(np.uint64)
+    tfs = pdf["tf"].to_numpy().astype(np.uint64)
+    dls = pdf["dl"].to_numpy().astype(np.uint64)
+    change = np.ones(len(pdf), dtype=bool)
+    change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(pdf))
+    csum = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
+    return pd.DataFrame(
+        {
+            "term": terms[starts],
+            "n": (ends - starts).astype(np.int32),
+            "cf": csum[ends] - csum[starts],
+            "docs_bin": encode_deltas_grouped(docs, starts),
+            "tfs_bin": encode_varint_grouped(tfs, starts),
+            "dls_bin": encode_varint_grouped(dls, starts),
+        }
+    )
+
+
+def _make_merge(n_docs: int, avgdl: float, n_buckets: int):
+    """Closure building the batched run-merger with global stats baked in.
+
+    Input: many complete term-groups (each group = that term's partial
+    runs), sorted by term. Fully vectorized: decode all runs in one pass,
+    segment-cumsum the deltas, lexsort (term, doc), slice fixed-size blocks,
+    and reduceat per-block cf / max-score. idf per term is a scalar
+    ``math.log`` loop — np.log is SIMD-vectorized and NOT bit-identical to
+    libm, which would break oracle score-identity (verified in-sandbox)."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        run_terms = pdf["term"].to_numpy()
+        run_n = pdf["n"].to_numpy().astype(np.int64)
+        total = int(run_n.sum())
+        # decode every run in one pass per payload kind
+        deltas = decode_varint(b"".join(pdf["docs_bin"]), total)
+        tfs = decode_varint(b"".join(pdf["tfs_bin"]), total)
+        dls = decode_varint(b"".join(pdf["dls_bin"]), total)
+        run_starts = np.zeros(len(pdf), dtype=np.int64)
+        np.cumsum(run_n[:-1], out=run_starts[1:])
+        # segment cumsum: absolutize docIDs within each run
+        # global cumsum then subtract, per run, the cumsum value just
+        # before the run start (propagated with maximum.accumulate — valid
+        # because the global cumsum of unsigned deltas is nondecreasing)
+        docs = np.cumsum(deltas, dtype=np.uint64)
+        prev = np.zeros(total, dtype=np.uint64)
+        prev[run_starts[1:]] = docs[run_starts[1:] - 1]
+        docs = docs - np.maximum.accumulate(prev)
+        # per-entry term ids (runs of the same term are adjacent)
+        term_change = np.ones(len(pdf), dtype=bool)
+        term_change[1:] = run_terms[1:] != run_terms[:-1]
+        term_ids_per_run = np.cumsum(term_change) - 1
+        entry_term = np.repeat(term_ids_per_run, run_n)
+        uniq_terms = run_terms[term_change]
+        # global sort by (term, doc) merges the salt runs
+        order = np.lexsort((docs, entry_term))
+        docs, tfs, dls, entry_term = (
+            docs[order], tfs[order], dls[order], entry_term[order]
+        )
+        # df/cf/idf per term
+        tstarts = np.flatnonzero(
+            np.concatenate([[True], entry_term[1:] != entry_term[:-1]])
+        )
+        tends = np.append(tstarts[1:], total)
+        dfs = tends - tstarts
+        tf_csum = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
+        cfs = tf_csum[tends] - tf_csum[tstarts]
+        idfs = np.array([bm25_idf(int(d), n_docs) for d in dfs])
+        # exact per-entry contribution (canonical op order) -> block bounds.
+        # Recomputed AFTER the merge so bounds are valid post-salting
+        # (SURVEY.md §7.2 WAND-correctness note).
+        entry_idf = np.repeat(idfs, dfs)
+        contrib = bm25_contrib(tfs, dls, 1.0, avgdl) * entry_idf
+        # fixed-size blocks within each term
+        offs = np.arange(total, dtype=np.int64) - np.repeat(tstarts, dfs)
+        block_of = offs // BLOCK_SIZE
+        bchange = np.ones(total, dtype=bool)
+        bchange[1:] = (entry_term[1:] != entry_term[:-1]) | (
+            block_of[1:] != block_of[:-1]
+        )
+        bstarts = np.flatnonzero(bchange)
+        bends = np.append(bstarts[1:], total)
+        bterm = entry_term[bstarts]
+        buckets = np.array(
+            [term_bucket(t, n_buckets) for t in uniq_terms], dtype=np.int32
+        )
+        return pd.DataFrame(
+            {
+                "term": uniq_terms[bterm],
+                "bucket": buckets[bterm],
+                "block_id": block_of[bstarts].astype(np.int32),
+                "n": (bends - bstarts).astype(np.int32),
+                "doc_min": docs[bstarts].astype(np.int64),
+                "doc_max": docs[bends - 1].astype(np.int64),
+                "docs_bin": encode_deltas_grouped(docs, bstarts),
+                "tfs_bin": encode_varint_grouped(tfs, bstarts),
+                "dls_bin": encode_varint_grouped(dls, bstarts),
+                "block_cf": tf_csum[bends] - tf_csum[bstarts],
+                "block_max_score": np.maximum.reduceat(contrib, bstarts),
+                "df": dfs[bterm].astype(np.int64),
+                "cf": cfs[bterm].astype(np.int64),
+                "idf": idfs[bterm],
+            }
+        )
+
+    return merge
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    *,
+    n_partitions: int | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    salt: int = DEFAULT_SALT,
+    n_chunks: int = 4,
+    resume: bool = True,
+) -> IndexPaths:
+    """Build the full index under ``out_dir``. Idempotent + resumable."""
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    man = Manifest(paths.manifest) if resume else Manifest(paths.manifest + ".new")
+    P = n_partitions or spark.sparkContext.defaultParallelism * 2
+
+    # ---- stage 1: staged (global order materialized once) -----------------
+    if not man.done("staged"):
+        t0 = time.time()
+        staged = (
+            transcripts.repartitionByRange(P, "conv_id", "turn_idx")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .withColumn("pid", F.spark_partition_id())
+        )
+        staged.write.mode("overwrite").parquet(paths.staged)
+        man.add("staged", seconds=time.time() - t0, partitions=P)
+
+    staged = spark.read.parquet(paths.staged)
+
+    # ---- stage 2: docmap (stable docIDs, tokens, dl) -----------------------
+    if not man.done("docmap"):
+        t0 = time.time()
+        counts = {
+            r["pid"]: r["cnt"]
+            for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        offsets_df = F.broadcast(
+            spark.createDataFrame(
+                [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long"
+            )
+        )
+        w = Window.partitionBy("pid").orderBy("conv_id", "turn_idx")
+        docmap = (
+            staged.join(offsets_df, "pid")
+            .withColumn("doc_id", F.row_number().over(w) - 1 + F.col("offset"))
+            .withColumn("tokens", tokens_expr(F.col("text")))
+            .withColumn("dl", F.size("tokens"))
+            .select(
+                "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "tokens"
+            )
+        )
+        docmap.write.mode("overwrite").parquet(paths.docmap)
+        man.add(
+            "docmap",
+            seconds=time.time() - t0,
+            rows=acc,
+            partition_lineage=[
+                {"pid": int(p), "rows": int(c), "offset": int(offsets[p])}
+                for p, c in sorted(counts.items())
+            ],
+        )
+
+    docmap = spark.read.parquet(paths.docmap)
+
+    # ---- global stats -------------------------------------------------------
+    if not man.done("globals"):
+        t0 = time.time()
+        g = docmap.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        with open(paths.globals_json, "w") as f:
+            json.dump(
+                {
+                    "n_docs": g["n_docs"],
+                    # exact: integer sum / count — deterministic at any
+                    # partitioning, reproducible by the pure-Python oracle
+                    "avgdl": float(g["sum_dl"]) / float(g["n_docs"]),
+                    "k1": BM25_K1,
+                    "b": BM25_B,
+                    "n_buckets": n_buckets,
+                    "block_size": BLOCK_SIZE,
+                },
+                f,
+            )
+        man.add("globals", seconds=time.time() - t0)
+    with open(paths.globals_json) as f:
+        gstats = json.load(f)
+    n_docs, avgdl = gstats["n_docs"], gstats["avgdl"]
+
+    # ---- stage 3: tf table (the big shuffle), bucketed by term -------------
+    if not man.done("tf"):
+        t0 = time.time()
+        tf = (
+            docmap.select("doc_id", "dl", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.crc32(F.encode(F.col("term"), "utf-8")), F.lit(n_buckets)).cast(
+                    "int"
+                ),
+            )
+        )
+        (
+            tf.repartition(n_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(paths.tf)
+        )
+        man.add("tf", seconds=time.time() - t0)
+
+    # ---- stage 4: postings, chunked over buckets (resume granularity) ------
+    merge = _make_merge(n_docs, avgdl, n_buckets)
+    chunk_sz = max(1, n_buckets // n_chunks)
+    for chunk_start in range(0, n_buckets, chunk_sz):
+        chunk = list(range(chunk_start, min(chunk_start + chunk_sz, n_buckets)))
+        stage = f"postings_chunk_{chunk_start}"
+        if man.done(stage):
+            continue
+        t0 = time.time()
+        tf = spark.read.parquet(paths.tf).filter(F.col("bucket").isin(chunk))
+        partials = grouped_map_batched(
+            tf.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(salt)).cast("int")),
+            ["term", "salt"],
+            _encode_partials_batch,
+            PARTIAL_SCHEMA,
+            sort_cols=["doc_id"],
+        )
+        # run order within a term is irrelevant: merge re-sorts by doc_id,
+        # which is unique per (term, doc) and disjoint across salt runs
+        blocks = grouped_map_batched(partials, ["term"], merge, POSTINGS_SCHEMA)
+        observed = blocks.observe(
+            f"postings_{chunk_start}",
+            F.count("*").alias("blocks"),
+            F.sum("n").alias("postings"),
+        )
+        (
+            observed.repartition(len(chunk), "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(paths.postings)
+        )
+        man.add(stage, seconds=time.time() - t0, buckets=chunk)
+
+    # ---- stage 5: termstats -------------------------------------------------
+    if not man.done("termstats"):
+        t0 = time.time()
+        ts = (
+            spark.read.parquet(paths.postings)
+            .groupBy("term")
+            .agg(
+                F.first("df").alias("df"),
+                F.first("cf").alias("cf"),
+                F.first("idf").alias("idf"),
+                F.max("block_max_score").alias("max_score"),
+                F.first("bucket").alias("bucket"),
+            )
+        )
+        ts.write.mode("overwrite").parquet(paths.termstats)
+        man.add("termstats", seconds=time.time() - t0)
+
+    return paths

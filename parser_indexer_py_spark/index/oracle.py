@@ -1,0 +1,82 @@
+"""Pure-Python scalar BM25 oracle — the rank-identity reference.
+
+This is the "golden" implementation SURVEY.md §7.0 designates as the
+reference semantics for the engine (the reference repo's actual scorer is
+inside Lucene and unavailable; its behavior is specified by
+solrconfig.xml:38 => Lucene 6 BM25, k1=1.2 b=0.75, rows=10 top-k at
+solrconfig.xml:770). The engine must match this oracle's top-k docIDs AND
+scores bit-for-bit:
+
+- same analyzer (``analyze_text``, the tokenizer twin),
+- same idf/contrib arithmetic (``scoring`` module, canonical op order),
+- same fold order (ascending term per doc),
+- same tie-break (ascending docID).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+
+from ..functions.analyzer import analyze_text
+from .scoring import bm25_contrib, bm25_idf
+
+
+class BM25Oracle:
+    """Single-process inverted index + scorer over a small corpus."""
+
+    def __init__(self, docs: dict[int, list[str]], roles: dict[int, str] | None = None):
+        self.dl = {d: len(toks) for d, toks in docs.items()}
+        self.n_docs = len(docs)
+        # exact: integer token total / doc count (matches the engine's
+        # sum(dl)/count avgdl computation)
+        self.avgdl = float(sum(self.dl.values())) / float(self.n_docs)
+        self.postings: dict[str, dict[int, int]] = {}
+        for d, toks in docs.items():
+            for t, tf in Counter(toks).items():
+                self.postings.setdefault(t, {})[d] = tf
+        self.roles = roles or {}
+
+    @classmethod
+    def from_pandas(cls, pdf: pd.DataFrame) -> "BM25Oracle":
+        """Build from a transcripts DataFrame with an assigned ``doc_id``
+        column (docs must already carry engine docIDs)."""
+        docs = {
+            int(r.doc_id): analyze_text(r.text) for r in pdf.itertuples(index=False)
+        }
+        roles = {int(r.doc_id): r.role for r in pdf.itertuples(index=False)}
+        return cls(docs, roles)
+
+    def term_stats(self) -> dict[str, tuple[int, int]]:
+        """term -> (df, cf)."""
+        return {
+            t: (len(pl), sum(pl.values())) for t, pl in self.postings.items()
+        }
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        conjunctive: bool = False,
+        role: str | None = None,
+    ) -> list[tuple[int, float]]:
+        terms = sorted(set(analyze_text(query)))
+        scores: dict[int, float] = {}
+        hits: dict[int, int] = {}
+        for t in terms:  # ascending term order == engine's fold order
+            pl = self.postings.get(t)
+            if not pl:
+                continue
+            idf = bm25_idf(len(pl), self.n_docs)
+            for d, tf in pl.items():
+                c = bm25_contrib(float(tf), float(self.dl[d]), idf, self.avgdl)
+                scores[d] = scores.get(d, 0.0) + c
+                hits[d] = hits.get(d, 0) + 1
+        cands = scores.items()
+        if conjunctive:
+            cands = [(d, s) for d, s in cands if hits[d] == len(terms)]
+        if role is not None:
+            cands = [(d, s) for d, s in cands if self.roles.get(d) == role]
+        return sorted(cands, key=lambda x: (-x[1], x[0]))[:k]

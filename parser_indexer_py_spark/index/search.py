@@ -1,0 +1,167 @@
+"""Query-time BM25 top-k over the explicit index tables.
+
+Reimplements what the reference gets from Solr's ``/select`` handler
+(`src/parserindexer/solr.py:106-127` is only an HTTP client; the actual
+query pipeline — analyzer -> boolean query over postings -> BM25 -> top-k
+heap — lives inside Lucene, configured by solrconfig.xml:38,770,841-848).
+
+Plan shape (SURVEY.md §3.3):
+  analyze query on the driver (same analyzer twin)
+  -> termstats point-lookups (filter + collect: a few rows)
+  -> postings scan pruned by (bucket partition, term predicate pushdown)
+  -> vectorized decode + contrib (Arrow batches, canonical scoring module)
+  -> groupBy(doc_id) with ORDER-DETERMINISTIC score fold (sorted term order)
+  -> optional structured filter (semi-join on docmap, Solr `fq` analog —
+     filters don't change scoring stats, matching Solr semantics)
+  -> orderBy(score desc, doc_id asc).limit(k)  == TakeOrderedAndProject
+
+Modes: 'full' (exhaustive; the rank-identity oracle path) and 'pruned'
+(block-max pruning with exact rescoring + verified threshold, provably
+rank-identical, falls back to 'full' when the bound check fails).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import analyze_text
+from ..functions.varint import decode_deltas, decode_varint
+from .build import IndexPaths, term_bucket
+from .scoring import bm25_contrib
+
+_DECODED_SCHEMA = "term string, doc_id long, tf int, contrib double"
+
+
+@dataclass
+class Index:
+    spark: SparkSession
+    paths: IndexPaths
+    n_docs: int
+    avgdl: float
+    n_buckets: int
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.postings)
+
+    @property
+    def termstats(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.termstats)
+
+    @property
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.docmap)
+
+
+def load_index(spark: SparkSession, root: str) -> Index:
+    paths = IndexPaths(root)
+    with open(paths.globals_json) as f:
+        g = json.load(f)
+    return Index(spark, paths, g["n_docs"], g["avgdl"], g["n_buckets"])
+
+
+def _make_decoder(avgdl: float):
+    """mapInPandas block decoder: blocks -> (term, doc_id, tf, contrib).
+    Contribs are computed HERE (numpy, canonical module) so they are
+    bit-identical to the oracle's — no JVM float arithmetic on the path."""
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            docs = [decode_deltas(b, n) for b, n in zip(pdf["docs_bin"], pdf["n"])]
+            tfs = [decode_varint(b, n) for b, n in zip(pdf["tfs_bin"], pdf["n"])]
+            dls = [decode_varint(b, n) for b, n in zip(pdf["dls_bin"], pdf["n"])]
+            terms = np.repeat(pdf["term"].to_numpy(), pdf["n"].to_numpy())
+            idfs = np.repeat(
+                pdf["idf"].to_numpy(dtype=np.float64), pdf["n"].to_numpy()
+            )
+            doc_arr = np.concatenate(docs).astype(np.int64)
+            tf_arr = np.concatenate(tfs).astype(np.int64)
+            dl_arr = np.concatenate(dls).astype(np.float64)
+            contrib = bm25_contrib(tf_arr, dl_arr, 1.0, avgdl) * idfs
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "doc_id": doc_arr,
+                    "tf": tf_arr.astype(np.int32),
+                    "contrib": contrib,
+                }
+            )
+
+    return decode
+
+
+def _score_decoded(decoded: DataFrame) -> DataFrame:
+    """Deterministic per-doc score: fold contribs in ascending term order."""
+    return (
+        decoded.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"),
+            F.count("*").alias("n_terms"),
+        )
+        .withColumn(
+            "score",
+            F.aggregate(
+                "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]
+            ),
+        )
+        .drop("cs")
+    )
+
+
+def _blocks_for_terms(index: Index, terms: list[str]) -> DataFrame:
+    buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
+    return index.postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+
+
+def search(
+    index: Index,
+    query: str,
+    k: int = 10,
+    *,
+    conjunctive: bool = False,
+    role: str | None = None,
+    mode: str = "full",
+    with_meta: bool = True,
+) -> DataFrame:
+    """BM25 top-k. Returns (doc_id, score[, conv_id, turn_idx, role])."""
+    terms = sorted(set(analyze_text(query)))
+    spark = index.spark
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if mode == "pruned":
+        from .wand import search_pruned
+
+        return search_pruned(
+            index, terms, k, conjunctive=conjunctive, role=role, with_meta=with_meta
+        )
+
+    blocks = _blocks_for_terms(index, terms)
+    decoded = blocks.select("term", "n", "idf", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
+        _make_decoder(index.avgdl), _DECODED_SCHEMA
+    )
+    scored = _score_decoded(decoded)
+    if conjunctive:
+        scored = scored.filter(F.col("n_terms") == len(terms))
+    scored = scored.drop("n_terms")
+    if role is not None:
+        allowed = index.docmap.filter(F.col("role") == role).select("doc_id")
+        scored = scored.join(allowed, "doc_id", "left_semi")
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if with_meta:
+        meta = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
+        topk = (
+            topk.join(meta, "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    return topk

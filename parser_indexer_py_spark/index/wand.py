@@ -1,0 +1,165 @@
+"""Block-max pruned top-k (batch-form block-max WAND / MaxScore).
+
+Doc-at-a-time WAND doesn't map onto DataFrames; the equivalent batch
+formulation here keeps its essential property — skip postings blocks that
+cannot influence the top-k — while remaining PROVABLY rank-identical to the
+full-evaluation path (SURVEY.md §4.2 "block-max WAND" row):
+
+Phase 0  (driver): collect block metadata for the query terms — (term,
+         block_id, n, block_max_score). This is the "broadcast segment
+         metadata" walk of SURVEY.md §3.3; bytes ~ df/128 rows per term.
+Phase 1  (selection): take blocks in descending block_max_score order until
+         the candidate pool holds >= max(8k, 4k·|terms|) postings; tau =
+         last taken bound. R = sum over terms of the max bound among
+         *pruned* blocks: no doc outside the candidate set can score > R.
+Phase 2  (Spark): decode ONLY selected blocks -> candidate docIDs (collected:
+         O(pool) ids).
+Phase 3  (Spark): decode the query terms' blocks again but keep only
+         candidate docs inside the Arrow decoder (np.isin before the explode)
+         -> exact scores for candidates via the same deterministic fold ->
+         top-k.
+Check    theta_k (k-th returned score, after any structured filter) > R,
+         and the result has k rows (or R == 0, i.e. nothing was pruned).
+         Otherwise FALL BACK to full evaluation — so the pruned path can
+         never return a different answer than the oracle path.
+
+Why this wins at scale: the shuffle/aggregation volume drops from "every
+posting of every query term" (hot terms: O(N) rows) to "candidate pool"
+(O(k·|terms|) rows). Decode still touches the term's blocks, but those scans
+are embarrassingly parallel columnar reads pruned to the term's buckets,
+while the groupBy(doc_id) shuffle — the scale bottleneck — shrinks by orders
+of magnitude.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.varint import decode_deltas, decode_varint
+from .scoring import bm25_contrib
+
+_DECODED_SCHEMA = "term string, doc_id long, tf int, contrib double"
+
+
+def _make_filtered_decoder(avgdl: float, keep_docs: np.ndarray | None):
+    keep = None if keep_docs is None else np.asarray(keep_docs, dtype=np.int64)
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            docs = np.concatenate(
+                [decode_deltas(b, n) for b, n in zip(pdf["docs_bin"], pdf["n"])]
+            ).astype(np.int64)
+            tfs = np.concatenate(
+                [decode_varint(b, n) for b, n in zip(pdf["tfs_bin"], pdf["n"])]
+            ).astype(np.int64)
+            dls = np.concatenate(
+                [decode_varint(b, n) for b, n in zip(pdf["dls_bin"], pdf["n"])]
+            ).astype(np.float64)
+            terms = np.repeat(pdf["term"].to_numpy(), pdf["n"].to_numpy())
+            idfs = np.repeat(
+                pdf["idf"].to_numpy(dtype=np.float64), pdf["n"].to_numpy()
+            )
+            if keep is not None:
+                m = np.isin(docs, keep)
+                docs, tfs, dls, terms, idfs = (
+                    docs[m], tfs[m], dls[m], terms[m], idfs[m],
+                )
+            if not len(docs):
+                continue
+            contrib = bm25_contrib(tfs, dls, 1.0, avgdl) * idfs
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "doc_id": docs,
+                    "tf": tfs.astype(np.int32),
+                    "contrib": contrib,
+                }
+            )
+
+    return decode
+
+
+def search_pruned(
+    index,
+    terms: list[str],
+    k: int,
+    *,
+    conjunctive: bool = False,
+    role: str | None = None,
+    with_meta: bool = True,
+) -> DataFrame:
+    from .search import _blocks_for_terms, _score_decoded, search  # cycle-free
+
+    spark = index.spark
+    blocks = _blocks_for_terms(index, terms)
+    meta = blocks.select("term", "block_id", "n", "block_max_score").toPandas()
+    if not len(meta):
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    # ---- phase 1: block selection on the driver ----------------------------
+    meta = meta.sort_values(
+        ["block_max_score", "term", "block_id"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+    pool_target = max(8 * k, 4 * k * len(terms))
+    cum = meta["n"].cumsum()
+    take = int(np.searchsorted(cum.to_numpy(), pool_target, side="left")) + 1
+    take = min(take, len(meta))
+    selected = meta.iloc[:take]
+    pruned = meta.iloc[take:]
+    # residual bound: best pruned block per term, summed over terms
+    R = float(pruned.groupby("term")["block_max_score"].max().sum()) if len(pruned) else 0.0
+
+    sel_keys = spark.createDataFrame(
+        selected[["term", "block_id"]], "term string, block_id int"
+    )
+
+    # ---- phase 2: candidate docIDs from selected blocks ---------------------
+    cand_rows = (
+        blocks.join(F.broadcast(sel_keys), ["term", "block_id"], "left_semi")
+        .select("term", "n", "idf", "docs_bin", "tfs_bin", "dls_bin")
+        .mapInPandas(_make_filtered_decoder(index.avgdl, None), _DECODED_SCHEMA)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    candidates = np.array([r["doc_id"] for r in cand_rows], dtype=np.int64)
+
+    # ---- phase 3: exact rescore of candidates over ALL query-term blocks ----
+    decoded = blocks.select(
+        "term", "n", "idf", "docs_bin", "tfs_bin", "dls_bin"
+    ).mapInPandas(_make_filtered_decoder(index.avgdl, candidates), _DECODED_SCHEMA)
+    scored = _score_decoded(decoded)
+    if conjunctive:
+        scored = scored.filter(F.col("n_terms") == len(terms))
+    scored = scored.drop("n_terms")
+    if role is not None:
+        allowed = index.docmap.filter(F.col("role") == role).select("doc_id")
+        scored = scored.join(allowed, "doc_id", "left_semi")
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+
+    # ---- completeness check -> fallback -------------------------------------
+    complete = R == 0.0 or (len(top) == k and top[-1]["score"] > R)
+    if not complete:
+        return search(
+            index,
+            " ".join(terms),
+            k,
+            conjunctive=conjunctive,
+            role=role,
+            mode="full",
+            with_meta=with_meta,
+        )
+
+    out = spark.createDataFrame(
+        [(r["doc_id"], r["score"]) for r in top] or [],
+        "doc_id long, score double",
+    )
+    if with_meta and len(top):
+        m = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
+        out = out.join(m, "doc_id", "left").orderBy(F.desc("score"), F.asc("doc_id"))
+    return out

@@ -1,0 +1,52 @@
+"""Physical-plan assertions: make "the filter pushed down" and "the join
+went broadcast" testable facts instead of hopes.
+
+Used by tests/test_plans.py and by bench sanity checks; grep-level checks on
+``explain('formatted')`` output are stable across Spark 3.5/4.x.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    p = plan_string(df)
+    assert "PushedFilters" in p, f"no PushedFilters section:\n{p}"
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any(fragment in ln for ln in pushed), (
+        f"filter {fragment!r} not pushed; pushed lines: {pushed}"
+    )
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    p = plan_string(df)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, (
+        f"no broadcast join in plan:\n{p}"
+    )
+
+
+def assert_take_ordered(df: DataFrame) -> None:
+    """orderBy().limit(k) must compile to TakeOrderedAndProject — a
+    distributed heap top-k, NOT a global sort."""
+    p = plan_string(df)
+    assert "TakeOrderedAndProject" in p, f"top-k compiled to a sort:\n{p}"
+
+
+def assert_column_pruned(df: DataFrame, absent_column: str) -> None:
+    p = plan_string(df)
+    scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scans, f"no ReadSchema in plan:\n{p}"
+    assert all(absent_column not in ln for ln in scans), (
+        f"column {absent_column!r} not pruned from scan: {scans}"
+    )

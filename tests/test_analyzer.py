@@ -1,0 +1,64 @@
+"""Analyzer goldens + three-way implementation equality.
+
+Golden cases per FIXTURES.md §4: lowercase folding, unicode punctuation
+translation (paper_parser.py:36-52), end-of-line dehyphenation
+(paper_parser.py:54-59), digits/apostrophes/periods inside tokens
+(StandardTokenizer UAX#29 behavior, managed-schema:541), empty stopword set
+(stopwords.txt is comments-only).
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from parser_indexer_py_spark.functions.analyzer import (
+    analyze_text,
+    tokenize_udf,
+    tokens_expr,
+)
+
+GOLDENS = [
+    ("Hello World", ["hello", "world"]),
+    ("Don’t “stop” now", ["don't", "stop", "now"]),
+    ("state-of-the-art", ["state", "of", "the", "art"]),
+    ("wrap-\nped line", ["wrapped", "line"]),
+    ("U.S.A. costs $3.14!", ["u.s.a", "costs", "3.14"]),
+    ("en–dash em—dash", ["en", "dash", "em", "dash"]),
+    ("nb sp and • bullet", ["nb", "sp", "and", "bullet"]),
+    ("ellipsis…here", ["ellipsis", "here"]),
+    ("", []),
+    ("   ", []),
+    ("mixed CASE text", ["mixed", "case", "text"]),
+    ("a_b under_score", ["a_b", "under_score"]),
+]
+
+
+def test_python_goldens():
+    for text, want in GOLDENS:
+        assert analyze_text(text) == want, text
+
+
+def test_none_and_stopwords():
+    assert analyze_text(None) == []
+    assert analyze_text("the cat", stopwords=frozenset({"the"})) == ["cat"]
+
+
+def test_three_way_equality(spark, corpus_pdf):
+    """JVM expression path == pandas-UDF path == pure-Python oracle,
+    on goldens AND on a real slice of the synthetic corpus."""
+    texts = [t for t, _ in GOLDENS] + corpus_pdf["text"].head(300).tolist()
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    out = df.select(
+        tokens_expr(F.col("text")).alias("jvm"),
+        tokenize_udf(F.col("text")).alias("udf"),
+        "text",
+    ).collect()
+    for row in out:
+        want = analyze_text(row["text"])
+        assert row["jvm"] == want, row["text"]
+        assert row["udf"] == want, row["text"]
+
+
+def test_jvm_stopword_hook(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["the cat the hat"]}))
+    got = df.select(tokens_expr(F.col("text"), stopwords=["the"]).alias("t")).head()
+    assert got["t"] == ["cat", "hat"]

@@ -1,0 +1,174 @@
+"""End-to-end index build + BM25 search vs the pure-Python oracle.
+
+This is the golden gate (SURVEY.md §5.2 test 3): engine top-10 docIDs AND
+scores must equal the scalar oracle bit-for-bit on the reference query
+shapes (FIXTURES.md §3: single / multi-OR / AND / filtered / rare / hot),
+plus docID-stability across partition counts (§7.2) and resume.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parser_indexer_py_spark.datagen import generate_transcripts
+from parser_indexer_py_spark.index.build import build_index, term_bucket
+from parser_indexer_py_spark.index.oracle import BM25Oracle
+from parser_indexer_py_spark.index.search import load_index, search
+
+N_CONVS = 120
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    df = generate_transcripts(spark, N_CONVS, partitions=4)
+    build_index(spark, df, out, n_partitions=6, n_buckets=8, salt=4, n_chunks=2)
+    return load_index(spark, out)
+
+
+@pytest.fixture(scope="module")
+def oracle(index):
+    docmap = index.docmap.select("doc_id", "conv_id", "turn_idx", "role").toPandas()
+    # rebuild the text exactly as the engine saw it, via the driver twin
+    from parser_indexer_py_spark.datagen import generate_transcripts_pandas
+
+    pdf = generate_transcripts_pandas(N_CONVS)
+    merged = pdf.merge(docmap, on=["conv_id", "turn_idx"], validate="1:1")
+    assert len(merged) == len(pdf)
+    return BM25Oracle.from_pandas(
+        merged[["doc_id", "text", "role_x"]].rename(columns={"role_x": "role"})
+    )
+
+
+def _queries(oracle):
+    stats = oracle.term_stats()
+    by_df = sorted(stats.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    hot = by_df[0][0]
+    mid = by_df[len(by_df) // 3][0]
+    rare = next(t for t, (df, _) in reversed(by_df) if df >= 3)
+    return {
+        "q_single": mid,
+        "q_hot": hot,
+        "q_rare": rare,
+        "q_multi_or": f"{hot} {mid} {rare}",
+        "q_dup_terms": f"{mid} {mid} {hot}",
+    }
+
+
+def test_docmap_invariants(index):
+    dm = index.docmap
+    n = dm.count()
+    assert n == index.n_docs
+    ids = dm.agg(F.min("doc_id"), F.max("doc_id"), F.countDistinct("doc_id")).head()
+    assert ids[0] == 0 and ids[1] == n - 1 and ids[2] == n
+    # docIDs follow (conv_id, turn_idx) order
+    sample = (
+        dm.orderBy("doc_id").select("conv_id", "turn_idx").limit(500).toPandas()
+    )
+    keys = list(zip(sample["conv_id"], sample["turn_idx"]))
+    assert keys == sorted(keys)
+
+
+def test_termstats_match_oracle(index, oracle):
+    got = {
+        r["term"]: (r["df"], r["cf"])
+        for r in index.termstats.collect()
+    }
+    want = oracle.term_stats()
+    assert got == want
+
+
+def test_postings_blocks_wellformed(index):
+    rows = index.postings.limit(2000).collect()
+    from parser_indexer_py_spark.functions.varint import decode_deltas
+
+    for r in rows:
+        docs = decode_deltas(bytes(r["docs_bin"]), r["n"])
+        assert (np.diff(docs.astype(np.int64)) > 0).all() or r["n"] == 1
+        assert int(docs[0]) == r["doc_min"] and int(docs[-1]) == r["doc_max"]
+        assert r["bucket"] == term_bucket(r["term"], index.n_buckets)
+
+
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_topk_rank_identical(index, oracle, conjunctive):
+    for name, q in _queries(oracle).items():
+        want = oracle.search(q, k=10, conjunctive=conjunctive)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(index, q, k=10, conjunctive=conjunctive).collect()
+        ]
+        assert got == want, f"{name} ({q!r}) conj={conjunctive}\n{got}\nvs\n{want}"
+
+
+def test_topk_filtered_by_role(index, oracle):
+    q = _queries(oracle)["q_multi_or"]
+    want = oracle.search(q, k=10, role="assistant")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search(index, q, k=10, role="assistant").collect()
+    ]
+    assert got == want
+    roles = {r["role"] for r in search(index, q, k=10, role="assistant").collect()}
+    assert roles <= {"assistant"}
+
+
+def test_empty_and_missing_terms(index):
+    assert search(index, "", k=10).count() == 0
+    assert search(index, "zzzznotaterm", k=10).count() == 0
+
+
+def test_docid_stability_across_partitioning(spark, index, tmp_path_factory):
+    """SURVEY.md §7.2: docIDs must not change between N and 4N parallelism —
+    build the same corpus at a different partition count and compare."""
+    out2 = str(tmp_path_factory.mktemp("idx2"))
+    df = generate_transcripts(spark, N_CONVS, partitions=13)
+    build_index(spark, df, out2, n_partitions=17, n_buckets=8, salt=2, n_chunks=1)
+    idx2 = load_index(spark, out2)
+    a = index.docmap.select("doc_id", "conv_id", "turn_idx").toPandas()
+    b = idx2.docmap.select("doc_id", "conv_id", "turn_idx").toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_resume_skips_completed_stages(spark, index, tmp_path_factory, capsys):
+    """Re-running build on a completed dir is a no-op driven by the
+    manifest (north_rule checkpoint-resume)."""
+    import json
+    import time
+
+    root = index.paths.root
+    with open(index.paths.manifest) as f:
+        before = json.load(f)
+    t0 = time.time()
+    df = generate_transcripts(spark, N_CONVS, partitions=4)
+    build_index(spark, df, root, n_partitions=6, n_buckets=8, salt=4, n_chunks=2)
+    with open(index.paths.manifest) as f:
+        after = json.load(f)
+    assert after == before  # nothing re-ran
+    assert time.time() - t0 < 30
+
+
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_pruned_mode_rank_identical(index, oracle, conjunctive):
+    """M4 gate: block-max pruned path == full path == oracle (SURVEY §7.1)."""
+    for name, q in _queries(oracle).items():
+        want = oracle.search(q, k=10, conjunctive=conjunctive)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(
+                index, q, k=10, conjunctive=conjunctive, mode="pruned"
+            ).collect()
+        ]
+        assert got == want, f"{name} ({q!r}) conj={conjunctive}"
+
+
+def test_pruned_mode_filtered(index, oracle):
+    q = _queries(oracle)["q_multi_or"]
+    want = oracle.search(q, k=10, role="user")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search(index, q, k=10, role="user", mode="pruned").collect()
+    ]
+    assert got == want

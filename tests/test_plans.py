@@ -1,0 +1,59 @@
+"""Physical-plan audits: pushdown, broadcast, distributed top-k — the
+'is this the plan you'd want at 100TB' checks (plans/explain_audit.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parser_indexer_py_spark.plans.explain_audit import (
+    assert_broadcast_join,
+    assert_column_pruned,
+    assert_pushed_filter,
+    assert_take_ordered,
+    plan_string,
+)
+
+SF = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_filter_pushdown(spark, lineitem):
+    df = lineitem.filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    assert_pushed_filter(df, "l_orderkey")
+    assert_column_pruned(df, "l_extendedprice")
+
+
+def test_broadcast_join(spark):
+    from parser_indexer_py_spark.entry_queries import q_broadcast_join_facet
+
+    assert_broadcast_join(q_broadcast_join_facet(spark, SF))
+
+
+def test_topk_is_take_ordered(spark):
+    from parser_indexer_py_spark.entry_queries import q_topk_orders
+
+    assert_take_ordered(q_topk_orders(spark, SF))
+
+
+def test_search_plan_prunes_buckets(spark, tmp_path):
+    """The postings scan for a query must touch only the query terms'
+    bucket partitions (partition pruning) and push the term predicate."""
+    from parser_indexer_py_spark.datagen import generate_transcripts
+    from parser_indexer_py_spark.index.build import build_index, term_bucket
+    from parser_indexer_py_spark.index.search import _blocks_for_terms, load_index
+
+    out = str(tmp_path / "idx")
+    build_index(spark, generate_transcripts(spark, 30), out, n_chunks=1)
+    idx = load_index(spark, out)
+    blocks = _blocks_for_terms(idx, ["bace"])
+    p = plan_string(blocks)
+    assert "PushedFilters" in p and "term" in p
+    # partition pruning: bucket filter present in partition filters
+    assert "bucket" in p
+    got_buckets = {r["bucket"] for r in blocks.select("bucket").distinct().collect()}
+    assert got_buckets <= {term_bucket("bace", idx.n_buckets)}

@@ -1,0 +1,45 @@
+"""Posting payload codec: property-based round-trips (FIXTURES.md §2,
+SURVEY.md §5.2 test 2: decode(encode(x)) == x, docIDs strictly increasing)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parser_indexer_py_spark.functions.varint import (
+    decode_deltas,
+    decode_varint,
+    encode_deltas,
+    encode_varint,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    out = decode_varint(encode_varint(arr), len(arr))
+    assert (out == arr).all()
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=500),
+    st.integers(min_value=0, max_value=2**40),
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(gaps, start):
+    docs = start + np.cumsum(np.array(gaps, dtype=np.uint64))
+    out = decode_deltas(encode_deltas(docs), len(docs))
+    assert (out == docs).all()
+    assert (np.diff(out.astype(np.int64)) > 0).all()  # strictly increasing
+
+
+def test_empty():
+    assert encode_varint(np.array([], dtype=np.uint64)) == b""
+    assert decode_varint(b"").size == 0
+
+
+def test_count_mismatch_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_varint(encode_varint(np.array([1, 2], dtype=np.uint64)), 3)
