@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     out = os.path.join(tempfile.gettempdir(), "pi_spark_entry_index_v1")
     df = generate_transcripts(spark, 200)
-    build_index(spark, df, out, n_buckets=16, salt=4, n_chunks=1)
+    build_index(spark, df, out, n_buckets=16, salt=4, n_chunks=1, checkpoint_input=True)
     idx = load_index(spark, out)
     return search(idx, "bace rikizudi cedi", k=10, mode="pruned")
 

@@ -58,7 +58,7 @@ def main() -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
     df = generate_transcripts(spark, n_convs)
-    build_index(spark, df, idx_dir, n_chunks=1)
+    build_index(spark, df, idx_dir, n_chunks=1, checkpoint_input=True)
     idx = load_index(spark, idx_dir)
     timings["index_build"] = time.time() - t0
     turns_per_sec = idx.n_docs / timings["index_build"]

@@ -1,0 +1,138 @@
+"""CLI entrypoint for spark-submit.
+
+Production shape (north_rule):
+
+    zip -r pkg.zip parser_indexer_py_spark
+    spark-submit --py-files pkg.zip \\
+        --master <cluster> [--packages org.apache.iceberg:...] \\
+        -m parser_indexer_py_spark.cli build \\
+        --input <table-or-parquet> --out /data/index
+
+Subcommands:
+  build   — build/resume the index from a transcripts table
+  search  — run a BM25 top-k query against an index
+  gen     — write a deterministic synthetic transcripts corpus
+  bench   — timed build+search, prints one JSON line
+
+In local mode the session factory propagates PYTHONPATH so --py-files is
+optional; on a cluster the zip is required (executors have no repo checkout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="parser_indexer_py_spark")
+    p.add_argument("--cores", type=int, default=None, help="local[N] threads")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True, help="parquet path or table of transcripts")
+    b.add_argument("--out", required=True)
+    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--salt", type=int, default=8)
+    b.add_argument("--chunks", type=int, default=4)
+    b.add_argument("--no-resume", action="store_true")
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--mode", choices=["full", "pruned"], default="pruned")
+    s.add_argument("--role", default=None)
+    s.add_argument("--and", dest="conjunctive", action="store_true")
+
+    g = sub.add_parser("gen")
+    g.add_argument("--convs", type=int, required=True)
+    g.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(f"cli-{args.cmd}", cores=args.cores)
+
+    if args.cmd == "gen":
+        from .datagen import generate_transcripts
+
+        generate_transcripts(spark, args.convs).write.mode("overwrite").parquet(
+            args.out
+        )
+        print(json.dumps({"written": args.out, "convs": args.convs}))
+        return 0
+
+    if args.cmd == "build":
+        from .index.build import build_index
+
+        t0 = time.time()
+        df = (
+            spark.read.parquet(args.input)
+            if "/" in args.input
+            else spark.read.table(args.input)
+        )
+        build_index(
+            spark,
+            df,
+            args.out,
+            n_buckets=args.buckets,
+            salt=args.salt,
+            n_chunks=args.chunks,
+            resume=not args.no_resume,
+        )
+        from .index.search import load_index
+
+        idx = load_index(spark, args.out)
+        dt = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "built": args.out,
+                    "n_docs": idx.n_docs,
+                    "seconds": round(dt, 2),
+                    "turns_per_sec": round(idx.n_docs / dt, 1),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "search":
+        from .index.search import load_index, search
+
+        idx = load_index(spark, args.index)
+        t0 = time.time()
+        rows = search(
+            idx,
+            args.query,
+            k=args.k,
+            mode=args.mode,
+            role=args.role,
+            conjunctive=args.conjunctive,
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "query": args.query,
+                    "seconds": round(time.time() - t0, 3),
+                    "hits": [
+                        {
+                            "doc_id": r["doc_id"],
+                            "score": r["score"],
+                            "conv_id": r["conv_id"],
+                            "turn_idx": r["turn_idx"],
+                        }
+                        for r in rows
+                    ],
+                }
+            )
+        )
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -165,3 +165,54 @@ def search(
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
     return topk
+
+
+def facet_counts(
+    index: Index, query: str, field: str, limit: int = 10
+) -> DataFrame:
+    """Facet value counts over the matching doc set (Solr facet.field,
+    docs/mte-samplequeries.md:53-90): value counts of a docmap field among
+    docs containing ANY query term, ordered (count desc, value asc)."""
+    terms = sorted(set(analyze_text(query)))
+    if not terms:
+        return index.spark.createDataFrame([], f"{field} string, n long")
+    blocks = _blocks_for_terms(index, terms)
+    matching = (
+        blocks.select("term", "n", "idf", "docs_bin", "tfs_bin", "dls_bin")
+        .mapInPandas(_make_decoder(index.avgdl), _DECODED_SCHEMA)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        matching.join(index.docmap.select("doc_id", field), "doc_id")
+        .groupBy(field)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc(field))
+        .limit(limit)
+    )
+
+
+def suggest(index: Index, prefix: str, count: int = 20) -> DataFrame:
+    """Prefix suggester (solrconfig.xml:1241-1265, count=20 default at
+    :1258): top terms by collection frequency under an analyzed prefix.
+    The termstats scan prunes on the term column (parquet min/max)."""
+    toks = analyze_text(prefix)
+    p = toks[-1] if toks else ""
+    if not p:
+        return index.spark.createDataFrame([], "term string, cf long")
+    return (
+        index.termstats.filter(F.col("term").startswith(p))
+        .select("term", "cf")
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(count)
+    )
+
+
+def paged_search(
+    index: Index, query: str, start: int, rows: int, **kw
+) -> DataFrame:
+    """S10: Solr start/rows pagination (solr.py:106-127) — deterministic
+    offset+limit over the scored order. Fetches start+rows then offsets:
+    the top-k heap stays distributed; only the page reaches the driver."""
+    top = search(index, query, k=start + rows, with_meta=True, **kw)
+    return top.offset(start).limit(rows)

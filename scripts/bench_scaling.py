@@ -29,7 +29,7 @@ shutil.rmtree(out, ignore_errors=True)
 spark = get_spark(f"scaling-{{cores}}", cores=cores)
 t0 = time.time()
 df = generate_transcripts(spark, n_convs)
-build_index(spark, df, out, n_chunks=1)
+build_index(spark, df, out, n_chunks=1, checkpoint_input=True)
 build_s = time.time() - t0
 idx = load_index(spark, out)
 t0 = time.time()

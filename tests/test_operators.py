@@ -1,0 +1,282 @@
+"""Operator-library tests: enrichment (P1/P2), adjacent-span merge (J7 —
+including the reference's own doctest cases from json2brat.py:23-51),
+multimodal plumbing, reference scalar functions (F-family), grouped-map
+carry logic, catalog, sources."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# enrich: P1 / P2
+# ---------------------------------------------------------------------------
+
+
+def test_enrich_turn_metadata(spark, corpus_pdf):
+    from parser_indexer_py_spark.operators.enrich import enrich_turn_metadata
+
+    df = spark.createDataFrame(corpus_pdf.head(50))
+    out = enrich_turn_metadata(df)
+    row = out.filter("turn_idx = 0").head()
+    assert row["id"] == f"{row['conv_id']}_0"
+    assert row["content"] == row["text"]
+    assert row["role_s_md"] == row["role"]
+    assert row["p_id"] == row["conv_id"]
+    assert row["type"] == "turn"
+
+
+def test_suffix_type_columns(spark):
+    from parser_indexer_py_spark.operators.enrich import suffix_type_columns
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.5, True, ["a", "b"])],
+        "num long, s string, d double, b boolean, tags array<string>",
+    )
+    out = suffix_type_columns(df, ["num", "s", "d", "b", "tags"])
+    assert set(out.columns) == {
+        "num_l_md", "s_t_md", "d_d_md", "b_b_md", "tags_ts_md"
+    }
+
+
+def test_explode_parent_child(spark):
+    from parser_indexer_py_spark.operators.enrich import explode_parent_child
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                id="doc1",
+                anns=[
+                    Row(label="target", begin=5, end=9, text="Adiri"),
+                    Row(label="element", begin=12, end=14, text="Fe"),
+                ],
+            )
+        ]
+    )
+    out = explode_parent_child(df, "anns").orderBy("_depth", "id").collect()
+    assert [r["_depth"] for r in out] == [0, 1, 1]
+    parent = out[0]
+    assert parent["id"] == "doc1" and parent["_path"] == "/"
+    child = [r for r in out if r["id"] == "doc1_target_5_9"][0]
+    assert child["p_id"] == "doc1" and child["_path"] == "/target"
+    assert child["name"] == "Adiri" and child["span_start"] == 5
+
+
+# ---------------------------------------------------------------------------
+# J7: adjacent merge — reference doctest cases (json2brat.py:23-51)
+# ---------------------------------------------------------------------------
+
+MERGE_CASES = [
+    # (spans, expected merged (begin, end, n_merged)) with max_gap=1
+    ([(0, 5, "a"), (6, 10, "b")], [(0, 10, 2)]),
+    ([(0, 5, "a"), (7, 10, "b")], [(0, 5, 1), (7, 10, 1)]),
+    ([(0, 5, "a")], [(0, 5, 1)]),
+    ([(0, 5, "a"), (6, 10, "b"), (11, 12, "c"), (20, 25, "d")],
+     [(0, 12, 3), (20, 25, 1)]),
+]
+
+
+@pytest.mark.parametrize("spans,want", MERGE_CASES)
+def test_merge_adjacent_spans(spark, spans, want):
+    from parser_indexer_py_spark.operators.enrich import merge_adjacent_spans
+
+    df = spark.createDataFrame(
+        [("d1", b, e, t) for b, e, t in spans],
+        "doc string, begin int, end int, text string",
+    )
+    out = (
+        merge_adjacent_spans(df, ["doc"], "begin", "end", "text")
+        .orderBy("begin")
+        .collect()
+    )
+    assert [(r["begin"], r["end"], r["n_merged"]) for r in out] == want
+
+
+def test_merge_adjacent_concatenates_text(spark):
+    from parser_indexer_py_spark.operators.enrich import merge_adjacent_spans
+
+    df = spark.createDataFrame(
+        [("d", 0, 4, "Mars"), ("d", 5, 10, "Rover")],
+        "doc string, begin int, end int, text string",
+    )
+    out = merge_adjacent_spans(df, ["doc"]).head()
+    assert out["text"] == "Mars Rover"
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_decode_fake(spark):
+    from parser_indexer_py_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+        fake_decoder,
+        frame_sample,
+        generate_fake_media,
+    )
+
+    media = generate_fake_media(spark, 30)
+    out = decode_media(media, decoder=fake_decoder)
+    rows = out.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert abs(sum(x * x for x in r["feature"]) - 1.0) < 1e-5
+        assert r["n_bytes"] > 0
+    # deterministic
+    rows2 = decode_media(media, decoder=fake_decoder).collect()
+    assert [r["feature"] for r in rows] == [r["feature"] for r in rows2]
+    # frame sampling expands video rows
+    vids = out.filter("kind = 'video'")
+    sampled = frame_sample(vids, every_n=5)
+    assert sampled.count() >= vids.count()
+
+
+def test_multimodal_stub_raises(spark):
+    from parser_indexer_py_spark.operators.multimodal import (
+        decode_media,
+        generate_fake_media,
+    )
+
+    media = generate_fake_media(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_media(media).collect()
+
+
+# ---------------------------------------------------------------------------
+# F-family scalar functions
+# ---------------------------------------------------------------------------
+
+
+def test_reference_funcs(spark):
+    from parser_indexer_py_spark.functions import reference_funcs as RF
+
+    df = spark.createDataFrame(
+        [("Fe",), ("olivine ridge",), ("  K ",), ("multi word-name",)],
+        "name string",
+    )
+    got = df.select(RF.canonical_name(F.col("name")).alias("c")).collect()
+    # capwords semantics: capitalizes after whitespace only (so the char
+    # after a hyphen stays lower — matches utils.py:174-184)
+    assert [r["c"] for r in got] == [
+        "Iron", "Olivine_Ridge", "Potassium", "Multi_Word_name",
+    ]
+
+    q = spark.createDataFrame([("What is 5+3? . K",)], "q string")
+    assert (
+        q.select(RF.normalize_query(F.col("q")).alias("n")).head()["n"]
+        == "what is 5+3"
+    )
+
+    esc = spark.createDataFrame([("a+b:c",)], "s string")
+    assert (
+        esc.select(RF.escape_query_chars(F.col("s")).alias("e")).head()["e"]
+        == "a\\+b\\:c"
+    )
+
+    refs = spark.createDataFrame(
+        [("[1] Smith et al. 2001. [2] Jones 1999.",)], "t string"
+    )
+    out = refs.select(RF.extract_references(F.col("t")).alias("r")).head()["r"]
+    assert [x["ref_id"] for x in out] == [1, 2]
+    assert out[0]["ref_text"].startswith("Smith")
+
+    ct = spark.createDataFrame([("application/pdf",)], "c string")
+    m, s = RF.split_content_type(F.col("c"))
+    row = ct.select(m, s).head()
+    assert (row["mainType"], row["subType"]) == ("application", "pdf")
+
+
+def test_alias_resolution_broadcast_join(spark):
+    from parser_indexer_py_spark.functions.reference_funcs import resolve_aliases
+
+    names = spark.createDataFrame(
+        [("Windjana",), ("WJ",), ("Fe",)], "name string"
+    )
+    aliases = spark.createDataFrame(
+        [("wj", "Windjana")], "alias string, canonical string"
+    )
+    out = {r["name"]: r["canonical"] for r in resolve_aliases(names, "name", aliases).collect()}
+    assert out == {"Windjana": "Windjana", "WJ": "Windjana", "Fe": "Iron"}
+
+
+# ---------------------------------------------------------------------------
+# grouped-map carry logic
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_map_batched_carry(spark):
+    from parser_indexer_py_spark.operators.grouped import grouped_map_batched
+
+    n = 25_000  # > arrow batch size (10k) so groups span batches
+    pdf = pd.DataFrame(
+        {"k": np.arange(n) // 1000, "v": np.arange(n, dtype=np.int64)}
+    )
+    df = spark.createDataFrame(pdf)
+
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("k", sort=True)["v"].agg(["count", "sum"]).reset_index()
+        return g.rename(columns={"count": "cnt", "sum": "s"})
+
+    out = grouped_map_batched(
+        df, ["k"], agg, "k long, cnt long, s long", num_partitions=3
+    ).toPandas()
+    # every group must appear exactly once with the full count
+    assert len(out) == 25
+    assert (out["cnt"] == 1000).all()
+    want = pdf.groupby("k")["v"].sum()
+    got = out.set_index("k")["s"]
+    assert (got.sort_index() == want.sort_index()).all()
+
+
+# ---------------------------------------------------------------------------
+# catalog + sources
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_parquet_fallback(spark, tmp_path):
+    from parser_indexer_py_spark.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path))
+    assert not cat.use_iceberg  # no jar in this sandbox
+    df = spark.range(5).withColumnRenamed("id", "x")
+    s1 = cat.append(df, "t")
+    s2 = cat.append(df, "t")
+    assert (s1, s2) == (1, 2)
+    assert cat.read("t").count() == 10
+    assert cat.snapshot_id("t") == 2
+    cat.delete_all("t")
+    assert cat.snapshot_id("t") == 0
+
+
+def test_sources(spark, tmp_path):
+    from parser_indexer_py_spark.sources.readers import (
+        paged_scan,
+        point_lookup,
+        read_brat_ann,
+        read_list_file,
+    )
+
+    lst = tmp_path / "files.list"
+    lst.write_text("# comment\n/a/b.pdf\n\n/c/d.pdf\n")
+    got = [r["path"] for r in read_list_file(spark, str(lst)).collect()]
+    assert got == ["/a/b.pdf", "/c/d.pdf"]
+
+    ann = tmp_path / "doc.ann"
+    ann.write_text(
+        "T1\tTarget 5 10\tAdiri\nT2\tElement 12 14\tFe\nR1\tcontains Arg1:T1 Arg2:T2\n"
+    )
+    rows = read_brat_ann(spark, str(ann)).orderBy("ann_id").collect()
+    assert [r["kind"] for r in rows] == ["R", "T", "T"]
+    t1 = [r for r in rows if r["ann_id"] == "T1"][0]
+    assert (t1["label"], t1["span_start"], t1["span_end"], t1["text"]) == (
+        "Target", 5, 10, "Adiri",
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    assert point_lookup(df, "k", 42).head()["k"] == 42
+    page = [r["k"] for r in paged_scan(df, ["k"], 10, 5).collect()]
+    assert page == [10, 11, 12, 13, 14]

@@ -1,0 +1,67 @@
+"""Engine query-API extras: facets, suggest, pagination — each against a
+driver-side oracle computed from the same index tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parser_indexer_py_spark.datagen import generate_transcripts
+from parser_indexer_py_spark.index.build import build_index
+from parser_indexer_py_spark.index.search import (
+    facet_counts,
+    load_index,
+    paged_search,
+    search,
+    suggest,
+)
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_extras"))
+    build_index(spark, generate_transcripts(spark, 80), out, n_chunks=1)
+    return load_index(spark, out)
+
+
+def test_facet_counts_matches_manual(spark, index):
+    got = [
+        (r["role"], r["n"]) for r in facet_counts(index, "bace", "role", 10).collect()
+    ]
+    # oracle: docs whose token list contains 'bace', counted by role
+    from parser_indexer_py_spark.functions.analyzer import tokens_expr
+
+    dm = index.docmap
+    manual = (
+        dm.filter(F.array_contains("tokens", "bace"))
+        .groupBy("role")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("role"))
+        .collect()
+    )
+    assert got == [(r["role"], r["n"]) for r in manual]
+
+
+def test_suggest(index):
+    rows = suggest(index, "ba", count=5).collect()
+    assert 0 < len(rows) <= 5
+    assert all(r["term"].startswith("ba") for r in rows)
+    cfs = [r["cf"] for r in rows]
+    assert cfs == sorted(cfs, reverse=True)
+    # analyzed prefix: unicode quotes fold away
+    rows2 = suggest(index, "“ba", count=5).collect()
+    assert [r["term"] for r in rows2] == [r["term"] for r in rows]
+
+
+def test_paged_search_consistent_with_topk(index):
+    full = [
+        (r["doc_id"], r["score"])
+        for r in search(index, "bace cedi", k=20).collect()
+    ]
+    p1 = [
+        (r["doc_id"], r["score"])
+        for r in paged_search(index, "bace cedi", 0, 10).collect()
+    ]
+    p2 = [
+        (r["doc_id"], r["score"])
+        for r in paged_search(index, "bace cedi", 10, 10).collect()
+    ]
+    assert p1 + p2 == full
