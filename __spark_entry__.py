@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": Q.q_topk_orders,
         "union_dedup": Q.q_union_dedup,
         "grouped_time_windows": Q.q_grouped_time_windows,
+        "pair_candidates": Q.q_pair_candidates,
+        "except_all": Q.q_except_all,
         # fulltext / term statistics (§2.4 A6, suggester, BM25)
         "termstats_docs": TQ.q_termstats_docs,
         "suggest_prefix": TQ.q_suggest_prefix,
@@ -83,7 +85,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": TQ.q_dedup_simhash,
         # similarity search over embeddings
         "ann_cosine_topk": TQ.q_ann_cosine_topk,
+        "ann_lsh_bucketed": TQ.q_ann_lsh_bucketed,
         "embedding_near_dup": TQ.q_embedding_near_dup,
+        # multimodal plumbing (rows-only: no SQL oracle by design)
+        "multimodal_decode": TQ.q_multimodal_decode,
     }
 
 
@@ -104,6 +109,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": Q.SQL_TOPK_ORDERS,
         "union_dedup": Q.SQL_UNION_DEDUP,
         "grouped_time_windows": Q.SQL_TIME_WINDOWS,
+        "pair_candidates": Q.SQL_PAIR_CANDIDATES,
+        "except_all": Q.SQL_EXCEPT_ALL,
         "termstats_docs": TQ.SQL_TERMSTATS,
         "suggest_prefix": TQ.SQL_SUGGEST,
         "bm25_docs_topk": TQ.SQL_BM25_DOCS,
@@ -116,5 +123,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": TQ.SQL_MINHASH_LSH,
         "dedup_simhash": TQ.SQL_SIMHASH,
         "ann_cosine_topk": TQ.SQL_ANN_TOPK,
+        "ann_lsh_bucketed": TQ.SQL_ANN_LSH,
         "embedding_near_dup": TQ.SQL_EMB_NEAR_DUP,
     }

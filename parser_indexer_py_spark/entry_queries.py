@@ -383,3 +383,47 @@ SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
+
+
+def q_pair_candidates(spark, sf_dir):
+    """J1: within-group cross join — candidate pair generation
+    (jsre_parser.py:78-104's itertools.product of targets x components
+    within a sentence; here supplier x customer within a nation), counted
+    per group. Catalyst executes the equi-join as a hash join; the 'cross'
+    is confined to each group."""
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        sup.join(cust, sup.s_nationkey == cust.c_nationkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(
+                F.concat_ws("_", F.col("s_suppkey"), F.col("c_custkey"))
+            ).alias("first_pair"),
+        )
+    )
+
+
+SQL_PAIR_CANDIDATES = """
+SELECT s_nationkey AS nationkey, COUNT(*) AS n_pairs,
+       MIN(s_suppkey || '_' || c_custkey) AS first_pair
+FROM supplier JOIN customer ON c_nationkey = s_nationkey
+GROUP BY s_nationkey
+"""
+
+
+def q_except_all(spark, sf_dir):
+    """U2: multiset difference (exceptAll) — the skip-list EXCEPT pattern
+    (corenlp_parser.py:88-90, json2csv.py:63-65) at relational scale."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    b = orders.filter(F.col("o_orderstatus") == "P").select("o_orderpriority")
+    return a.exceptAll(b)
+
+
+SQL_EXCEPT_ALL = """
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+"""

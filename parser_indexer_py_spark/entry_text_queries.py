@@ -574,3 +574,142 @@ SELECT doc_id, ROUND(SUM(contrib), 6) AS score
 FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 10
 """
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing demo (rows-only check: the decode is a
+    deterministic fake — no codec libs in this environment; see
+    operators/multimodal.py). Returns per-media feature norms + frame
+    counts over a deterministic synthetic blob table."""
+    from .operators.multimodal import (
+        decode_media,
+        fake_decoder,
+        generate_fake_media,
+    )
+
+    media = generate_fake_media(spark, 90)
+    out = decode_media(media, decoder=fake_decoder)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "n_frames",
+        F.round(
+            F.aggregate(
+                F.transform("feature", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("feature_norm_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: random-hyperplane LSH bucketing
+# ---------------------------------------------------------------------------
+
+N_PLANES = 6  # 64 buckets over 500 vectors
+
+
+def _plane_value_sql(j: str, i: str) -> str:
+    """Deterministic 'random' hyperplane component in [-500, 500]:
+    md5-derived integer — identical in Spark and DuckDB (see entry_queries
+    hash twin). Integer-valued so sign decisions have no float-rounding
+    ambiguity between engines."""
+    return (
+        f"(('0x' || substr(md5('rp_' || {j} || '_' || {i}), 1, 15))::BIGINT "
+        f"% 1001) - 500"
+    )
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path for ann_cosine_topk): 6 md5-derived
+    integer hyperplanes -> 6-bit bucket per vector; candidates = same bucket
+    as the query vector (vec_id 0); exact cosine rank within the bucket.
+    At 10^12 scale the bucket join replaces the full cross product; here the
+    oracle runs the identical pipeline so results match exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("i", "e"),
+    ).select("vec_id", "i", F.col("e").cast("double").alias("e"))
+    planes = (
+        spark.range(N_PLANES)
+        .withColumnRenamed("id", "j")
+        .crossJoin(spark.range(64).withColumnRenamed("id", "i"))
+        .withColumn(
+            "p",
+            (
+                F.pmod(
+                    _md5_long(
+                        F.concat_ws(
+                            "", F.lit("rp_"), F.col("j"), F.lit("_"), F.col("i")
+                        )
+                    ),
+                    F.lit(1001),
+                )
+                - 500
+            ).cast("double"),
+        )
+    )
+    dots = (
+        ex.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("e") * F.col("p")).alias("dot"))
+        .withColumn("bit", (F.col("dot") >= 0).cast("long"))
+    )
+    buckets = dots.groupBy("vec_id").agg(
+        F.sum(F.col("bit") * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).alias("bucket")
+    )
+    qb = buckets.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cands = (
+        buckets.crossJoin(F.broadcast(qb))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0))
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = _cosine_expr(F.col("q_emb"), F.col("embedding"))
+    return (
+        emb.join(cands, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+SQL_ANN_LSH = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+), planes AS (
+  SELECT j, i,
+         CAST({_plane_value_sql('j', 'i')} AS DOUBLE) AS p
+  FROM range(0, {N_PLANES}) r1(j), range(0, 64) r2(i)
+), dots AS (
+  SELECT ex.vec_id, planes.j, SUM(ex.e * planes.p) AS dot
+  FROM ex JOIN planes ON planes.i = ex.i
+  GROUP BY ex.vec_id, planes.j
+), buckets AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN 1 << CAST(j AS INT) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+), cands AS (
+  SELECT b.vec_id FROM buckets b, buckets qb
+  WHERE qb.vec_id = 0 AND b.bucket = qb.bucket AND b.vec_id != 0
+), pr AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         SUM(CAST(a.e AS DOUBLE) * CAST(b.e AS DOUBLE)) AS dot,
+         SQRT(SUM(CAST(a.e AS DOUBLE) * CAST(a.e AS DOUBLE))) AS na,
+         SQRT(SUM(CAST(b.e AS DOUBLE) * CAST(b.e AS DOUBLE))) AS nb
+  FROM ex a JOIN ex b ON a.i = b.i
+  WHERE a.vec_id = 0 AND b.vec_id IN (SELECT vec_id FROM cands)
+  GROUP BY a.vec_id, b.vec_id)
+SELECT vb AS vec_id, ROUND(dot / (na * nb), 6) AS cosine
+FROM pr ORDER BY dot / (na * nb) DESC, vb LIMIT 10
+"""
