@@ -92,7 +92,13 @@ def zipf_cdf(size: int = VOCAB_SIZE, s: float = ZIPF_S) -> np.ndarray:
     return np.cumsum(p / p.sum())
 
 
-def _gen_convs(conv_nums: np.ndarray, vocab: np.ndarray, cdf: np.ndarray) -> pd.DataFrame:
+def _gen_convs(
+    conv_nums: np.ndarray,
+    vocab: np.ndarray,
+    cdf: np.ndarray,
+    min_tokens: int = MIN_TOKENS,
+    max_tokens: int = MAX_TOKENS,
+) -> pd.DataFrame:
     """Expand an array of conversation numbers into their turn rows."""
     conv_nums = conv_nums.astype(np.uint64)
     n_turns = 1 + (
@@ -102,8 +108,8 @@ def _gen_convs(conv_nums: np.ndarray, vocab: np.ndarray, cdf: np.ndarray) -> pd.
     turn_idx = np.concatenate([np.arange(n) for n in n_turns]).astype(np.int64)
 
     h_turn = _h(conv_per_turn, turn_idx.astype(np.uint64), np.uint64(2))
-    n_tok = MIN_TOKENS + (
-        _u01(h_turn) * (MAX_TOKENS - MIN_TOKENS)
+    n_tok = min_tokens + (
+        _u01(h_turn) * (max_tokens - min_tokens)
     ).astype(np.int64)
 
     # roles: turn 0 is system ~20% of convs; else alternate user/assistant
@@ -162,7 +168,11 @@ def _gen_convs(conv_nums: np.ndarray, vocab: np.ndarray, cdf: np.ndarray) -> pd.
 
 
 def generate_transcripts(
-    spark: SparkSession, n_convs: int, partitions: int | None = None
+    spark: SparkSession,
+    n_convs: int,
+    partitions: int | None = None,
+    min_tokens: int = MIN_TOKENS,
+    max_tokens: int = MAX_TOKENS,
 ) -> DataFrame:
     """Distributed deterministic generation of ``n_convs`` conversations."""
     vocab = np.array(make_vocab())
@@ -172,7 +182,9 @@ def generate_transcripts(
     def gen(batches):
         for pdf in batches:
             if len(pdf):
-                yield _gen_convs(pdf["id"].to_numpy(), vocab, cdf)
+                yield _gen_convs(
+                    pdf["id"].to_numpy(), vocab, cdf, min_tokens, max_tokens
+                )
 
     return (
         spark.range(0, n_convs, numPartitions=parts)

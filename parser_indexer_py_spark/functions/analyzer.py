@@ -99,12 +99,17 @@ def analyze_text(text: str | None, stopwords: frozenset | None = None) -> list[s
     return toks
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def tokenize_udf(texts: pd.Series) -> pd.Series:
-    """Vectorized Arrow/pandas twin of ``tokens_expr`` (Series -> Series of
-    token lists). Arrow-batched; never per-row pickled."""
+def analyze_series(texts: pd.Series) -> pd.Series:
+    """Vectorized pandas twin of ``tokens_expr`` (Series -> Series of token
+    lists) — the raw function, callable from any mapInPandas combiner."""
     trans = str.maketrans(_FOLD_SRC, _FOLD_DST)
     folded = texts.fillna("").str.translate(trans)
     folded = folded.str.replace("-\n", "", regex=False)
     folded = folded.str.replace("\n", " ", regex=False).str.lower()
     return folded.str.findall(_TOKEN_RE_PY)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched UDF wrapper around :func:`analyze_series`."""
+    return analyze_series(texts)

@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark import StorageLevel
+from pyspark.sql import Observation
 
 from ..functions.analyzer import tokens_expr
 from ..functions.varint import (
@@ -187,6 +188,124 @@ def _encode_partials_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "dls_bin": encode_varint_grouped(dls, starts),
         }
     )
+
+
+def _encode_token_runs_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized partial-run encoder over RAW TOKEN rows (term, salt,
+    doc_id, dl), sorted by (term, salt, doc_id). Computes tf inline as the
+    run-length of equal doc_ids — this removes the separate
+    groupBy(term, doc_id) shuffle entirely: the ONE (term, salt) shuffle is
+    the only full-volume exchange in the posting build."""
+    terms = pdf["term"].to_numpy()
+    salts = pdf["salt"].to_numpy()
+    docs = pdf["doc_id"].to_numpy().astype(np.uint64)
+    dls = pdf["dl"].to_numpy().astype(np.uint64)
+    n = len(pdf)
+    gchange = np.ones(n, dtype=bool)
+    gchange[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    echange = gchange.copy()
+    echange[1:] |= docs[1:] != docs[:-1]
+    estarts = np.flatnonzero(echange)
+    eends = np.append(estarts[1:], n)
+    tf = (eends - estarts).astype(np.uint64)
+    edocs = docs[estarts]
+    edls = dls[estarts]
+    # group starts, re-indexed into entry space
+    gstarts = np.flatnonzero(gchange[estarts])
+    gends = np.append(gstarts[1:], len(estarts))
+    csum = np.concatenate([[0], np.cumsum(tf.astype(np.int64))])
+    return pd.DataFrame(
+        {
+            "term": terms[estarts][gstarts],
+            "n": (gends - gstarts).astype(np.int32),
+            "cf": csum[gends] - csum[gstarts],
+            "docs_bin": encode_deltas_grouped(edocs, gstarts),
+            "tfs_bin": encode_varint_grouped(tf, gstarts),
+            "dls_bin": encode_varint_grouped(edls, gstarts),
+        }
+    )
+
+
+def _make_local_combiner(n_buckets: int, salt: int, chunk: list[int] | None):
+    """Map-side local combine (DESIGN.md 'shuffle budget' option 1): each
+    input partition tokenizes its docs in-python (vectorized twin of the
+    JVM analyzer — golden-tested identical), accumulates ALL its token
+    occurrences, and emits compressed partial runs. The shuffle then
+    carries only encoded runs (~index-sized, ~30x smaller than raw token
+    rows) instead of one row per token occurrence — the MapReduce-combiner
+    shape Lucene gets for free by building segments locally.
+
+    All hot-path array work is on INTEGER term codes (pd.factorize is
+    hash-based — no string sort anywhere; runs only need equal terms
+    adjacent, and the merge re-sorts per term anyway).
+
+    ``chunk`` (bucket subset) filters terms map-side for resumable chunked
+    builds. Memory bound: one partition's token arrays (~24B/occurrence) —
+    size partitions accordingly (DESIGN.md)."""
+    import zlib
+
+    from ..functions.analyzer import analyze_series
+
+    def run(batches):
+        term_parts, doc_parts, dl_parts = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            token_lists = analyze_series(pdf["text"])
+            counts = token_lists.str.len().to_numpy(dtype=np.int64)
+            if not counts.sum():
+                continue
+            term_parts.append(
+                np.concatenate([np.asarray(t, dtype=object) for t in token_lists if t])
+            )
+            doc_parts.append(np.repeat(pdf["doc_id"].to_numpy(), counts))
+            dl_parts.append(np.repeat(pdf["dl"].to_numpy(), counts))
+        if not term_parts:
+            return
+        terms = np.concatenate(term_parts)
+        docs = np.concatenate(doc_parts).astype(np.int64)
+        dls = np.concatenate(dl_parts).astype(np.int64)
+        codes, uniq = pd.factorize(pd.Series(terms))
+        uniq = np.asarray(uniq, dtype=object)
+        if chunk is not None:
+            keep_u = np.fromiter(
+                (zlib.crc32(t.encode("utf-8")) % n_buckets in chunk for t in uniq),
+                dtype=bool,
+                count=len(uniq),
+            )
+            mask = keep_u[codes]
+            codes, docs, dls = codes[mask], docs[mask], dls[mask]
+            if not len(codes):
+                return
+        salts = (docs % salt).astype(np.int64)
+        order = np.lexsort((docs, salts, codes))
+        codes, salts, docs, dls = codes[order], salts[order], docs[order], dls[order]
+        docs_u = docs.astype(np.uint64)
+        n = len(codes)
+        gchange = np.ones(n, dtype=bool)
+        gchange[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+        echange = gchange.copy()
+        echange[1:] |= docs[1:] != docs[:-1]
+        estarts = np.flatnonzero(echange)
+        eends = np.append(estarts[1:], n)
+        tf = (eends - estarts).astype(np.uint64)
+        edocs = docs_u[estarts]
+        edls = dls[estarts].astype(np.uint64)
+        gstarts = np.flatnonzero(gchange[estarts])
+        gends = np.append(gstarts[1:], len(estarts))
+        csum = np.concatenate([[0], np.cumsum(tf.astype(np.int64))])
+        yield pd.DataFrame(
+            {
+                "term": uniq[codes[estarts][gstarts]],
+                "n": (gends - gstarts).astype(np.int32),
+                "cf": csum[gends] - csum[gstarts],
+                "docs_bin": encode_deltas_grouped(edocs, gstarts),
+                "tfs_bin": encode_varint_grouped(tf, gstarts),
+                "dls_bin": encode_varint_grouped(edls, gstarts),
+            }
+        )
+
+    return run
 
 
 def _make_merge(n_docs: int, avgdl: float, n_buckets: int):
@@ -350,15 +469,40 @@ def build_index(
                 "conv_id string, turn_idx int, role string, text string, "
                 "tool string, ts timestamp, doc_id long",
             )
+            # store text (not the token array): ~40% smaller parquet, and
+            # tokens are recomputed by the codegen'd expression wherever
+            # needed (tf stage, facet oracle) — cheaper than the extra IO
             docmap = (
-                assigned.withColumn("tokens", tokens_expr(F.col("text")))
-                .withColumn("dl", F.size("tokens"))
+                assigned.withColumn("dl", F.size(tokens_expr(F.col("text"))))
                 .select(
                     "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                    "dl", "tokens",
+                    "dl", "text",
                 )
             )
+            # piggyback the global stats on the write job (observe costs
+            # nothing; saves a full docmap re-scan for the globals stage)
+            obs = Observation("globals")
+            docmap = docmap.observe(
+                obs, F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+            )
             docmap.write.mode("overwrite").parquet(paths.docmap)
+            if not man.done("globals"):
+                og = obs.get
+                with open(paths.globals_json, "w") as f:
+                    json.dump(
+                        {
+                            "n_docs": og["n_docs"],
+                            # exact int sum / count: deterministic at any
+                            # partitioning, oracle-reproducible
+                            "avgdl": float(og["sum_dl"]) / float(og["n_docs"]),
+                            "k1": BM25_K1,
+                            "b": BM25_B,
+                            "n_buckets": n_buckets,
+                            "block_size": BLOCK_SIZE,
+                        },
+                        f,
+                    )
+                man.add("globals", seconds=0.0)
             man.add(
                 "docmap",
                 seconds=time.time() - t0,
@@ -398,27 +542,6 @@ def build_index(
         gstats = json.load(f)
     n_docs, avgdl = gstats["n_docs"], gstats["avgdl"]
 
-    # ---- stage 3: tf table (the big shuffle), bucketed by term -------------
-    if not man.done("tf"):
-        t0 = time.time()
-        tf = (
-            docmap.select("doc_id", "dl", F.explode("tokens").alias("term"))
-            .groupBy("term", "doc_id")
-            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-            .withColumn(
-                "bucket",
-                F.pmod(F.crc32(F.encode(F.col("term"), "utf-8")), F.lit(n_buckets)).cast(
-                    "int"
-                ),
-            )
-        )
-        (
-            tf.repartition(n_buckets, "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(paths.tf)
-        )
-        man.add("tf", seconds=time.time() - t0)
 
     # ---- stage 4: postings, chunked over buckets (resume granularity) ------
     merge = _make_merge(n_docs, avgdl, n_buckets)
@@ -429,13 +552,11 @@ def build_index(
         if man.done(stage):
             continue
         t0 = time.time()
-        tf = spark.read.parquet(paths.tf).filter(F.col("bucket").isin(chunk))
-        partials = grouped_map_batched(
-            tf.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(salt)).cast("int")),
-            ["term", "salt"],
-            _encode_partials_batch,
-            PARTIAL_SCHEMA,
-            sort_cols=["doc_id"],
+        combiner = _make_local_combiner(
+            n_buckets, salt, chunk if len(chunk) < n_buckets else None
+        )
+        partials = docmap.select("doc_id", "dl", "text").mapInPandas(
+            combiner, PARTIAL_SCHEMA
         )
         # run order within a term is irrelevant: merge re-sorts by doc_id,
         # which is unique per (term, doc) and disjoint across salt runs

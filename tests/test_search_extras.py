@@ -31,7 +31,7 @@ def test_facet_counts_matches_manual(spark, index):
 
     dm = index.docmap
     manual = (
-        dm.filter(F.array_contains("tokens", "bace"))
+        dm.filter(F.array_contains(tokens_expr(F.col("text")), "bace"))
         .groupBy("role")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("role"))
