@@ -503,10 +503,18 @@ def build_index(
                         f,
                     )
                 man.add("globals", seconds=0.0)
+            try:
+                input_files = [f.split("/")[-1] for f in src.inputFiles()][:8]
+            except Exception:  # noqa: BLE001 — non-file-based inputs
+                input_files = []
             man.add(
                 "docmap",
                 seconds=time.time() - t0,
                 rows=acc,
+                input_snapshot={
+                    "n_files": len(src.inputFiles()) if input_files else None,
+                    "sample": input_files,
+                },
                 partition_lineage=[
                     {"pid": int(p), "rows": int(c), "offset": int(offsets[p])}
                     for p, c in sorted(counts.items())

@@ -133,6 +133,7 @@ def search(
     role: str | None = None,
     mode: str = "full",
     with_meta: bool = True,
+    pool_target: int | None = None,
 ) -> DataFrame:
     """BM25 top-k. Returns (doc_id, score[, conv_id, turn_idx, role])."""
     terms = sorted(set(analyze_text(query)))
@@ -143,7 +144,8 @@ def search(
         from .wand import search_pruned
 
         return search_pruned(
-            index, terms, k, conjunctive=conjunctive, role=role, with_meta=with_meta
+            index, terms, k, conjunctive=conjunctive, role=role,
+            with_meta=with_meta, pool_target=pool_target,
         )
 
     blocks = _blocks_for_terms(index, terms)

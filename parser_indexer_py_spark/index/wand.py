@@ -92,7 +92,11 @@ def search_pruned(
     conjunctive: bool = False,
     role: str | None = None,
     with_meta: bool = True,
+    pool_target: int | None = None,
 ) -> DataFrame:
+    """``pool_target`` overrides the candidate-pool size (tests use a tiny
+    pool to force the completeness check to fail and exercise the
+    full-evaluation fallback)."""
     from .search import _blocks_for_terms, _score_decoded, search  # cycle-free
 
     spark = index.spark
@@ -105,7 +109,8 @@ def search_pruned(
     meta = meta.sort_values(
         ["block_max_score", "term", "block_id"], ascending=[False, True, True]
     ).reset_index(drop=True)
-    pool_target = max(8 * k, 4 * k * len(terms))
+    if pool_target is None:
+        pool_target = max(8 * k, 4 * k * len(terms))
     cum = meta["n"].cumsum()
     take = int(np.searchsorted(cum.to_numpy(), pool_target, side="left")) + 1
     take = min(take, len(meta))

@@ -172,3 +172,16 @@ def test_pruned_mode_filtered(index, oracle):
         for r in search(index, q, k=10, role="user", mode="pruned").collect()
     ]
     assert got == want
+
+
+def test_pruned_fallback_path(index, oracle):
+    """Force the completeness check to fail (pool_target=1 selects almost
+    nothing, leaving R large) — the pruned mode must detect it and fall
+    back to full evaluation, still matching the oracle exactly."""
+    q = _queries(oracle)["q_multi_or"]
+    want = oracle.search(q, k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search(index, q, k=10, mode="pruned", pool_target=1).collect()
+    ]
+    assert got == want
