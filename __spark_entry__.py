@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from parser_indexer_py_spark.index.build import build_index
     from parser_indexer_py_spark.index.search import load_index, search
 
-    out = os.path.join(tempfile.gettempdir(), "pi_spark_entry_index_v1")
+    out = os.path.join(tempfile.gettempdir(), "pi_spark_entry_index_v2")
     df = generate_transcripts(spark, 200)
     build_index(spark, df, out, n_buckets=16, salt=4, n_chunks=1, checkpoint_input=True)
     idx = load_index(spark, out)

@@ -65,3 +65,32 @@ def test_paged_search_consistent_with_topk(index):
         for r in paged_search(index, "bace cedi", 10, 10).collect()
     ]
     assert p1 + p2 == full
+
+
+def test_atomic_docmap_update(spark, index):
+    """S11/§2.10 analog: partial metadata update rewrites only docmap,
+    atomically; postings untouched; filters see the new values."""
+    import pytest as _pytest
+
+    from parser_indexer_py_spark.index.update import update_docmap
+
+    before = index.docmap.filter("doc_id = 0").head()
+    updates = spark.createDataFrame(
+        [(before["conv_id"], before["turn_idx"], "auditor")],
+        "conv_id string, turn_idx int, role string",
+    )
+    n = update_docmap(spark, index.paths.root, updates)
+    assert n == 1
+    after = index.docmap.filter("doc_id = 0").head()
+    assert after["role"] == "auditor"
+    assert after["dl"] == before["dl"] and after["text"] == before["text"]
+    # role filter sees the change; scoring unchanged
+    hit = search(index, after["text"].split()[0], k=50, role="auditor").collect()
+    assert any(r["doc_id"] == 0 for r in hit)
+    # content columns are rejected
+    bad = spark.createDataFrame(
+        [(before["conv_id"], before["turn_idx"], "xx")],
+        "conv_id string, turn_idx int, text string",
+    )
+    with _pytest.raises(ValueError, match="non-updatable"):
+        update_docmap(spark, index.paths.root, bad)
