@@ -62,6 +62,7 @@ def main() -> None:
     idx = load_index(spark, idx_dir)
     timings["index_build"] = time.time() - t0
     turns_per_sec = idx.n_docs / timings["index_build"]
+    idx.cache()  # query-heavy phase: pin segments in executor memory
 
     # ---- searches ----------------------------------------------------------
     def run(name: str, fn) -> None:

@@ -46,18 +46,42 @@ class Index:
     n_docs: int
     avgdl: float
     n_buckets: int
+    _cached: dict = None  # populated by .cache()
 
     @property
     def postings(self) -> DataFrame:
+        if self._cached:
+            return self._cached["postings"]
         return self.spark.read.parquet(self.paths.postings)
 
     @property
     def termstats(self) -> DataFrame:
+        if self._cached:
+            return self._cached["termstats"]
         return self.spark.read.parquet(self.paths.termstats)
 
     @property
     def docmap(self) -> DataFrame:
+        if self._cached:
+            return self._cached["docmap"]
         return self.spark.read.parquet(self.paths.docmap)
+
+    def cache(self) -> "Index":
+        """Pin the index tables in executor memory for query-heavy
+        workloads (Solr keeps its segments page-cached; this is the Spark
+        analog). Partition pruning on `bucket` still applies — the cache
+        keys on the partitioned scan."""
+        self._cached = {
+            "postings": self.spark.read.parquet(self.paths.postings).cache(),
+            "termstats": self.spark.read.parquet(self.paths.termstats).cache(),
+            "docmap": self.spark.read.parquet(self.paths.docmap).cache(),
+        }
+        return self
+
+    def uncache(self) -> None:
+        for df in (self._cached or {}).values():
+            df.unpersist()
+        self._cached = None
 
 
 def load_index(spark: SparkSession, root: str) -> Index:

@@ -185,3 +185,42 @@ def test_pruned_fallback_path(index, oracle):
         for r in search(index, q, k=10, mode="pruned", pool_target=1).collect()
     ]
     assert got == want
+
+
+def test_score_ties_break_by_docid(spark, tmp_path_factory):
+    """FIXTURES.md q_topk_ties: identical texts produce identical scores;
+    the tie must break by ascending docID, identically to the oracle."""
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("ties"))
+    rows = []
+    for i in range(12):
+        rows.append((f"conv-{i:08d}", 0, "user", "zeta alpha beta", None))
+    for i in range(12, 24):
+        rows.append((f"conv-{i:08d}", 0, "user", f"filler{i} words here", None))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool"]
+    )
+    pdf["ts"] = pd.Timestamp("2025-01-01")
+    df = spark.createDataFrame(pdf)
+    build_index(spark, df, out, n_buckets=4, salt=2, n_chunks=1)
+    idx = load_index(spark, out)
+    got = [(r["doc_id"], r["score"]) for r in search(idx, "zeta alpha", k=10).collect()]
+    # conv order == doc_id order here (one turn per conv, sorted conv ids)
+    oracle = BM25Oracle(
+        {
+            i: (["zeta", "alpha", "beta"] if i < 12 else [f"filler{i}", "words", "here"])
+            for i in range(24)
+        }
+    )
+    want = oracle.search("zeta alpha", k=10)
+    assert got == want
+    ids = [d for d, _ in got]
+    scores = [s for _, s in got]
+    assert len(set(scores)) == 1 and ids == sorted(ids)
+    # pruned path honors the same tie-break
+    got_p = [
+        (r["doc_id"], r["score"])
+        for r in search(idx, "zeta alpha", k=10, mode="pruned").collect()
+    ]
+    assert got_p == got
