@@ -442,6 +442,10 @@ def build_index(
                 r["pid"]: r["cnt"]
                 for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
             }
+            if not counts:
+                raise ValueError(
+                    "build_index: input transcripts table is empty"
+                )
             offsets, acc = {}, 0
             for pid in sorted(counts):
                 offsets[pid] = acc

@@ -224,3 +224,34 @@ def test_score_ties_break_by_docid(spark, tmp_path_factory):
         for r in search(idx, "zeta alpha", k=10, mode="pruned").collect()
     ]
     assert got_p == got
+
+
+def test_empty_corpus_raises(spark, tmp_path):
+    from parser_indexer_py_spark.datagen import TRANSCRIPT_SCHEMA
+
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    with pytest.raises(Exception, match="empty"):
+        build_index(spark, empty, str(tmp_path / "e"), n_chunks=1)
+
+
+def test_empty_text_docs_are_indexed_but_unmatchable(spark, tmp_path):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["conv-0", "conv-0", "conv-1"],
+            "turn_idx": [0, 1, 0],
+            "role": ["user", "assistant", "user"],
+            "text": ["hello world", "", "…"],  # empty + punctuation-only
+            "tool": [None, None, None],
+        }
+    )
+    pdf["ts"] = pd.Timestamp("2025-01-01")
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pdf), out, n_buckets=2, n_chunks=1)
+    idx = load_index(spark, out)
+    assert idx.n_docs == 3  # empty docs keep their docIDs (stable ordering)
+    dls = {r["doc_id"]: r["dl"] for r in idx.docmap.collect()}
+    assert dls[1] == 0 and dls[2] == 0
+    got = [(r["doc_id"], r["score"]) for r in search(idx, "hello", k=5).collect()]
+    assert [d for d, _ in got] == [0]

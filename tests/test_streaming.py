@@ -88,3 +88,62 @@ def test_replayed_epoch_is_noop(spark, dirs):
     df = generate_transcripts(spark, 5)
     seg.append_batch(df, epoch_id=before[0]["epoch"])  # replay first epoch
     assert seg.commits() == before
+
+
+def test_stateful_conversation_state(spark, tmp_path_factory):
+    """applyInPandasWithState: final per-conversation state across
+    micro-batches equals the batch groundtruth."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parser_indexer_py_spark.datagen import generate_transcripts_pandas
+    from parser_indexer_py_spark.functions.analyzer import tokens_expr
+    from parser_indexer_py_spark.streaming.stateful import (
+        conversation_state_stream,
+    )
+
+    src = str(tmp_path_factory.mktemp("state_src"))
+    ckpt = str(tmp_path_factory.mktemp("state_ckpt"))
+    pdf = generate_transcripts_pandas(25)
+    # split each conversation's turns across two files (state must carry)
+    first = pdf[pdf.turn_idx % 2 == 0]
+    second = pdf[pdf.turn_idx % 2 == 1]
+    spark.createDataFrame(first, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/a")
+    spark.createDataFrame(second, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b")
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(f"{src}/*/part-*.parquet"))):
+        shutil.copy(f, f"{src}/f{i}.parquet")
+
+    q = conversation_state_stream(
+        spark, f"{src}/f*.parquet", ckpt, TRANSCRIPT_SCHEMA, queryName="cs_test"
+    )
+    q.awaitTermination(300)
+    updates = spark.sql("SELECT * FROM cs_test").toPandas()
+    # last update per conversation = final state
+    final = (
+        updates.sort_values(["conv_id", "n_turns"]).groupby("conv_id").last()
+    )
+    truth = (
+        spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+        .withColumn("n_tok", F.size(tokens_expr(F.col("text"))))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.max("turn_idx").alias("last_turn_idx"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert len(final) == len(truth)
+    for cid, row in truth.iterrows():
+        f = final.loc[cid]
+        assert f["n_turns"] == row["n_turns"], cid
+        assert f["n_tokens"] == row["n_tokens"], cid
+        assert f["last_turn_idx"] == row["last_turn_idx"], cid
