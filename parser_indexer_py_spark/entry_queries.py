@@ -116,9 +116,9 @@ def q_numeric_literal_cast(spark, sf_dir):
 
 SQL_NUMERIC_CAST = r"""
 SELECT event_type,
-       SUM(CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) ~ '^[0-9]+$'
+       CAST(SUM(CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) ~ '^[0-9]+$'
                 THEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) END)
-           AS sum_k,
+            AS BIGINT) AS sum_k,
        COUNT(CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) ~ '^[0-9]+$'
                   THEN 1 END) AS n_parsed
 FROM events GROUP BY event_type
@@ -275,7 +275,7 @@ WITH x AS (
                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
               THEN 1 ELSE 0 END AS new_sess
   FROM events)
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM x GROUP BY user_id
 """
 
@@ -307,9 +307,9 @@ def q_window_lead_gap(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.datediff(F.lead("l_shipdate").over(w), F.col("l_shipdate")).alias(
-            "days_to_next"
-        ),
+        F.datediff(F.lead("l_shipdate").over(w), F.col("l_shipdate"))
+        .cast("long")
+        .alias("days_to_next"),
     )
 
 

@@ -14,9 +14,8 @@ make the rich analyzer a cross-engine oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from .entry_queries import _md5_long, _t
 
@@ -96,12 +95,12 @@ def q_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0)).alias(
-            "n_ws_tokens"
-        ),
-        F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-        ).alias("n_re_tokens"),
+        F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0))
+        .cast("long")
+        .alias("n_re_tokens"),
     )
 
 
@@ -419,7 +418,7 @@ SQL_SIMHASH = SQL_TOK + """
          SUM(((('0x' || substr(md5(w), 1, 15))::BIGINT >> j) & 1) * 2 - 1) AS s
   FROM tok, range(0, 16) r(j)
   GROUP BY doc_id, j)
-SELECT doc_id, SUM(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS simhash
+SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 
