@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": TQ.q_ann_cosine_topk,
         "ann_lsh_bucketed": TQ.q_ann_lsh_bucketed,
         "embedding_near_dup": TQ.q_embedding_near_dup,
+        "embedding_near_dup_lsh": TQ.q_embedding_near_dup_lsh,
         # multimodal plumbing (rows-only: no SQL oracle by design)
         "multimodal_decode": TQ.q_multimodal_decode,
     }
@@ -125,4 +126,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": TQ.SQL_ANN_TOPK,
         "ann_lsh_bucketed": TQ.SQL_ANN_LSH,
         "embedding_near_dup": TQ.SQL_EMB_NEAR_DUP,
+        "embedding_near_dup_lsh": TQ.SQL_EMB_NEAR_DUP_LSH,
     }

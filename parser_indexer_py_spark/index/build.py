@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import zlib
 from dataclasses import dataclass
@@ -71,6 +72,15 @@ from .scoring import BM25_B, BM25_K1, bm25_contrib, bm25_idf
 BLOCK_SIZE = 128
 DEFAULT_BUCKETS = 32
 DEFAULT_SALT = 8
+# docmap is hash-partitioned by conv_id so metadata updates rewrite only
+# touched partitions (index/update.py), not the whole table
+DOCMAP_PARTS = 16
+
+
+def docmap_dkey(col) -> "F.Column":
+    """Partition key for the docmap: crc32(conv_id) % DOCMAP_PARTS (same
+    JVM/Python twin property as term_bucket)."""
+    return F.pmod(F.crc32(col.cast("string")), F.lit(DOCMAP_PARTS)).cast("int")
 
 PARTIAL_SCHEMA = T.StructType(
     [
@@ -408,10 +418,24 @@ def build_index(
     resume: bool = True,
     checkpoint_input: bool = False,
 ) -> IndexPaths:
-    """Build the full index under ``out_dir``. Idempotent + resumable."""
+    """Build the full index under ``out_dir``. Idempotent + resumable.
+
+    ``resume=False`` means REBUILD: all index artifacts under ``out_dir``
+    are deleted first and the manifest starts empty (a leftover manifest or
+    postings dir would otherwise no-op the build or duplicate blocks via
+    the chunk appends — ADVICE r1 build.py:414)."""
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    man = Manifest(paths.manifest) if resume else Manifest(paths.manifest + ".new")
+    if not resume:
+        for d in (
+            paths.postings, paths.termstats, paths.docmap,
+            os.path.join(out_dir, "_stage"),
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+        for f in (paths.manifest, paths.manifest + ".tmp", paths.globals_json):
+            if os.path.exists(f):
+                os.remove(f)
+    man = Manifest(paths.manifest)
     P = n_partitions or spark.sparkContext.defaultParallelism * 2
 
     # ---- stage 1+2 fused: docmap (stable docIDs, tokens, dl) ---------------
@@ -482,6 +506,10 @@ def build_index(
                     "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                     "dl", "text",
                 )
+                # hash-partitioned so metadata updates touch only their
+                # partitions (index/update.py); doc order inside files is
+                # irrelevant (doc_id is explicit)
+                .withColumn("dkey", docmap_dkey(F.col("conv_id")))
             )
             # piggyback the global stats on the write job (observe costs
             # nothing; saves a full docmap re-scan for the globals stage)
@@ -489,7 +517,7 @@ def build_index(
             docmap = docmap.observe(
                 obs, F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
             )
-            docmap.write.mode("overwrite").parquet(paths.docmap)
+            docmap.write.mode("overwrite").partitionBy("dkey").parquet(paths.docmap)
             if not man.done("globals"):
                 og = obs.get
                 with open(paths.globals_json, "w") as f:
@@ -578,12 +606,26 @@ def build_index(
             F.count("*").alias("blocks"),
             F.sum("n").alias("postings"),
         )
-        (
-            observed.repartition(len(chunk), "bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(paths.postings)
+        # IDEMPOTENT chunk commit (ADVICE r1 build.py:584): chunks own
+        # disjoint bucket sets, so dynamic partition-overwrite replaces
+        # exactly this chunk's bucket partitions — a chunk replayed after
+        # a crash between the write job and the manifest entry overwrites
+        # its own output instead of appending duplicate blocks.
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
         )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                observed.repartition(len(chunk), "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(paths.postings)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
         man.add(stage, seconds=time.time() - t0, buckets=chunk)
 
     # ---- stage 5: termstats -------------------------------------------------

@@ -94,7 +94,10 @@ def load_index(spark: SparkSession, root: str) -> Index:
 def _make_decoder(avgdl: float):
     """mapInPandas block decoder: blocks -> (term, doc_id, tf, contrib).
     Contribs are computed HERE (numpy, canonical module) so they are
-    bit-identical to the oracle's — no JVM float arithmetic on the path."""
+    bit-identical to the oracle's — no JVM float arithmetic on the path.
+    If the input carries a ``base`` column (multi-segment search:
+    streaming/incremental.py), it is added to the decoded docIDs so
+    segment-local ids become global ids inside the Arrow batch."""
 
     def decode(batches):
         for pdf in batches:
@@ -108,6 +111,10 @@ def _make_decoder(avgdl: float):
                 pdf["idf"].to_numpy(dtype=np.float64), pdf["n"].to_numpy()
             )
             doc_arr = np.concatenate(docs).astype(np.int64)
+            if "base" in pdf.columns:
+                doc_arr += np.repeat(
+                    pdf["base"].to_numpy(dtype=np.int64), pdf["n"].to_numpy()
+                )
             tf_arr = np.concatenate(tfs).astype(np.int64)
             dl_arr = np.concatenate(dls).astype(np.float64)
             contrib = bm25_contrib(tf_arr, dl_arr, 1.0, avgdl) * idfs
@@ -158,18 +165,28 @@ def search(
     mode: str = "full",
     with_meta: bool = True,
     pool_target: int | None = None,
+    full_cutover: int | None = None,
+    driver_meta_cap: int | None = None,
 ) -> DataFrame:
-    """BM25 top-k. Returns (doc_id, score[, conv_id, turn_idx, role])."""
+    """BM25 top-k. Returns (doc_id, score[, conv_id, turn_idx, role]).
+
+    ``mode='pruned'`` is ADAPTIVE: below ``full_cutover`` total query-term
+    postings (default wand.FULL_CUTOVER_POSTINGS) it runs the full path —
+    pruning's extra driver round-trips only pay off on large posting sets."""
     terms = sorted(set(analyze_text(query)))
     spark = index.spark
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     if mode == "pruned":
-        from .wand import search_pruned
+        from .wand import DRIVER_META_ROW_CAP, search_pruned
 
         return search_pruned(
             index, terms, k, conjunctive=conjunctive, role=role,
             with_meta=with_meta, pool_target=pool_target,
+            full_cutover=full_cutover,
+            driver_meta_cap=(
+                DRIVER_META_ROW_CAP if driver_meta_cap is None else driver_meta_cap
+            ),
         )
 
     blocks = _blocks_for_terms(index, terms)

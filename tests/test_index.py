@@ -150,18 +150,101 @@ def test_resume_skips_completed_stages(spark, index, tmp_path_factory, capsys):
     assert time.time() - t0 < 30
 
 
+def test_no_resume_rebuild_is_clean(spark, index, oracle, tmp_path_factory):
+    """ADVICE r1 build.py:414: a resume=False rebuild over an existing index
+    must produce a fresh, correct index — not silently no-op (stale manifest)
+    or duplicate postings blocks (append into the old postings dir)."""
+    out = str(tmp_path_factory.mktemp("rebuild"))
+    df = generate_transcripts(spark, N_CONVS, partitions=4)
+    build_index(spark, df, out, n_partitions=6, n_buckets=8, salt=4, n_chunks=2)
+    idx1 = load_index(spark, out)
+    total_blocks_1 = idx1.postings.count()
+    # rebuild in place without resume: must re-run and match exactly
+    build_index(
+        spark, df, out, n_partitions=6, n_buckets=8, salt=4, n_chunks=2,
+        resume=False,
+    )
+    idx2 = load_index(spark, out)
+    assert idx2.postings.count() == total_blocks_1, "duplicate blocks"
+    q = _queries(oracle)["q_multi_or"]
+    want = oracle.search(q, k=10)
+    got = [(r["doc_id"], r["score"]) for r in search(idx2, q, k=10).collect()]
+    assert got == want
+
+
+def test_replayed_postings_chunk_is_idempotent(spark, index, oracle, tmp_path_factory):
+    """ADVICE r1 build.py:584: a crash after a chunk's write job but before
+    its manifest entry makes resume re-run the chunk — the dynamic
+    partition-overwrite commit must overwrite, not append duplicates."""
+    import json as _json
+
+    out = str(tmp_path_factory.mktemp("replay"))
+    df = generate_transcripts(spark, N_CONVS, partitions=4)
+    build_index(spark, df, out, n_partitions=6, n_buckets=8, salt=4, n_chunks=2)
+    idx1 = load_index(spark, out)
+    blocks_before = idx1.postings.count()
+    # simulate the crash window: drop the LAST chunk's manifest entry
+    man_path = load_index(spark, out).paths.manifest
+    with open(man_path) as f:
+        records = _json.load(f)
+    chunk_stages = [r for r in records if r["stage"].startswith("postings_chunk_")]
+    records.remove(chunk_stages[-1])
+    with open(man_path, "w") as f:
+        _json.dump(records, f)
+    # resume re-runs exactly that chunk
+    build_index(spark, df, out, n_partitions=6, n_buckets=8, salt=4, n_chunks=2)
+    idx2 = load_index(spark, out)
+    assert idx2.postings.count() == blocks_before, "replay duplicated blocks"
+    q = _queries(oracle)["q_multi_or"]
+    want = oracle.search(q, k=10)
+    got = [(r["doc_id"], r["score"]) for r in search(idx2, q, k=10).collect()]
+    assert got == want
+
+
 @pytest.mark.parametrize("conjunctive", [False, True])
 def test_pruned_mode_rank_identical(index, oracle, conjunctive):
-    """M4 gate: block-max pruned path == full path == oracle (SURVEY §7.1)."""
+    """M4 gate: block-max pruned path == full path == oracle (SURVEY §7.1).
+    full_cutover=0 pins the pruning machinery ON (the adaptive default
+    would route this tiny corpus to the full path)."""
     for name, q in _queries(oracle).items():
         want = oracle.search(q, k=10, conjunctive=conjunctive)
         got = [
             (r["doc_id"], r["score"])
             for r in search(
-                index, q, k=10, conjunctive=conjunctive, mode="pruned"
+                index, q, k=10, conjunctive=conjunctive, mode="pruned",
+                full_cutover=0,
             ).collect()
         ]
         assert got == want, f"{name} ({q!r}) conj={conjunctive}"
+
+
+def test_pruned_distributed_selection_rank_identical(index, oracle):
+    """driver_meta_cap=0 forces the DISTRIBUTED block-selection branch
+    (quantile-approximated tau, O(1) driver rows — VERDICT r1 #2): results
+    must still match the oracle exactly (the completeness check converts
+    any tau approximation error into a full-evaluation fallback)."""
+    for name, q in _queries(oracle).items():
+        want = oracle.search(q, k=10)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(
+                index, q, k=10, mode="pruned", full_cutover=0,
+                driver_meta_cap=0,
+            ).collect()
+        ]
+        assert got == want, f"{name} ({q!r})"
+
+
+def test_pruned_adaptive_cutover_routes_small_to_full(index, oracle):
+    """With the default cutover, this tiny corpus must take the FULL path
+    (plan fact: distributed MapInPandas decode instead of the pruned
+    path's driver-collected local relation)."""
+    q = _queries(oracle)["q_multi_or"]
+    df = search(index, q, k=10, mode="pruned")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:2000]
+    want = oracle.search(q, k=10)
+    assert [(r["doc_id"], r["score"]) for r in df.collect()] == want
 
 
 def test_pruned_mode_filtered(index, oracle):
@@ -169,7 +252,9 @@ def test_pruned_mode_filtered(index, oracle):
     want = oracle.search(q, k=10, role="user")
     got = [
         (r["doc_id"], r["score"])
-        for r in search(index, q, k=10, role="user", mode="pruned").collect()
+        for r in search(
+            index, q, k=10, role="user", mode="pruned", full_cutover=0
+        ).collect()
     ]
     assert got == want
 
@@ -182,7 +267,9 @@ def test_pruned_fallback_path(index, oracle):
     want = oracle.search(q, k=10)
     got = [
         (r["doc_id"], r["score"])
-        for r in search(index, q, k=10, mode="pruned", pool_target=1).collect()
+        for r in search(
+            index, q, k=10, mode="pruned", pool_target=1, full_cutover=0
+        ).collect()
     ]
     assert got == want
 
@@ -221,7 +308,9 @@ def test_score_ties_break_by_docid(spark, tmp_path_factory):
     # pruned path honors the same tie-break
     got_p = [
         (r["doc_id"], r["score"])
-        for r in search(idx, "zeta alpha", k=10, mode="pruned").collect()
+        for r in search(
+            idx, "zeta alpha", k=10, mode="pruned", full_cutover=0
+        ).collect()
     ]
     assert got_p == got
 

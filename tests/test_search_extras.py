@@ -94,3 +94,53 @@ def test_atomic_docmap_update(spark, index):
     )
     with _pytest.raises(ValueError, match="non-updatable"):
         update_docmap(spark, index.paths.root, bad)
+    # key-only updates are rejected with a clear error (ADVICE r1
+    # update.py:57: flags[0] used to IndexError)
+    keys_only = spark.createDataFrame(
+        [(before["conv_id"], before["turn_idx"])], "conv_id string, turn_idx int"
+    )
+    with _pytest.raises(ValueError, match="key columns"):
+        update_docmap(spark, index.paths.root, keys_only)
+
+
+def test_docmap_update_is_partition_scoped(spark, index):
+    """VERDICT r1 #8: an update rewrites ONLY the dkey partitions holding
+    updated keys — untouched partition files stay byte-identical."""
+    import glob
+    import hashlib
+    import os
+
+    from parser_indexer_py_spark.index.build import docmap_dkey
+    from parser_indexer_py_spark.index.update import update_docmap
+    from pyspark.sql import functions as F
+
+    row = index.docmap.filter("doc_id = 7").head()
+    touched_dkey = (
+        spark.createDataFrame([(row["conv_id"],)], "conv_id string")
+        .select(docmap_dkey(F.col("conv_id")).alias("d"))
+        .head()["d"]
+    )
+
+    def digest():
+        out = {}
+        for f in glob.glob(os.path.join(index.paths.docmap, "dkey=*", "*.parquet")):
+            with open(f, "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = digest()
+    assert any(f"dkey={touched_dkey}/" in f for f in before), "partitioned layout"
+    n = update_docmap(
+        spark,
+        index.paths.root,
+        spark.createDataFrame(
+            [(row["conv_id"], row["turn_idx"], "editor")],
+            "conv_id string, turn_idx int, role string",
+        ),
+    )
+    assert n == 1
+    after = digest()
+    untouched_before = {f: h for f, h in before.items() if f"dkey={touched_dkey}/" not in f}
+    untouched_after = {f: h for f, h in after.items() if f"dkey={touched_dkey}/" not in f}
+    assert untouched_before == untouched_after, "untouched partitions rewritten"
+    assert index.docmap.filter("doc_id = 7").head()["role"] == "editor"

@@ -82,6 +82,23 @@ def test_stream_equals_batch(spark, dirs):
         assert {seg_keys[d] for d, _ in got} == {key_by_batch[d] for d, _ in want}
 
 
+def test_segment_search_is_distributed(spark, dirs):
+    """VERDICT r1 #1: segment search must score inside Spark (Arrow block
+    decode + distributed fold + TakeOrderedAndProject), not by collecting
+    postings to the driver. Plan facts: a MapInPandas decode node and a
+    TakeOrderedAndProject top-k are present in the physical plan."""
+    from pyspark.sql import DataFrame
+
+    from parser_indexer_py_spark.streaming.incremental import search_segments_df
+
+    seg = SegmentedIndex(spark, dirs["idx"])
+    df = search_segments_df(seg, "bace cedi", k=10)
+    assert isinstance(df, DataFrame)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
 def test_replayed_epoch_is_noop(spark, dirs):
     seg = SegmentedIndex(spark, dirs["idx"])
     before = seg.commits()
