@@ -38,15 +38,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # 1:1 character folds (Spark F.translate requires equal-length alphabets).
-# Mirrors paper_parser.py:36-52's translate table.
+# The reference table (paper_parser.py:36-52) is reproduced EXACTLY, then
+# extended (ADVICE r1: round 1 mapped bullets to space and omitted the
+# fullwidth-comma / degree folds, so 'a\u2022b' tokenized differently than
+# under reference-equivalent cleanup).
 _FOLD = {
-    "‘": "'", "’": "'", "‛": "'",   # curly single quotes
-    "“": '"', "”": '"',                  # curly double quotes
-    "‐": "-", "‑": "-", "‒": "-",   # unicode hyphens
-    "–": "-", "—": "-", "―": "-",   # en/em/horizontal-bar
-    " ": " ", " ": " ", " ": " ",   # non-breaking spaces
-    "•": " ", "·": " ", "⁃": " ",   # bullets
-    "…": " ",                                 # ellipsis
+    # --- reference table, exact (paper_parser.py:36-52) ---
+    "\u2018": "'", "\u2019": "'",            # curly single quotes
+    "\u201C": '"', "\u201D": '"',            # curly double quotes
+    "\u2010": "-", "\u2011": "-",            # unicode hyphens
+    "\u2012": "-", "\u2013": "-",
+    "\uFF0C": ",",                            # fullwidth comma
+    "\uF0B0": "\u00B0",                      # PUA degree sign -> degree
+    "\u00A0": " ",                            # non-breaking space
+    "\u2219": ".", "\u2022": ".",            # bullets -> '.'
+    # --- documented extensions beyond the reference ---
+    "\u201B": "'",                            # high-reversed-9 quote
+    "\u2014": "-", "\u2015": "-",            # em-dash / horizontal bar
+    "\u2007": " ", "\u202F": " ",            # figure / narrow nbsp
+    "\u00B7": ".", "\u2043": "-",            # middle dot / hyphen bullet
+    "\u2026": " ",                            # ellipsis
 }
 _FOLD_SRC = "".join(_FOLD.keys())
 _FOLD_DST = "".join(_FOLD.values())
@@ -113,3 +124,58 @@ def analyze_series(texts: pd.Series) -> pd.Series:
 def tokenize_udf(texts: pd.Series) -> pd.Series:
     """Arrow-batched UDF wrapper around :func:`analyze_series`."""
     return analyze_series(texts)
+
+
+# ---------------------------------------------------------------------------
+# Query-time synonym hook (VERDICT r1 #5)
+#
+# The reference's /query analyzer applies a SynonymFilter with expand=true
+# (managed-schema:548-553, synonyms.txt); the INDEX chain has no synonym
+# filter (the index-time one at managed-schema:543-545 is commented out).
+# Mirrored here: `parse_synonyms` + `expand_synonyms` apply to query
+# analysis only (index/search.py `search(..., synonyms=...)`), default
+# empty; `tokens_expr` — the index chain — is untouched.
+# ---------------------------------------------------------------------------
+
+def parse_synonyms(lines) -> dict[str, list[str]]:
+    """Parse Solr SynonymFilterFactory syntax (single-token rules):
+
+    - ``a, b, c``   — equivalence group; with expand=true each member maps
+      to the whole group (including itself);
+    - ``a, b => x, y`` — explicit mapping; each LHS token is REPLACED by
+      the RHS list (LHS kept only if it also appears on the RHS);
+    - ``#`` comments and blank lines ignored.
+
+    Keys and values are lowercased (the reference filter runs with
+    ignoreCase=true and our analyzer lowercases before this hook).
+    Multi-token (phrase) rules are out of scope — the reference's shipped
+    synonyms.txt is toy-only and the engine's hook is per-token."""
+    out: dict[str, list[str]] = {}
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if "=>" in line:
+            lhs, rhs = line.split("=>", 1)
+            targets = [t.strip().lower() for t in rhs.split(",") if t.strip()]
+            for k in lhs.split(","):
+                k = k.strip().lower()
+                if k:
+                    out.setdefault(k, []).extend(targets)
+        else:
+            group = [t.strip().lower() for t in line.split(",") if t.strip()]
+            for k in group:
+                out.setdefault(k, []).extend(group)
+    return out
+
+
+def expand_synonyms(
+    tokens: list[str], synonyms: dict[str, list[str]] | None
+) -> list[str]:
+    """Apply a parsed synonym map to an analyzed token list (query side)."""
+    if not synonyms:
+        return list(tokens)
+    out: list[str] = []
+    for t in tokens:
+        out.extend(synonyms.get(t, [t]))
+    return out

@@ -45,6 +45,62 @@ def canonical_component_name(col: Column, symtab: dict[str, str] | None = None) 
     )
 
 
+# F4 alias table, verbatim from the reference (utils.py:10-49 targettab):
+# MPF / PHX target-name aliases -> canonical names.
+TARGETTAB = {
+    # MPF
+    "B._Bill": "Barnacle_Bill",
+    "Bakers_Bench": "Baker's_Bench",
+    "Bambam": "Bam_Bam",
+    "Bamm_Bamm": "Bam_Bam",
+    "Fat_Top": "Flat_Top",
+    "Garak": "Garrak",
+    "Ga_Rrak": "Garrak",
+    "H._Dome": "Half_Dome",
+    "Hobbs": "Hobbes",
+    "Mini-Matterhorn": "Mini_Matterhorn",
+    "Mm": "Mini_Matterhorn",
+    "Poohbear": "Pooh_Bear",
+    "Scooby": "Scooby_Doo",
+    "Souffl": "Soufflé",
+    "Souffle": "Soufflé",
+    "Souffle'": "Soufflé",
+    "Soufle": "Soufflé",
+    # PHX
+    "Bb": "Baby_Bear",
+    "Bc": "Burning_Coals",
+    "Bears_Lodge": "Bear's_Lodge",
+    "Dg": "Dodo_Goldilocks",
+    "D_G": "Dodo_Goldilocks",
+    "Dodo": "Dodo_Goldilocks",
+    "Dodogoldilocks": "Dodo_Goldilocks",
+    "Dodo-goldilocks": "Dodo_Goldilocks",
+    "Dodo-Goldilocks": "Dodo_Goldilocks",
+    "Dodogoldilocks_Trench": "Dodo_Goldilocks_Trench",
+    "Dodo-goldilocks_Trench": "Dodo_Goldilocks_Trench",
+    "Dodo-Goldilocks_Trench": "Dodo_Goldilocks_Trench",
+    "Dodo_Trench": "Dodo_Goldilocks_Trench",
+    "Lamancha": "La_Mancha",
+    "Mamma_Bear": "Mama_Bear",
+    "Mancha": "La_Mancha",
+    "Rr": "Rosy_Red",
+    "Rr1": "Rosy_Red",
+    "Rr2": "Rosy_Red",
+    "Ww": "Wicked_Witch",
+}
+
+
+def old_canonical_target_name(col: Column) -> Column:
+    """F4 (unary_parser.py:277-295 old_canonical_target_name): strip, fold
+    [\\s_-]+ runs to one space, string.capwords (== initcap: first letter of
+    each whitespace-word uppercased, rest lowercased — so "Bear's Lodge"
+    does NOT become "Bear'S Lodge"), spaces -> underscores, then targettab
+    alias expansion with identity fallback."""
+    strip_ws = F.regexp_replace(F.trim(col), r"[\s_\-]+", " ")
+    name = F.regexp_replace(F.initcap(strip_ws), " ", "_")
+    return F.coalesce(F.element_at(_map_literal(TARGETTAB), name), name)
+
+
 def resolve_aliases(df, name_col: str, alias_df, out_col: str = "canonical"):
     """F2/J4 (utils.py:187-210): alias resolution as a broadcast left join
     against an (alias, canonical) dimension table, falling back to F1."""

@@ -47,10 +47,20 @@ def encode_varint(values: np.ndarray) -> bytes:
 
 
 def decode_varint(buf: bytes, n: int | None = None) -> np.ndarray:
-    """Decode LEB128 bytes back to a uint64 array."""
+    """Decode LEB128 bytes back to a uint64 array.
+
+    Corruption is detected, not silently absorbed: a buffer whose final
+    byte still has the continuation bit set is a truncated stream (the
+    trailing value has no terminator) and raises ValueError."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
+        if n:
+            raise ValueError(f"varint stream has 0 values, expected {n}")
         return np.empty(0, dtype=np.uint64)
+    if b[-1] & 0x80:
+        raise ValueError(
+            "truncated varint stream: final byte has the continuation bit set"
+        )
     is_end = (b & 0x80) == 0
     ends = np.nonzero(is_end)[0]
     count = ends.size

@@ -167,13 +167,20 @@ def search(
     pool_target: int | None = None,
     full_cutover: int | None = None,
     driver_meta_cap: int | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """BM25 top-k. Returns (doc_id, score[, conv_id, turn_idx, role]).
 
     ``mode='pruned'`` is ADAPTIVE: below ``full_cutover`` total query-term
     postings (default wand.FULL_CUTOVER_POSTINGS) it runs the full path —
-    pruning's extra driver round-trips only pay off on large posting sets."""
-    terms = sorted(set(analyze_text(query)))
+    pruning's extra driver round-trips only pay off on large posting sets.
+
+    ``synonyms`` is the QUERY-TIME synonym hook (default empty), mirroring
+    the reference's query analyzer SynonymFilter (managed-schema:548-553;
+    the index chain has none) — see functions.analyzer.parse_synonyms."""
+    from ..functions.analyzer import expand_synonyms
+
+    terms = sorted(set(expand_synonyms(analyze_text(query), synonyms)))
     spark = index.spark
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")

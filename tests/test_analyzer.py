@@ -29,6 +29,12 @@ GOLDENS = [
     ("   ", []),
     ("mixed CASE text", ["mixed", "case", "text"]),
     ("a_b under_score", ["a_b", "under_score"]),
+    # reference-exact folds (paper_parser.py:36-52; ADVICE r1): bullets
+    # fold to '.', which is kept INSIDE tokens; fullwidth comma and the
+    # PUA degree sign split tokens
+    ("a•b and c∙d", ["a.b", "and", "c.d"]),
+    ("x，y", ["x", "y"]),
+    ("5C warm", ["5", "c", "warm"]),
 ]
 
 
@@ -62,3 +68,36 @@ def test_jvm_stopword_hook(spark):
     df = spark.createDataFrame(pd.DataFrame({"text": ["the cat the hat"]}))
     got = df.select(tokens_expr(F.col("text"), stopwords=["the"]).alias("t")).head()
     assert got["t"] == ["cat", "hat"]
+
+
+def test_synonym_hook_query_side_only(spark):
+    """VERDICT r1 #5: SynonymFilter twin (managed-schema:548-553) — query
+    analysis expands; index-side tokens_expr is untouched."""
+    from parser_indexer_py_spark.functions.analyzer import (
+        expand_synonyms,
+        parse_synonyms,
+    )
+
+    syn = parse_synonyms(
+        [
+            "# comment",
+            "",
+            "GB,gib,gigabyte",          # group, expand=true
+            "pixima => pixma",          # explicit mapping (LHS replaced)
+            "a, b => x, y",             # multi-LHS mapping
+        ]
+    )
+    # group: every member -> the whole group, ignoreCase via lowercasing
+    assert syn["gb"] == ["gb", "gib", "gigabyte"]
+    assert syn["gigabyte"] == ["gb", "gib", "gigabyte"]
+    assert syn["pixima"] == ["pixma"]
+    assert syn["a"] == ["x", "y"] and syn["b"] == ["x", "y"]
+    # query side: analyze then expand
+    toks = expand_synonyms(analyze_text("My Pixima has 4 GB"), syn)
+    assert toks == ["my", "pixma", "has", "4", "gb", "gib", "gigabyte"]
+    # default-empty hook: no map, no change
+    assert expand_synonyms(["gb"], None) == ["gb"]
+    # index side unchanged: tokens_expr has no synonym path
+    df = spark.createDataFrame(pd.DataFrame({"text": ["Pixima GB"]}))
+    got = df.select(tokens_expr(F.col("text")).alias("t")).head()
+    assert got["t"] == ["pixima", "gb"]

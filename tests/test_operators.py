@@ -190,6 +190,52 @@ def test_reference_funcs(spark):
     assert (row["mainType"], row["subType"]) == ("application", "pdf")
 
 
+def test_old_canonical_target_name_parity(spark):
+    """F4 parity (VERDICT r1 #10): the Catalyst expression reproduces the
+    reference's old_canonical_target_name (unary_parser.py:277-295) —
+    verified against a pure-Python twin of the reference code over aliased,
+    non-aliased, and messy-whitespace inputs."""
+    import re
+    import string
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parser_indexer_py_spark.functions.reference_funcs import (
+        TARGETTAB,
+        old_canonical_target_name,
+    )
+
+    def reference_twin(name: str) -> str:
+        # direct Python-3 transcription of the reference function
+        strip_ws = re.sub(r"[\s_-]+", " ", name.strip())
+        nm = string.capwords(strip_ws).replace(" ", "_")
+        return TARGETTAB.get(nm, nm)
+
+    cases = [
+        "b. bill",            # -> B._Bill -> Barnacle_Bill
+        "bears lodge",        # -> Bears_Lodge -> Bear's_Lodge
+        "bear's lodge",       # apostrophe survives capwords -> Bear's_Lodge
+        "d_g",                # -> D_G -> Dodo_Goldilocks
+        "RR1",                # capwords lowercases the tail -> Rosy_Red
+        "dodo   trench",      # whitespace runs fold -> Dodo_Goldilocks_Trench
+        "half-dome",          # dash folds to space -> Half_Dome (no alias)
+        "souffle",            # -> Soufflé (unicode canonical)
+        "Gale Crater",        # not in table: identity after capwords
+        "  mm  ",             # strip + alias -> Mini_Matterhorn
+    ]
+    want = [reference_twin(c) for c in cases]
+    assert want[0] == "Barnacle_Bill" and want[1] == "Bear's_Lodge"
+    df = spark.createDataFrame(pd.DataFrame({"name": cases}))
+    got = [
+        r["c"]
+        for r in df.select(
+            old_canonical_target_name(F.col("name")).alias("c")
+        ).collect()
+    ]
+    assert got == want
+
+
 def test_alias_resolution_broadcast_join(spark):
     from parser_indexer_py_spark.functions.reference_funcs import resolve_aliases
 

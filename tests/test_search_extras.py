@@ -67,6 +67,23 @@ def test_paged_search_consistent_with_topk(index):
     assert p1 + p2 == full
 
 
+def test_search_with_synonyms_equals_expanded_query(spark, index):
+    """Query-time synonym expansion must equal querying the expanded term
+    set directly (scores included — Solr expand=true OR semantics)."""
+    ts = index.termstats.orderBy(F.desc("df")).limit(2).collect()
+    hot, second = ts[0]["term"], ts[1]["term"]
+    syn = {hot: [hot, second]}
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search(index, hot, k=10, synonyms=syn).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in search(index, f"{hot} {second}", k=10).collect()
+    ]
+    assert got == want
+
+
 def test_atomic_docmap_update(spark, index):
     """S11/§2.10 analog: partial metadata update rewrites only docmap,
     atomically; postings untouched; filters see the new values."""

@@ -43,3 +43,20 @@ def test_count_mismatch_raises():
 
     with pytest.raises(ValueError):
         decode_varint(encode_varint(np.array([1, 2], dtype=np.uint64)), 3)
+
+
+def test_truncated_stream_raises():
+    """ADVICE r1 varint.py:59: corrupt/truncated buffers must raise a clear
+    error instead of IndexError or silently dropping trailing values."""
+    import pytest
+
+    # a lone continuation byte: no value ever terminates
+    with pytest.raises(ValueError, match="truncated"):
+        decode_varint(b"\x80")
+    # valid values followed by a non-terminated trailing value
+    good = encode_varint(np.array([7, 300], dtype=np.uint64))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_varint(good + b"\x95")
+    # empty buffer but n values expected
+    with pytest.raises(ValueError, match="expected 3"):
+        decode_varint(b"", 3)
