@@ -84,6 +84,32 @@ def main() -> None:
         lambda: search(idx, "bace cedi", k=10, role="assistant").collect(),
     )
 
+    # ---- streaming segment search (distributed multi-segment BM25) ---------
+    from parser_indexer_py_spark.streaming.incremental import (
+        SegmentedIndex,
+        search_segments_df,
+    )
+
+    seg_root = os.path.join(
+        os.environ.get("BENCH_TMP", "/tmp"), f"bench_seg_sf{sf}_c{CORES}"
+    )
+    shutil.rmtree(seg_root, ignore_errors=True)
+    seg = SegmentedIndex(spark, seg_root)
+    seg_src = generate_transcripts(spark, max(30, n_convs // 4))
+    from pyspark.sql import functions as F
+
+    def build_segments():
+        for i in range(3):  # three arrival chunks -> three segments
+            seg.append_batch(
+                seg_src.filter(F.pmod(F.crc32(F.col("conv_id")), F.lit(3)) == i), i
+            )
+
+    run("segment_build_x3", build_segments)
+    run(
+        "segment_search",
+        lambda: search_segments_df(seg, "bace cedi wedi rikizudi", k=10).collect(),
+    )
+
     # ---- operator queries over the sf tables --------------------------------
     from parser_indexer_py_spark import entry_queries as Q
     from parser_indexer_py_spark import entry_text_queries as TQ
@@ -94,6 +120,7 @@ def main() -> None:
         ("block_join_rollup", Q.q_block_join_rollup),
         ("dedup_minhash_lsh", TQ.q_dedup_minhash_lsh),
         ("ann_cosine_topk", TQ.q_ann_cosine_topk),
+        ("embedding_near_dup_lsh", TQ.q_embedding_near_dup_lsh),
         ("bm25_docs_topk", TQ.q_bm25_docs_topk),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).collect())

@@ -46,6 +46,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--mode", choices=["full", "pruned"], default="pruned")
     s.add_argument("--role", default=None)
     s.add_argument("--and", dest="conjunctive", action="store_true")
+    s.add_argument(
+        "--synonyms", default=None,
+        help="Solr-format synonyms.txt applied at query time (expand=true)",
+    )
+    s.add_argument(
+        "--excerpt", action="store_true",
+        help="attach an F11 sentence excerpt to each hit",
+    )
 
     g = sub.add_parser("gen")
     g.add_argument("--convs", type=int, required=True)
@@ -104,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
         from .index.search import load_index, search
 
         idx = load_index(spark, args.index)
+        syn = None
+        if args.synonyms:
+            from .functions.analyzer import parse_synonyms
+
+            with open(args.synonyms) as f:
+                syn = parse_synonyms(f)
         t0 = time.time()
         rows = search(
             idx,
@@ -112,6 +126,8 @@ def main(argv: list[str] | None = None) -> int:
             mode=args.mode,
             role=args.role,
             conjunctive=args.conjunctive,
+            synonyms=syn,
+            with_excerpt=args.excerpt,
         ).collect()
         print(
             json.dumps(
@@ -124,6 +140,11 @@ def main(argv: list[str] | None = None) -> int:
                             "score": r["score"],
                             "conv_id": r["conv_id"],
                             "turn_idx": r["turn_idx"],
+                            **(
+                                {"excerpt": r["excerpt"]}
+                                if args.excerpt
+                                else {}
+                            ),
                         }
                         for r in rows
                     ],

@@ -73,6 +73,30 @@ def excerpt_udf(
     )
 
 
+def excerpt_for_terms_udf(terms: list[str]):
+    """Excerpt around the FIRST occurrence of any query term (the search-
+    results surface of F11: Solr-highlight-like snippets built on the same
+    reference sentence heuristic). Case-insensitive term location; returns
+    '' when no term occurs literally (e.g. matched via analysis folds)."""
+    lows = sorted({t.lower() for t in terms})
+
+    @F.pandas_udf(T.StringType())
+    def udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for c in texts:
+            c = c or ""
+            lc = c.lower()
+            pos, ln = -1, 0
+            for t in lows:
+                p = lc.find(t)
+                if p != -1 and (pos == -1 or p < pos):
+                    pos, ln = p, len(t)
+            out.append(extract_excerpt(c, pos, pos + ln) if pos != -1 else "")
+        return pd.Series(out, index=texts.index)
+
+    return udf
+
+
 def with_excerpts(
     df: DataFrame,
     content_col: str | Column = "text",

@@ -168,8 +168,12 @@ def search(
     full_cutover: int | None = None,
     driver_meta_cap: int | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    with_excerpt: bool = False,
 ) -> DataFrame:
-    """BM25 top-k. Returns (doc_id, score[, conv_id, turn_idx, role]).
+    """BM25 top-k. Returns (doc_id, score[, conv_id, turn_idx, role
+    [, excerpt]]). ``with_excerpt`` attaches an F11 sentence excerpt around
+    the first query-term occurrence (functions/excerpt.py) — the k-row
+    equivalent of Solr highlighting; computed only on the k results.
 
     ``mode='pruned'`` is ADAPTIVE: below ``full_cutover`` total query-term
     postings (default wand.FULL_CUTOVER_POSTINGS) it runs the full path —
@@ -187,7 +191,7 @@ def search(
     if mode == "pruned":
         from .wand import DRIVER_META_ROW_CAP, search_pruned
 
-        return search_pruned(
+        top = search_pruned(
             index, terms, k, conjunctive=conjunctive, role=role,
             with_meta=with_meta, pool_target=pool_target,
             full_cutover=full_cutover,
@@ -195,6 +199,9 @@ def search(
                 DRIVER_META_ROW_CAP if driver_meta_cap is None else driver_meta_cap
             ),
         )
+        if with_excerpt and with_meta:
+            top = _attach_excerpts(index, top, terms)
+        return top
 
     blocks = _blocks_for_terms(index, terms)
     decoded = blocks.select("term", "n", "idf", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
@@ -214,7 +221,24 @@ def search(
             topk.join(meta, "doc_id", "left")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
+        if with_excerpt:
+            topk = _attach_excerpts(index, topk, terms)
     return topk
+
+
+def _attach_excerpts(index: Index, topk: DataFrame, terms: list[str]) -> DataFrame:
+    """Join the k result rows back to their stored text and attach the F11
+    excerpt column (k-row join against the docmap — the text column never
+    flows through scoring)."""
+    from ..functions.excerpt import excerpt_for_terms_udf
+
+    texts = index.docmap.select("doc_id", "text")
+    return (
+        topk.join(texts, "doc_id", "left")
+        .withColumn("excerpt", excerpt_for_terms_udf(terms)(F.col("text")))
+        .drop("text")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
 
 
 def facet_counts(

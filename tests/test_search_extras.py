@@ -84,6 +84,36 @@ def test_search_with_synonyms_equals_expanded_query(spark, index):
     assert got == want
 
 
+def test_search_with_excerpt_column(spark, index):
+    """F11 on search results: excerpt equals the Python twin applied to the
+    stored text at the first query-term occurrence; ranking unchanged."""
+    from parser_indexer_py_spark.functions.excerpt import extract_excerpt
+
+    plain = search(index, "bace cedi", k=5).collect()
+    rows = search(index, "bace cedi", k=5, with_excerpt=True).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in plain
+    ]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in index.docmap.select("doc_id", "text").collect()
+    }
+    for r in rows:
+        text = texts[r["doc_id"]]
+        lc = text.lower()
+        pos, ln = -1, 0
+        for t in ["bace", "cedi"]:
+            p = lc.find(t)
+            if p != -1 and (pos == -1 or p < pos):
+                pos, ln = p, len(t)
+        want = extract_excerpt(text, pos, pos + ln) if pos != -1 else ""
+        assert r["excerpt"] == want, r["doc_id"]
+        if pos != -1:
+            assert ("bace" in r["excerpt"].lower()) or (
+                "cedi" in r["excerpt"].lower()
+            )
+
+
 def test_atomic_docmap_update(spark, index):
     """S11/§2.10 analog: partial metadata update rewrites only docmap,
     atomically; postings untouched; filters see the new values."""
