@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search over embeddings
         "ann_cosine_topk": TQ.q_ann_cosine_topk,
         "ann_lsh_bucketed": TQ.q_ann_lsh_bucketed,
+        "ann_ivf_probe": TQ.q_ann_ivf_probe,
         "embedding_near_dup": TQ.q_embedding_near_dup,
         "embedding_near_dup_lsh": TQ.q_embedding_near_dup_lsh,
         # multimodal plumbing (rows-only: no SQL oracle by design)
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": TQ.SQL_SIMHASH,
         "ann_cosine_topk": TQ.SQL_ANN_TOPK,
         "ann_lsh_bucketed": TQ.SQL_ANN_LSH,
+        "ann_ivf_probe": TQ.SQL_ANN_IVF,
         "embedding_near_dup": TQ.SQL_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": TQ.SQL_EMB_NEAR_DUP_LSH,
     }

@@ -821,6 +821,95 @@ FROM pr ORDER BY dot / (na * nb) DESC, vb LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN: coarse-quantizer partitioning + nprobe search (the second scale
+# path named in the builder brief: "an IVF or LSH-bucketed variant")
+# ---------------------------------------------------------------------------
+
+K_IVF = 16   # coarse centroids (deterministic: the first K vectors)
+NPROBE = 4   # centroid lists probed at query time
+
+
+def q_ann_ivf_probe(spark, sf_dir):
+    """IVF-style ANN: K deterministic coarse centroids (the first K
+    vectors — a k-means iteration would improve them but break the
+    cross-engine determinism the oracle gate needs), every vector assigned
+    to its max-cosine centroid (ROUNDED to 6dp with centroid-id tie-break,
+    so assignment is identical in both engines), query probes its NPROBE
+    nearest centroid lists, exact cosine top-k within the probed lists.
+    At scale the assignment is one broadcast pass and each query touches
+    ~NPROBE/K of the corpus; lists are the partitioning key so a probe is
+    partition-pruned IO, not a shuffle."""
+    from pyspark.sql.window import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < K_IVF).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "c", F.round(_cosine_expr(F.col("cemb"), F.col("embedding")), 6)
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cid"))
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") == 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NPROBE)
+        .select(F.col("cid").alias("pcid"))
+    )
+    cands = (
+        asg.join(F.broadcast(probes), F.col("cid") == F.col("pcid"), "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = _cosine_expr(F.col("q_emb"), F.col("embedding"))
+    return (
+        emb.join(cands, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+), cc AS (
+  SELECT a.vec_id, b.vec_id AS cid,
+         ROUND(SUM(a.e * b.e) /
+               (SQRT(SUM(a.e * a.e)) * SQRT(SUM(b.e * b.e))), 6) AS c
+  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id < {K_IVF}
+  GROUP BY a.vec_id, b.vec_id
+), asg AS (
+  SELECT vec_id, cid FROM cc
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) = 1
+), probes AS (
+  SELECT cid FROM cc WHERE vec_id = 0
+  QUALIFY row_number() OVER (ORDER BY c DESC, cid) <= {NPROBE}
+), cands AS (
+  SELECT asg.vec_id FROM asg JOIN probes USING (cid) WHERE asg.vec_id != 0
+), pr AS (
+  SELECT b.vec_id,
+         SUM(a.e * b.e) AS dot,
+         SQRT(SUM(a.e * a.e)) AS na,
+         SQRT(SUM(b.e * b.e)) AS nb
+  FROM ex a JOIN ex b ON a.i = b.i
+  WHERE a.vec_id = 0 AND b.vec_id IN (SELECT vec_id FROM cands)
+  GROUP BY b.vec_id)
+SELECT vec_id, ROUND(dot / (na * nb), 6) AS cosine
+FROM pr ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding near-dup, LSH-bucketed (the scale twin of q_embedding_near_dup —
 # VERDICT r1 Missing #2 / What's wrong #4)
 # ---------------------------------------------------------------------------

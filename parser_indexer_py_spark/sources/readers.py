@@ -79,6 +79,34 @@ def read_brat_ann(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S12: CSV sink with header (the reference's csv output shape)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_brat(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S13: brat standoff .ann sink — inverse of :func:`read_brat_ann`.
+    T records serialize as ``Tn<TAB>label start end<TAB>text``; other
+    kinds as ``id<TAB>payload`` (the payload round-trips through the
+    ``label`` column the reader parked it in)."""
+    is_t = F.col("kind") == "T"
+    line = F.when(
+        is_t,
+        F.concat_ws(
+            "\t",
+            F.col("ann_id"),
+            F.concat_ws(
+                " ",
+                F.col("label"),
+                F.col("span_start").cast("string"),
+                F.col("span_end").cast("string"),
+            ),
+            F.col("text"),
+        ),
+    ).otherwise(F.concat_ws("\t", F.col("ann_id"), F.col("label")))
+    df.select(line.alias("value")).write.mode(mode).text(path)
+
+
 def point_lookup(df: DataFrame, key_col: str, key) -> DataFrame:
     """S9: Solr point-lookup q=id:"..." rows=1 (src/parserindexer/solr.py:
     86-95) — a filter+limit the optimizer turns into a pruned scan."""

@@ -326,3 +326,35 @@ def test_sources(spark, tmp_path):
     assert point_lookup(df, "k", 42).head()["k"] == 42
     page = [r["k"] for r in paged_scan(df, ["k"], 10, 5).collect()]
     assert page == [10, 11, 12, 13, 14]
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    """S12 CSV sink and S13 brat sink: write -> read back equals source."""
+    from parser_indexer_py_spark.sources.readers import (
+        read_brat_ann,
+        write_brat,
+        write_csv,
+    )
+
+    # S13: brat roundtrip (T + relation records)
+    ann = tmp_path / "src.ann"
+    ann.write_text(
+        "T1\tTarget 5 10\tAdiri\nT2\tElement 12 14\tFe\nR1\tcontains Arg1:T1 Arg2:T2\n"
+    )
+    src = read_brat_ann(spark, str(ann))
+    out_dir = str(tmp_path / "out_ann")
+    write_brat(src, out_dir)
+    back = read_brat_ann(spark, out_dir)
+    key = ["ann_id", "kind", "label", "span_start", "span_end", "text"]
+    assert sorted(map(tuple, src.select(key).collect())) == sorted(
+        map(tuple, back.select(key).collect())
+    )
+
+    # S12: CSV roundtrip with header
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    )
+    csv_dir = str(tmp_path / "out_csv")
+    write_csv(df, csv_dir)
+    back_csv = spark.read.csv(csv_dir, header=True, inferSchema=True)
+    assert sorted(map(tuple, back_csv.collect())) == [(1, "x"), (2, "y"), (3, "z")]
