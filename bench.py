@@ -103,16 +103,16 @@ def main() -> None:
     )
     shutil.rmtree(seg_root, ignore_errors=True)
     seg = SegmentedIndex(spark, seg_root)
-    seg_src = generate_transcripts(spark, max(30, n_convs // 4))
+    seg_src = generate_transcripts(spark, max(30, n_convs // 8))
     from pyspark.sql import functions as F
 
     def build_segments():
-        for i in range(3):  # three arrival chunks -> three segments
+        for i in range(2):  # two arrival chunks -> two segments
             seg.append_batch(
-                seg_src.filter(F.pmod(F.crc32(F.col("conv_id")), F.lit(3)) == i), i
+                seg_src.filter(F.pmod(F.crc32(F.col("conv_id")), F.lit(2)) == i), i
             )
 
-    run("segment_build_x3", build_segments)
+    run("segment_build_x2", build_segments)
     run(
         "segment_search",
         lambda: search_segments_df(seg, "bace cedi wedi rikizudi", k=10).collect(),
