@@ -59,10 +59,19 @@ class SegmentedIndex:
             json.dump(commits, f, indent=1)
         os.replace(tmp, self.commits_path)
 
+    def covered_epochs(self) -> set[int]:
+        """Every epoch represented in the current commit set — a compacted
+        segment carries the epochs it absorbed (``epochs``), so replays of
+        pre-compaction micro-batches stay exactly-once."""
+        out: set[int] = set()
+        for c in self.commits():
+            out.update(c.get("epochs", [c["epoch"]]))
+        return out
+
     def append_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch body: build one segment from a micro-batch."""
         commits = self.commits()
-        if any(c["epoch"] == epoch_id for c in commits):
+        if epoch_id in self.covered_epochs():
             return  # exactly-once: epoch replayed after a failure
         seg_dir = os.path.join(self.root, f"seg-{epoch_id:08d}")
         build_index(self.spark, batch_df, seg_dir, n_chunks=1)
@@ -82,6 +91,51 @@ class SegmentedIndex:
 
     def segments(self) -> list[tuple[dict, Index]]:
         return [(c, load_index(self.spark, c["dir"])) for c in self.commits()]
+
+    def compact(self) -> dict | None:
+        """Merge ALL committed segments into one (the Lucene merge-policy /
+        Solr optimize analog: many small immutable segments -> one). The
+        compacted segment is a from-scratch batch build over the union of
+        the segments' stored documents, so its postings/stats are exactly
+        what a monolithic build would produce; per-doc scores are unchanged
+        (search_segments already merges stats query-time — tests prove the
+        equality both before and after). DocIDs renumber to the stable
+        (conv_id, turn_idx) order, dropping the arrival-order dependence.
+
+        Commit protocol: build into a fresh dir, then atomically replace
+        commits.json with one record carrying the absorbed ``epochs`` list
+        (replayed pre-compaction micro-batches remain exactly-once). Old
+        segment dirs are left on disk for concurrent readers; sweep them
+        after a grace period in production."""
+        commits = self.commits()
+        if len(commits) <= 1:
+            return commits[0] if commits else None
+        docs = None
+        for c in commits:
+            dm = self.spark.read.parquet(
+                os.path.join(c["dir"], "docmap")
+            ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            docs = dm if docs is None else docs.unionByName(dm)
+        max_epoch = max(c["epoch"] for c in commits)
+        out_dir = os.path.join(self.root, f"seg-compact-{max_epoch:08d}")
+        build_index(self.spark, docs, out_dir, n_chunks=1, resume=False)
+        idx = load_index(self.spark, out_dir)
+        record = {
+            "epoch": int(max_epoch),
+            "epochs": sorted(
+                int(e)
+                for c in commits
+                for e in c.get("epochs", [c["epoch"]])
+            ),
+            "dir": out_dir,
+            "base": 0,
+            "n_docs": int(idx.n_docs),
+            "sum_dl": int(round(idx.avgdl * idx.n_docs)),
+            "ts": time.time(),
+            "compacted_from": [c["dir"] for c in commits],
+        }
+        self._write_commits([record])
+        return record
 
 
 def index_stream(

@@ -328,6 +328,38 @@ def test_sources(spark, tmp_path):
     assert page == [10, 11, 12, 13, 14]
 
 
+def test_gram_slide_matches_naive_shingles(spark, tmp_path):
+    """The zero-shuffle array-slide 3-gram derivation (entry_text_queries.
+    _grams) must equal naive Python shingling over the non-empty token
+    sequence — including messy whitespace, short docs, and case folding."""
+    from parser_indexer_py_spark.entry_text_queries import _grams
+
+    texts = [
+        "a b c d e",
+        "one  two   three four",   # runs of spaces do not break adjacency
+        "short one",                # < 3 tokens: no grams
+        "x",
+        "",
+        "  leading and trailing  ",
+        "CASE Folded TOKENS here",
+        "rep rep rep rep",          # duplicate grams collapse (distinct)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    got = {
+        (r["doc_id"], r["g"]) for r in _grams(spark, sf_dir).collect()
+    }
+    want = set()
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split(" ") if w]
+        for j in range(len(toks) - 2):
+            want.add((i, " ".join(toks[j : j + 3])))
+    assert got == want
+
+
 def test_sinks_roundtrip(spark, tmp_path):
     """S12 CSV sink and S13 brat sink: write -> read back equals source."""
     from parser_indexer_py_spark.sources.readers import (

@@ -40,6 +40,37 @@ def test_topk_is_take_ordered(spark):
     assert_take_ordered(q_topk_orders(spark, SF))
 
 
+# Queries whose UNPARTITIONED cross product is the documented point
+# (exhaustive oracle/recall baselines for the bucketed scale twins).
+CARTESIAN_ALLOWED = {"embedding_near_dup", "dedup_ngram_jaccard"}
+# Broadcast nested-loop joins against sub-kilobyte broadcast sides (a
+# single query vector / a handful of probe buckets) are fine at any scale.
+_BNLJ_OK = "BroadcastNestedLoopJoin"
+
+
+def test_no_unbounded_cartesian_in_driver_queries(spark):
+    """Every queries() entry except the documented exhaustive baselines
+    must plan WITHOUT a CartesianProduct — the '100TB would explode here'
+    smell check, run over every driver-contract query."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    offenders = {}
+    for name, fn in mod.queries().items():
+        if name in CARTESIAN_ALLOWED or name == "multimodal_decode":
+            continue
+        plan = plan_string(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders[name] = plan[:500]
+    assert not offenders, f"unexpected cartesian products: {list(offenders)}"
+
+
 def test_search_plan_prunes_buckets(spark, tmp_path):
     """The postings scan for a query must touch only the query terms'
     bucket partitions (partition pruning) and push the term predicate."""

@@ -107,6 +107,43 @@ def test_replayed_epoch_is_noop(spark, dirs):
     assert seg.commits() == before
 
 
+def test_compaction_preserves_results(spark, dirs):
+    """Segment compaction (Lucene merge/optimize analog): one segment
+    replaces many; scores and hit identities are unchanged; absorbed
+    epochs stay exactly-once. Runs LAST against the shared segment dir."""
+    seg = SegmentedIndex(spark, dirs["idx"])
+    before_commits = seg.commits()
+    assert len(before_commits) >= 2
+
+    def keyed_results(query):
+        hits = search_segments(seg, query, k=10)
+        keys = {}
+        for c in seg.commits():
+            sidx = load_index(spark, c["dir"])
+            for r in sidx.docmap.select("doc_id", "conv_id", "turn_idx").collect():
+                keys[c["base"] + r["doc_id"]] = (r["conv_id"], r["turn_idx"])
+        return sorted(
+            ((keys[d], round(s, 12)) for d, s in hits), key=lambda x: x[0]
+        )
+
+    queries = ["bace", "bace cedi wedi"]
+    before = {q: keyed_results(q) for q in queries}
+    covered_before = seg.covered_epochs()
+
+    rec = seg.compact()
+    assert rec is not None and len(seg.commits()) == 1
+    assert seg.covered_epochs() >= covered_before
+    for q in queries:
+        assert keyed_results(q) == before[q], q
+    # pre-compaction epoch replay is still a no-op
+    replay_epoch = sorted(covered_before)[0]
+    df = generate_transcripts(spark, 5)
+    seg.append_batch(df, epoch_id=replay_epoch)
+    assert len(seg.commits()) == 1
+    # idempotent: compacting a single segment is a no-op returning it
+    assert seg.compact()["dir"] == rec["dir"]
+
+
 def test_stateful_conversation_state(spark, tmp_path_factory):
     """applyInPandasWithState: final per-conversation state across
     micro-batches equals the batch groundtruth."""
