@@ -966,12 +966,36 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
         .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    # verify: per-vector norms are precomputed ONCE (same fold expression,
+    # so float results are bit-identical to inlining it); per-pair work is
+    # then a single dot-product fold instead of three
+    def _norm(a):
+        ad = F.transform(a, lambda x: x.cast("double"))
+        return F.sqrt(
+            F.aggregate(
+                F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+
+    ea = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    ad = F.transform(F.col("ea"), lambda x: x.cast("double"))
+    bd = F.transform(F.col("eb"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
     return (
         cand.join(ea, "va")
         .join(eb, "vb")
-        .withColumn("cosine", F.round(_cosine_expr(F.col("ea"), F.col("eb")), 6))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cosine") >= COS_TAU)
         .select("va", "vb", "cosine")
     )
