@@ -148,6 +148,29 @@ def _score_decoded(decoded: DataFrame) -> DataFrame:
     )
 
 
+def allowed_docs(index: Index, role: str | None, filters: dict | None):
+    """Solr ``fq`` analog: build the allowed-docID set from docmap-field
+    predicates (scalar = equality, list/set = IN, 2-tuple = inclusive
+    range). Returns None when unfiltered. Predicates reach the docmap
+    parquet scan as pushed filters."""
+    conds = []
+    if role is not None:
+        conds.append(F.col("role") == role)
+    for fld, v in (filters or {}).items():
+        if isinstance(v, tuple) and len(v) == 2:
+            conds.append(F.col(fld).between(v[0], v[1]))
+        elif isinstance(v, (list, set, frozenset)):
+            conds.append(F.col(fld).isin(list(v)))
+        else:
+            conds.append(F.col(fld) == v)
+    if not conds:
+        return None
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return index.docmap.filter(cond).select("doc_id")
+
+
 def _blocks_for_terms(index: Index, terms: list[str]) -> DataFrame:
     buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
     return index.postings.filter(
@@ -162,6 +185,7 @@ def search(
     *,
     conjunctive: bool = False,
     role: str | None = None,
+    filters: dict | None = None,
     mode: str = "full",
     with_meta: bool = True,
     pool_target: int | None = None,
@@ -181,7 +205,14 @@ def search(
 
     ``synonyms`` is the QUERY-TIME synonym hook (default empty), mirroring
     the reference's query analyzer SynonymFilter (managed-schema:548-553;
-    the index chain has none) — see functions.analyzer.parse_synonyms."""
+    the index chain has none) — see functions.analyzer.parse_synonyms.
+
+    ``filters`` generalizes ``role`` to arbitrary docmap fields — the full
+    Solr ``fq`` surface (P10; solr.py /select clients pass fq on any
+    stored field): scalar = equality, list/set = IN, 2-tuple = inclusive
+    range (e.g. ``{"tool": "search", "ts": (t0, t1)}``). Like Solr, fq
+    never changes scoring statistics — it is a semi-join on the docmap
+    applied after scoring."""
     from ..functions.analyzer import expand_synonyms
 
     terms = sorted(set(expand_synonyms(analyze_text(query), synonyms)))
@@ -193,6 +224,7 @@ def search(
 
         top = search_pruned(
             index, terms, k, conjunctive=conjunctive, role=role,
+            filters=filters,
             with_meta=with_meta, pool_target=pool_target,
             full_cutover=full_cutover,
             driver_meta_cap=(
@@ -211,8 +243,8 @@ def search(
     if conjunctive:
         scored = scored.filter(F.col("n_terms") == len(terms))
     scored = scored.drop("n_terms")
-    if role is not None:
-        allowed = index.docmap.filter(F.col("role") == role).select("doc_id")
+    allowed = allowed_docs(index, role, filters)
+    if allowed is not None:
         scored = scored.join(allowed, "doc_id", "left_semi")
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_meta:

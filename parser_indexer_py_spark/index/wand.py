@@ -104,6 +104,7 @@ def search_pruned(
     *,
     conjunctive: bool = False,
     role: str | None = None,
+    filters: dict | None = None,
     with_meta: bool = True,
     pool_target: int | None = None,
     full_cutover: int | None = None,
@@ -114,7 +115,12 @@ def search_pruned(
     full-evaluation fallback). ``full_cutover`` overrides the adaptive
     pruned/full switch (postings-volume threshold; tests pin it to 0 to
     force the pruned machinery on small corpora)."""
-    from .search import _blocks_for_terms, _score_decoded, search  # cycle-free
+    from .search import (  # cycle-free
+        _blocks_for_terms,
+        _score_decoded,
+        allowed_docs,
+        search,
+    )
 
     spark = index.spark
 
@@ -131,7 +137,7 @@ def search_pruned(
     if total_postings <= cutover:
         return search(
             index, " ".join(terms), k, conjunctive=conjunctive, role=role,
-            mode="full", with_meta=with_meta,
+            filters=filters, mode="full", with_meta=with_meta,
         )
 
     blocks = _blocks_for_terms(index, terms)
@@ -203,8 +209,8 @@ def search_pruned(
     if conjunctive:
         scored = scored.filter(F.col("n_terms") == len(terms))
     scored = scored.drop("n_terms")
-    if role is not None:
-        allowed = index.docmap.filter(F.col("role") == role).select("doc_id")
+    allowed = allowed_docs(index, role, filters)
+    if allowed is not None:
         scored = scored.join(allowed, "doc_id", "left_semi")
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
 
@@ -217,6 +223,7 @@ def search_pruned(
             k,
             conjunctive=conjunctive,
             role=role,
+            filters=filters,
             mode="full",
             with_meta=with_meta,
         )

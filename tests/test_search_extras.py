@@ -84,6 +84,45 @@ def test_search_with_synonyms_equals_expanded_query(spark, index):
     assert got == want
 
 
+def test_search_generalized_fq_filters(spark, index):
+    """Solr fq generalization (P10): arbitrary docmap-field filters —
+    equality, IN-list, and inclusive range — restrict results without
+    changing scores, on both full and pruned paths. Oracle: the unfiltered
+    score list intersected with the manually-filtered docID set."""
+    full = {
+        r["doc_id"]: r["score"]
+        for r in search(index, "bace cedi", k=10_000, with_meta=False).collect()
+    }
+    dm = index.docmap.select("doc_id", "role", "tool", "ts").collect()
+
+    cases = [
+        ({"role": "tool"}, lambda r: r["role"] == "tool"),
+        (
+            {"role": ["user", "assistant"]},
+            lambda r: r["role"] in ("user", "assistant"),
+        ),
+    ]
+    ts_vals = sorted(r["ts"] for r in dm)
+    lo, hi = ts_vals[len(ts_vals) // 4], ts_vals[3 * len(ts_vals) // 4]
+    cases.append(({"ts": (lo, hi)}, lambda r: lo <= r["ts"] <= hi))
+
+    for filt, pred in cases:
+        allowed = {r["doc_id"] for r in dm if pred(r)}
+        want = sorted(
+            ((d, s) for d, s in full.items() if d in allowed),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        for mode_kw in ({"mode": "full"}, {"mode": "pruned", "full_cutover": 0}):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search(
+                    index, "bace cedi", k=10, filters=filt,
+                    with_meta=False, **mode_kw
+                ).collect()
+            ]
+            assert got == want, (filt, mode_kw)
+
+
 def test_search_with_excerpt_column(spark, index):
     """F11 on search results: excerpt equals the Python twin applied to the
     stored text at the first query-term occurrence; ranking unchanged."""
