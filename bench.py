@@ -58,8 +58,9 @@ def main() -> None:
     df = generate_transcripts(spark, n_convs)
     # partition sizing: ~8k docs/partition at this corpus scale (fixed
     # per-task Python/Arrow costs amortize; measured at 130k docs/32 cores:
-    # P=64 ~8s vs P=32 ~5.3s vs P=16 ~4.3s warm). Never below the core
-    # count so the build still exercises full parallelism.
+    # P=64 ~8s vs P=32 ~5.3s vs P=16 ~4.3s warm — 16, i.e. CORES/2, wins
+    # there because single-JVM local mode stops scaling past ~8-16 threads
+    # anyway; see DESIGN.md's local-mode-ceiling note). Floor = CORES/2.
     n_parts = max(CORES // 2, min(2 * CORES, int(n_convs * 33 / 8000)))
     # best-of-reps for the headline build too (same ±30% host-burst
     # rationale as run()); each rep is a full from-scratch build

@@ -63,10 +63,14 @@ def excerpt_udf(
     content: pd.Series, span_start: pd.Series, span_end: pd.Series
 ) -> pd.Series:
     """Arrow-batched excerpt extraction over (content, span_start,
-    span_end) columns."""
+    span_end) columns. Rows with a null span (e.g. non-text-bound brat
+    kinds — E/R/A annotations carry no offsets, readers.py:76-77) yield a
+    null excerpt instead of crashing on int(NaN)."""
     return pd.Series(
         [
-            extract_excerpt(c if c is not None else "", int(s), int(e))
+            None
+            if pd.isna(s) or pd.isna(e)
+            else extract_excerpt(c if c is not None else "", int(s), int(e))
             for c, s, e in zip(content, span_start, span_end)
         ],
         index=content.index,

@@ -206,6 +206,11 @@ def search(
     ``synonyms`` is the QUERY-TIME synonym hook (default empty), mirroring
     the reference's query analyzer SynonymFilter (managed-schema:548-553;
     the index chain has none) — see functions.analyzer.parse_synonyms.
+    Synonym targets are themselves analyzed (a multi-word target becomes
+    several OR terms). With ``conjunctive=True``, Solr's SynonymQuery
+    semantics apply: a document must match at least one variant of EVERY
+    original token, not every expanded term — expanded-AND queries run
+    group-aware on the full path.
 
     ``filters`` generalizes ``role`` to arbitrary docmap fields — the full
     Solr ``fq`` surface (P10; solr.py /select clients pass fq on any
@@ -213,13 +218,14 @@ def search(
     range (e.g. ``{"tool": "search", "ts": (t0, t1)}``). Like Solr, fq
     never changes scoring statistics — it is a semi-join on the docmap
     applied after scoring."""
-    from ..functions.analyzer import expand_synonyms
-
-    terms = sorted(set(expand_synonyms(analyze_text(query), synonyms)))
+    tokens = sorted(set(analyze_text(query)))
+    groups = _synonym_groups(tokens, synonyms)
+    terms = sorted({t for g in groups for t in g})
     spark = index.spark
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    if mode == "pruned":
+    expanded = any(g != {tok} for g, tok in zip(groups, tokens))
+    if mode == "pruned" and not (conjunctive and expanded):
         from .wand import DRIVER_META_ROW_CAP, search_pruned
 
         top = search_pruned(
@@ -235,12 +241,73 @@ def search(
             top = _attach_excerpts(index, top, terms)
         return top
 
+    topk = full_eval(
+        index, terms, k, conjunctive=conjunctive,
+        groups=groups if (conjunctive and expanded) else None,
+        role=role, filters=filters, with_meta=with_meta,
+    )
+    if with_meta and with_excerpt:
+        topk = _attach_excerpts(index, topk, terms)
+    return topk
+
+
+def _synonym_groups(
+    tokens: list[str], synonyms: dict[str, list[str]] | None
+) -> list[set]:
+    """One expansion set per distinct original token. Targets are analyzed
+    so un-analyzable variants (hyphens, phrases) become real index terms —
+    a target like 'flat-screen' contributes {flat, screen}."""
+    groups = []
+    for tok in tokens:
+        if synonyms and tok in synonyms:
+            g = set()
+            for target in synonyms[tok]:
+                g.update(analyze_text(target))
+            groups.append(g or {tok})
+        else:
+            groups.append({tok})
+    return groups
+
+
+def full_eval(
+    index: Index,
+    terms: list[str],
+    k: int,
+    *,
+    conjunctive: bool = False,
+    groups: list[set] | None = None,
+    role: str | None = None,
+    filters: dict | None = None,
+    with_meta: bool = True,
+) -> DataFrame:
+    """Exhaustive evaluation over an ALREADY-ANALYZED term list — the
+    single implementation behind search(mode='full'), the adaptive-cutover
+    route, and the pruned path's completeness fallback (all three must
+    evaluate the exact same term set; re-analyzing a joined query string
+    could re-tokenize synonym-expanded terms differently).
+
+    ``groups`` (optional, with conjunctive) holds one expansion set per
+    original query token: a doc qualifies when it matches >= 1 term of
+    every group (Solr SynonymQuery AND semantics)."""
+    spark = index.spark
     blocks = _blocks_for_terms(index, terms)
     decoded = blocks.select("term", "n", "idf", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
         _make_decoder(index.avgdl), _DECODED_SCHEMA
     )
     scored = _score_decoded(decoded)
-    if conjunctive:
+    if conjunctive and groups is not None:
+        gid_rows = [(t, gi) for gi, g in enumerate(groups) for t in sorted(g)]
+        gid_df = spark.createDataFrame(gid_rows, "term string, gid int")
+        matched = (
+            decoded.select("term", "doc_id")
+            .join(F.broadcast(gid_df), "term")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gid").alias("n_groups"))
+            .filter(F.col("n_groups") == len(groups))
+            .select("doc_id")
+        )
+        scored = scored.join(matched, "doc_id", "left_semi")
+    elif conjunctive:
         scored = scored.filter(F.col("n_terms") == len(terms))
     scored = scored.drop("n_terms")
     allowed = allowed_docs(index, role, filters)
@@ -253,8 +320,6 @@ def search(
             topk.join(meta, "doc_id", "left")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
-        if with_excerpt:
-            topk = _attach_excerpts(index, topk, terms)
     return topk
 
 

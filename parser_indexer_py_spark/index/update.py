@@ -50,8 +50,24 @@ def update_docmap(
             f"updates carry only key columns; include at least one of "
             f"{UPDATABLE}"
         )
+    # duplicate keys would fan out the left join below and permanently
+    # write duplicated docmap rows — reject with a clear contract (batch
+    # conflicting patches into one row per key upstream)
+    n_up = updates.count()
+    n_keys = updates.select(*key_cols).distinct().count()
+    if n_keys != n_up:
+        raise ValueError(
+            f"updates contain {n_up - n_keys} duplicate {key_cols} keys; "
+            "merge conflicting patches into one row per key first"
+        )
     paths = IndexPaths(index_root)
     docmap = spark.read.parquet(paths.docmap)
+    legacy = "dkey" not in docmap.columns
+    if legacy:
+        # index built before the partitioned layout: migrate in place —
+        # this one update rewrites the full table (old behavior) and
+        # leaves it dkey-partitioned for partition-scoped updates after
+        docmap = docmap.withColumn("dkey", docmap_dkey(F.col("conv_id")))
     up = updates
     for c in up.columns:
         if c not in key_cols:
@@ -64,7 +80,7 @@ def update_docmap(
         .collect()
     )
     # partition-pruned scan: only touched dkey dirs are read
-    scoped = docmap.filter(F.col("dkey").isin(touched))
+    scoped = docmap if legacy else docmap.filter(F.col("dkey").isin(touched))
     merged = scoped.join(F.broadcast(up), list(key_cols), "left")
     flags = [
         F.col(f"_new_{c}").isNotNull()
@@ -81,17 +97,38 @@ def update_docmap(
                 c, F.coalesce(F.col(f"_new_{c}"), F.col(c))
             ).drop(f"_new_{c}")
 
-    # commit: dynamic partition-overwrite replaces exactly the touched dkey
-    # partitions (Spark stages to _temporary and renames per-partition);
-    # untouched partition files are not rewritten — byte-identical after.
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("dkey").parquet(paths.docmap)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    if legacy:
+        # migration commit: the old layout has row files at the dir root,
+        # which a dynamic partition-overwrite would leave in place beside
+        # the new dkey=*/ dirs — stage the full rewrite and atomically swap
+        import os
+        import shutil
+
+        tmp = paths.docmap + ".migrating"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy("dkey").parquet(tmp)
+        old = paths.docmap + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(paths.docmap, old)
+        os.replace(tmp, paths.docmap)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        # commit: dynamic partition-overwrite replaces exactly the touched
+        # dkey partitions (Spark stages to _temporary and renames
+        # per-partition); untouched partition files are not rewritten —
+        # byte-identical after.
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("dkey").parquet(
+                paths.docmap
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
     man = Manifest(paths.manifest)
     man.add(
         f"docmap_update_{int(time.time() * 1000)}",

@@ -119,10 +119,19 @@ def search_pruned(
         _blocks_for_terms,
         _score_decoded,
         allowed_docs,
-        search,
+        full_eval,
     )
 
     spark = index.spark
+
+    def _fallback():
+        # evaluate the EXACT analyzed term list — never re-join/re-analyze
+        # a query string (synonym-expanded terms may not round-trip the
+        # analyzer, which would make the fallback answer a different query)
+        return full_eval(
+            index, terms, k, conjunctive=conjunctive, role=role,
+            filters=filters, with_meta=with_meta,
+        )
 
     # ---- phase 0: adaptive cutover from termstats (|terms| rows) -----------
     cutover = FULL_CUTOVER_POSTINGS if full_cutover is None else full_cutover
@@ -135,10 +144,7 @@ def search_pruned(
     if total_postings == 0:
         return spark.createDataFrame([], "doc_id long, score double")
     if total_postings <= cutover:
-        return search(
-            index, " ".join(terms), k, conjunctive=conjunctive, role=role,
-            filters=filters, mode="full", with_meta=with_meta,
-        )
+        return _fallback()
 
     blocks = _blocks_for_terms(index, terms)
     if pool_target is None:
@@ -174,13 +180,24 @@ def search_pruned(
         # tau = approximate block_max_score quantile such that ~pool_target
         # postings' worth of blocks clear it (blocks are fixed-size, so the
         # block-count quantile tracks the postings-weighted one). The
-        # completeness check below still guarantees exactness: any
-        # approximation error can only trigger the full-evaluation fallback.
+        # relativeError is a RANK-fraction error, so it must scale with the
+        # target fraction — a fixed 0.01 would let tau admit ~1% of ALL
+        # blocks (10^7 postings for a 10^9-df term), re-creating the driver
+        # blowup this branch exists to prevent. Greenwald-Khanna memory
+        # grows as O(1/err log(err*n)); err >= 1e-6 keeps it bounded, and
+        # the volume guard below catches any remaining overshoot.
         frac = min(1.0, pool_target / float(total_postings))
+        err = max(1e-6, min(0.01, frac / 2.0))
         tau = blocks.stat.approxQuantile(
-            "block_max_score", [max(0.0, 1.0 - frac)], 0.01
+            "block_max_score", [max(0.0, 1.0 - frac)], err
         )[0]
         sel_blocks = blocks.filter(F.col("block_max_score") >= tau)
+        # volume guard: if ties at tau (or quantile error) still selected
+        # far more than the pool target, pruning wouldn't pay — evaluate
+        # fully rather than collect an oversized candidate set
+        sel_n = sel_blocks.agg(F.sum("n").alias("s")).collect()[0]["s"] or 0
+        if int(sel_n) > max(50 * pool_target, 100_000):
+            return _fallback()
         r_row = (
             blocks.filter(F.col("block_max_score") < tau)
             .groupBy("term")
@@ -217,16 +234,7 @@ def search_pruned(
     # ---- completeness check -> fallback -------------------------------------
     complete = R == 0.0 or (len(top) == k and top[-1]["score"] > R)
     if not complete:
-        return search(
-            index,
-            " ".join(terms),
-            k,
-            conjunctive=conjunctive,
-            role=role,
-            filters=filters,
-            mode="full",
-            with_meta=with_meta,
-        )
+        return _fallback()
 
     out = spark.createDataFrame(
         [(r["doc_id"], r["score"]) for r in top] or [],

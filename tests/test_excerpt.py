@@ -52,6 +52,25 @@ def test_excerpt_goldens(content, anchor, want):
     assert extract_excerpt(content, s, s + len(anchor)) == want
 
 
+def test_excerpt_udf_null_spans(spark):
+    """Non-text-bound brat rows (E/R/A) carry NULL spans — the UDF must
+    yield null excerpts for them, not crash on int(NaN)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(text="Has a Span here. More.", span_start=6, span_end=10),
+            Row(text="Relation row payload", span_start=None, span_end=None),
+            Row(text=None, span_start=None, span_end=None),
+        ]
+    )
+    rows = with_excerpts(df).collect()
+    by_text = {r["text"]: r["excerpt"] for r in rows}
+    assert by_text["Has a Span here. More."] == "Has a Span here."
+    assert by_text["Relation row payload"] is None
+    assert by_text[None] is None
+
+
 def test_excerpt_udf_matches_twin(spark):
     rows = []
     for content, anchor, _ in GOLDENS:

@@ -123,6 +123,57 @@ def test_search_generalized_fq_filters(spark, index):
             assert got == want, (filt, mode_kw)
 
 
+def test_conjunctive_synonyms_group_semantics(spark, tmp_path_factory):
+    """Solr SynonymQuery AND semantics: with expand=true synonyms, a
+    conjunctive query requires >= 1 variant of EVERY original token — not
+    every expanded term. Also: synonym targets are analyzed, so a
+    'flat-screen' target matches the index terms {flat, screen}."""
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("syn_idx"))
+    rows = [
+        ("c0", 0, "user", "tv in the corner", None),          # tv only
+        ("c1", 0, "user", "television on the wall", None),    # television only
+        ("c2", 0, "user", "tv and television both", None),
+        ("c3", 0, "user", "nothing relevant here", None),
+        ("c4", 0, "user", "flat screen panel", None),         # via analyzed target
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    pdf["ts"] = pd.Timestamp("2025-01-01")
+    build_index(spark, spark.createDataFrame(pdf), out, n_buckets=4, salt=2, n_chunks=1)
+    idx = load_index(spark, out)
+    syn = {"tv": ["tv", "television", "flat-screen"]}
+    # disjunctive: all four tv-ish docs match
+    got_or = {
+        r["doc_id"] for r in search(idx, "tv", k=10, synonyms=syn).collect()
+    }
+    assert got_or == {0, 1, 2, 4}
+    # conjunctive single-token query: one group -> same four docs (round 1
+    # demanded EVERY expanded term and would return only doc 2... or none)
+    got_and = {
+        r["doc_id"]
+        for r in search(idx, "tv", k=10, conjunctive=True, synonyms=syn).collect()
+    }
+    assert got_and == {0, 1, 2, 4}
+    # two-group AND: every doc with (tv-variant) AND 'corner'
+    got_two = {
+        r["doc_id"]
+        for r in search(
+            idx, "tv corner", k=10, conjunctive=True, synonyms=syn
+        ).collect()
+    }
+    assert got_two == {0}
+    # pruned mode with expanded conjunctive routes group-aware (same answer)
+    got_pruned = {
+        r["doc_id"]
+        for r in search(
+            idx, "tv corner", k=10, conjunctive=True, synonyms=syn,
+            mode="pruned", full_cutover=0,
+        ).collect()
+    }
+    assert got_pruned == {0}
+
+
 def test_search_with_excerpt_column(spark, index):
     """F11 on search results: excerpt equals the Python twin applied to the
     stored text at the first query-term occurrence; ranking unchanged."""
@@ -187,6 +238,64 @@ def test_atomic_docmap_update(spark, index):
     )
     with _pytest.raises(ValueError, match="key columns"):
         update_docmap(spark, index.paths.root, keys_only)
+
+
+def test_docmap_update_rejects_duplicate_keys(spark, index):
+    """Duplicate update keys would fan out the merge join and persist
+    duplicated docmap rows — rejected with a clear error."""
+    import pytest as _pytest
+
+    from parser_indexer_py_spark.index.update import update_docmap
+
+    row = index.docmap.filter("doc_id = 3").head()
+    dup = spark.createDataFrame(
+        [
+            (row["conv_id"], row["turn_idx"], "a"),
+            (row["conv_id"], row["turn_idx"], "b"),
+        ],
+        "conv_id string, turn_idx int, role string",
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        update_docmap(spark, index.paths.root, dup)
+
+
+def test_docmap_update_migrates_legacy_layout(spark, index, tmp_path_factory):
+    """An index whose docmap predates dkey partitioning still updates:
+    the first update migrates it in place to the partitioned layout."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from parser_indexer_py_spark.index.build import IndexPaths
+    from parser_indexer_py_spark.index.update import update_docmap
+
+    root = str(tmp_path_factory.mktemp("legacy_idx"))
+    _shutil.copytree(index.paths.root, root, dirs_exist_ok=True)
+    paths = IndexPaths(root)
+    # strip the partitioning: rewrite the docmap flat, without dkey
+    flat = spark.read.parquet(paths.docmap).drop("dkey")
+    row = flat.filter("doc_id = 5").head()       # materialize BEFORE the
+    n_docs = flat.count()                        # source files are replaced
+    tmp = paths.docmap + ".flat"
+    flat.write.mode("overwrite").parquet(tmp)
+    _shutil.rmtree(paths.docmap)
+    import os as _os
+
+    _os.replace(tmp, paths.docmap)
+    assert "dkey" not in spark.read.parquet(paths.docmap).columns
+    n = update_docmap(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(row["conv_id"], row["turn_idx"], "migrator")],
+            "conv_id string, turn_idx int, role string",
+        ),
+    )
+    assert n == 1
+    dm = spark.read.parquet(paths.docmap)
+    assert "dkey" in dm.columns  # migrated to the partitioned layout
+    assert dm.filter("doc_id = 5").head()["role"] == "migrator"
+    assert dm.count() == n_docs
 
 
 def test_docmap_update_is_partition_scoped(spark, index):
