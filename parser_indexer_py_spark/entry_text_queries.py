@@ -225,13 +225,27 @@ FROM documents GROUP BY 1
 
 # one persisted grams DataFrame per (session, sf_dir): repeated dedup
 # queries (bench reps, LSH + exhaustive in one run) reuse a single cached
-# copy instead of each persist()ing its own and evicting the pinned index
+# copy instead of each persist()ing its own and evicting the pinned index.
+# Bounded: beyond _GRAMS_CACHE_MAX entries the oldest is unpersisted.
+# Staleness contract: the cache assumes sf_dir contents are immutable for
+# the session (true for the driver-generated testdata); after rewriting a
+# dataset in place, call clear_grams_cache().
 _GRAMS_CACHE: dict = {}
+_GRAMS_CACHE_MAX = 4
+
+
+def clear_grams_cache() -> None:
+    for df in _GRAMS_CACHE.values():
+        df.unpersist()
+    _GRAMS_CACHE.clear()
 
 
 def _grams_cached(spark, sf_dir) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _GRAMS_CACHE:
+        while len(_GRAMS_CACHE) >= _GRAMS_CACHE_MAX:
+            old_key = next(iter(_GRAMS_CACHE))
+            _GRAMS_CACHE.pop(old_key).unpersist()
         _GRAMS_CACHE[key] = _grams(spark, sf_dir).persist()
     return _GRAMS_CACHE[key]
 

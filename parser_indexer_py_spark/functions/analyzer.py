@@ -169,13 +169,35 @@ def parse_synonyms(lines) -> dict[str, list[str]]:
     return out
 
 
+def synonym_groups(
+    tokens: list[str], synonyms: dict[str, list[str]] | None
+) -> list[set]:
+    """One expansion set per token, with every synonym TARGET itself
+    analyzed — a target like 'flat-screen' contributes the index terms
+    {flat, screen}, never an unanalyzable literal. This is the single
+    source of truth for query-side expansion; with conjunctive queries a
+    doc must match >= 1 term of every group (Solr SynonymQuery AND)."""
+    groups: list[set] = []
+    for tok in tokens:
+        if synonyms and tok in synonyms:
+            g: set = set()
+            for target in synonyms[tok]:
+                g.update(analyze_text(target))
+            groups.append(g or {tok})
+        else:
+            groups.append({tok})
+    return groups
+
+
 def expand_synonyms(
     tokens: list[str], synonyms: dict[str, list[str]] | None
 ) -> list[str]:
-    """Apply a parsed synonym map to an analyzed token list (query side)."""
+    """Flatten :func:`synonym_groups` per token (query side, OR
+    semantics). Targets are analyzed — identical behavior to the search
+    path's group expansion."""
     if not synonyms:
         return list(tokens)
     out: list[str] = []
-    for t in tokens:
-        out.extend(synonyms.get(t, [t]))
+    for tok, g in zip(tokens, synonym_groups(tokens, synonyms)):
+        out.extend(sorted(g) if g != {tok} else [tok])
     return out

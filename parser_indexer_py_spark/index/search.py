@@ -130,9 +130,12 @@ def _make_decoder(avgdl: float):
     return decode
 
 
-def _score_decoded(decoded: DataFrame) -> DataFrame:
-    """Deterministic per-doc score: fold contribs in ascending term order."""
-    return (
+def _score_decoded(decoded: DataFrame, keep_cs: bool = False) -> DataFrame:
+    """Deterministic per-doc score: fold contribs in ascending term order.
+    ``keep_cs`` retains the collected (term, contrib) structs so callers
+    can derive extra per-doc facts (e.g. synonym-group coverage) from the
+    same single aggregation pass."""
+    out = (
         decoded.groupBy("doc_id")
         .agg(
             F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"),
@@ -144,8 +147,8 @@ def _score_decoded(decoded: DataFrame) -> DataFrame:
                 "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]
             ),
         )
-        .drop("cs")
     )
+    return out if keep_cs else out.drop("cs")
 
 
 def allowed_docs(index: Index, role: str | None, filters: dict | None):
@@ -218,55 +221,38 @@ def search(
     range (e.g. ``{"tool": "search", "ts": (t0, t1)}``). Like Solr, fq
     never changes scoring statistics — it is a semi-join on the docmap
     applied after scoring."""
+    from ..functions.analyzer import synonym_groups
+
     tokens = sorted(set(analyze_text(query)))
-    groups = _synonym_groups(tokens, synonyms)
+    groups = synonym_groups(tokens, synonyms)
     terms = sorted({t for g in groups for t in g})
     spark = index.spark
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    expanded = any(g != {tok} for g, tok in zip(groups, tokens))
-    if mode == "pruned" and not (conjunctive and expanded):
+    # unexpanded queries keep the cheaper n_terms conjunctive filter;
+    # group semantics only differ (and only engage) under real expansion
+    expanded = any(len(g) > 1 for g in groups) or len(terms) != len(groups)
+    groups = groups if expanded else None
+    if mode == "pruned":
         from .wand import DRIVER_META_ROW_CAP, search_pruned
 
-        top = search_pruned(
-            index, terms, k, conjunctive=conjunctive, role=role,
-            filters=filters,
+        topk = search_pruned(
+            index, terms, k, conjunctive=conjunctive, groups=groups,
+            role=role, filters=filters,
             with_meta=with_meta, pool_target=pool_target,
             full_cutover=full_cutover,
             driver_meta_cap=(
                 DRIVER_META_ROW_CAP if driver_meta_cap is None else driver_meta_cap
             ),
         )
-        if with_excerpt and with_meta:
-            top = _attach_excerpts(index, top, terms)
-        return top
-
-    topk = full_eval(
-        index, terms, k, conjunctive=conjunctive,
-        groups=groups if (conjunctive and expanded) else None,
-        role=role, filters=filters, with_meta=with_meta,
-    )
+    else:
+        topk = full_eval(
+            index, terms, k, conjunctive=conjunctive, groups=groups,
+            role=role, filters=filters, with_meta=with_meta,
+        )
     if with_meta and with_excerpt:
         topk = _attach_excerpts(index, topk, terms)
     return topk
-
-
-def _synonym_groups(
-    tokens: list[str], synonyms: dict[str, list[str]] | None
-) -> list[set]:
-    """One expansion set per distinct original token. Targets are analyzed
-    so un-analyzable variants (hyphens, phrases) become real index terms —
-    a target like 'flat-screen' contributes {flat, screen}."""
-    groups = []
-    for tok in tokens:
-        if synonyms and tok in synonyms:
-            g = set()
-            for target in synonyms[tok]:
-                g.update(analyze_text(target))
-            groups.append(g or {tok})
-        else:
-            groups.append({tok})
-    return groups
 
 
 def full_eval(
@@ -289,24 +275,43 @@ def full_eval(
     ``groups`` (optional, with conjunctive) holds one expansion set per
     original query token: a doc qualifies when it matches >= 1 term of
     every group (Solr SynonymQuery AND semantics)."""
-    spark = index.spark
     blocks = _blocks_for_terms(index, terms)
     decoded = blocks.select("term", "n", "idf", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
         _make_decoder(index.avgdl), _DECODED_SCHEMA
     )
-    scored = _score_decoded(decoded)
-    if conjunctive and groups is not None:
-        gid_rows = [(t, gi) for gi, g in enumerate(groups) for t in sorted(g)]
-        gid_df = spark.createDataFrame(gid_rows, "term string, gid int")
-        matched = (
-            decoded.select("term", "doc_id")
-            .join(F.broadcast(gid_df), "term")
-            .groupBy("doc_id")
-            .agg(F.countDistinct("gid").alias("n_groups"))
-            .filter(F.col("n_groups") == len(groups))
-            .select("doc_id")
+    use_groups = conjunctive and groups is not None
+    scored = _score_decoded(decoded, keep_cs=use_groups)
+    if use_groups:
+        # group coverage from the SAME collected (term, contrib) structs
+        # _score_decoded aggregates — one decode pass, no second subtree.
+        # A term may sit in several groups (shared synonym variant):
+        # flatten term -> [gids] and count distinct gids per doc.
+        gids_of = F.create_map(
+            *[
+                x
+                for t in terms
+                for x in (
+                    F.lit(t),
+                    F.array(
+                        *[
+                            F.lit(gi)
+                            for gi, g in enumerate(groups)
+                            if t in g
+                        ]
+                    ),
+                )
+            ]
         )
-        scored = scored.join(matched, "doc_id", "left_semi")
+        n_groups = F.size(
+            F.array_distinct(
+                F.flatten(F.transform("cs", lambda x: gids_of[x["term"]]))
+            )
+        )
+        scored = (
+            scored.withColumn("n_groups", n_groups)
+            .filter(F.col("n_groups") == len(groups))
+            .drop("n_groups", "cs")
+        )
     elif conjunctive:
         scored = scored.filter(F.col("n_terms") == len(terms))
     scored = scored.drop("n_terms")

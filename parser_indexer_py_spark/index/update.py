@@ -20,12 +20,13 @@ re-indexing, which is the streaming segment-append path
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .build import IndexPaths, Manifest, docmap_dkey
+from .build import DOCMAP_PARTS, IndexPaths, Manifest, docmap_dkey
 
 UPDATABLE = ("role", "tool", "ts")
 
@@ -52,15 +53,31 @@ def update_docmap(
         )
     # duplicate keys would fan out the left join below and permanently
     # write duplicated docmap rows — reject with a clear contract (batch
-    # conflicting patches into one row per key upstream)
-    n_up = updates.count()
-    n_keys = updates.select(*key_cols).distinct().count()
-    if n_keys != n_up:
+    # conflicting patches into one row per key upstream). One Spark job:
+    # per-key counts aggregated to (keys, rows, max multiplicity).
+    ks = (
+        updates.groupBy(*key_cols)
+        .count()
+        .agg(
+            F.count("*").alias("keys"),
+            F.sum("count").alias("rows"),
+            F.max("count").alias("maxc"),
+        )
+        .collect()[0]
+    )
+    if ks["maxc"] is not None and int(ks["maxc"]) > 1:
         raise ValueError(
-            f"updates contain {n_up - n_keys} duplicate {key_cols} keys; "
-            "merge conflicting patches into one row per key first"
+            f"updates contain {int(ks['rows']) - int(ks['keys'])} duplicate "
+            f"{key_cols} keys; merge conflicting patches into one row per "
+            "key first"
         )
     paths = IndexPaths(index_root)
+    # crash recovery: an interrupted legacy-layout migration (below) has a
+    # window where the docmap dir was renamed away but the new one not yet
+    # moved in — restore the preserved copy before proceeding
+    old_dir = paths.docmap + ".old"
+    if not os.path.exists(paths.docmap) and os.path.exists(old_dir):
+        os.replace(old_dir, paths.docmap)
     docmap = spark.read.parquet(paths.docmap)
     legacy = "dkey" not in docmap.columns
     if legacy:
@@ -100,8 +117,10 @@ def update_docmap(
     if legacy:
         # migration commit: the old layout has row files at the dir root,
         # which a dynamic partition-overwrite would leave in place beside
-        # the new dkey=*/ dirs — stage the full rewrite and atomically swap
-        import os
+        # the new dkey=*/ dirs — stage the full rewrite, then swap (two
+        # renames; the missing-dir window is healed by the crash-recovery
+        # restore at the top of this function). Local-FS analog only: under
+        # Iceberg this whole path is a MERGE INTO + snapshot commit.
         import shutil
 
         tmp = paths.docmap + ".migrating"
@@ -134,6 +153,11 @@ def update_docmap(
         f"docmap_update_{int(time.time() * 1000)}",
         rows_updated=int(n_updated),
         columns=[c for c in updates.columns if c not in key_cols],
-        touched_partitions=[int(d) for d in touched],
+        # a legacy migration rewrites EVERY partition, not just the ones
+        # holding updated keys — the manifest must say so
+        touched_partitions=(
+            list(range(DOCMAP_PARTS)) if legacy else [int(d) for d in touched]
+        ),
+        migrated_layout=bool(legacy),
     )
     return int(n_updated)

@@ -103,6 +103,7 @@ def search_pruned(
     k: int,
     *,
     conjunctive: bool = False,
+    groups: list | None = None,
     role: str | None = None,
     filters: dict | None = None,
     with_meta: bool = True,
@@ -114,7 +115,11 @@ def search_pruned(
     pool to force the completeness check to fail and exercise the
     full-evaluation fallback). ``full_cutover`` overrides the adaptive
     pruned/full switch (postings-volume threshold; tests pin it to 0 to
-    force the pruned machinery on small corpora)."""
+    force the pruned machinery on small corpora). ``groups`` carries
+    synonym expansion sets: an EXPANDED conjunctive query needs per-group
+    AND semantics, which phase 3's n_terms filter cannot express — such
+    queries route to the group-aware full evaluation here, so the
+    invariant holds for direct callers too, not just search()."""
     from .search import (  # cycle-free
         _blocks_for_terms,
         _score_decoded,
@@ -129,9 +134,15 @@ def search_pruned(
         # a query string (synonym-expanded terms may not round-trip the
         # analyzer, which would make the fallback answer a different query)
         return full_eval(
-            index, terms, k, conjunctive=conjunctive, role=role,
-            filters=filters, with_meta=with_meta,
+            index, terms, k, conjunctive=conjunctive, groups=groups,
+            role=role, filters=filters, with_meta=with_meta,
         )
+
+    expanded = groups is not None and (
+        any(len(g) > 1 for g in groups) or len(groups) != len(terms)
+    )
+    if conjunctive and expanded:
+        return _fallback()
 
     # ---- phase 0: adaptive cutover from termstats (|terms| rows) -----------
     cutover = FULL_CUTOVER_POSTINGS if full_cutover is None else full_cutover
