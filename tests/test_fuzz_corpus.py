@@ -1,0 +1,97 @@
+"""Randomized nasty-corpus end-to-end gate: engine (full AND pruned) must
+match the pure-Python BM25 oracle bit-for-bit on corpora deliberately full
+of edge cases — empty texts, unicode folds, hyphen-wrapped lines, internal
+periods/apostrophes, duplicate documents, single-token docs, skewed term
+frequencies. Seeded numpy randomness: deterministic across runs.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from parser_indexer_py_spark.index.build import build_index
+from parser_indexer_py_spark.index.oracle import BM25Oracle
+from parser_indexer_py_spark.index.search import load_index, search
+
+# vocabulary exercising analyzer edge cases: folds, internal punctuation,
+# digits, tokens that tokenize to multiple terms, a hot (Zipf-ish) term
+VOCAB = [
+    "alpha", "beta", "gamma", "delta", "hot", "hot", "hot", "hot",
+    "u.s.a", "don't", "3.14", "a•b",      # bullet folds to a.b
+    "wrap-\nped",                                 # de-hyphenation
+    "CASE", "x_y", "“quoted”", "en–dash",
+]
+
+ROLES = ["user", "assistant", "system", "tool"]
+
+
+def _random_corpus(seed: int, n_docs: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_docs):
+        conv = f"conv-{i // 5:06d}"
+        turn = i % 5
+        role = ROLES[int(rng.integers(0, len(ROLES)))]
+        shape = rng.random()
+        if shape < 0.06:
+            text = ""                                     # empty doc
+        elif shape < 0.12:
+            text = str(VOCAB[int(rng.integers(0, len(VOCAB)))])  # single token
+        elif shape < 0.18 and rows:
+            text = rows[-1][3]                            # exact duplicate
+        else:
+            k = int(rng.integers(2, 30))
+            words = [VOCAB[int(j)] for j in rng.integers(0, len(VOCAB), k)]
+            text = " ".join(words)
+        rows.append((conv, turn, role, text, None))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool"]
+    )
+    pdf["ts"] = pd.Timestamp("2025-06-01")
+    return pdf
+
+
+QUERIES = [
+    "hot",                      # hottest term
+    "alpha gamma",              # multi-OR
+    "a•b u.s.a",         # fold + internal periods
+    "wrapped",                  # only matches via de-hyphenation
+    "missingterm",              # OOV -> empty or partial
+    "hot missingterm alpha",    # mixed
+    "don't 3.14",
+]
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_fuzz_engine_matches_oracle(spark, tmp_path_factory, seed):
+    pdf = _random_corpus(seed, 120)
+    out = str(tmp_path_factory.mktemp(f"fuzz{seed}"))
+    df = spark.createDataFrame(pdf)
+    build_index(spark, df, out, n_buckets=4, salt=2, n_chunks=2)
+    idx = load_index(spark, out)
+    dm = idx.docmap.select("doc_id", "text", "role").toPandas()
+    oracle = BM25Oracle.from_pandas(dm)
+
+    for q in QUERIES:
+        for conjunctive in (False, True):
+            want = oracle.search(q, k=10, conjunctive=conjunctive)
+            for mode_kw in (
+                {"mode": "full"},
+                {"mode": "pruned", "full_cutover": 0},
+                {"mode": "pruned", "full_cutover": 0, "driver_meta_cap": 0},
+            ):
+                got = [
+                    (r["doc_id"], r["score"])
+                    for r in search(
+                        idx, q, k=10, conjunctive=conjunctive,
+                        with_meta=False, **mode_kw
+                    ).collect()
+                ]
+                assert got == want, (seed, q, conjunctive, mode_kw)
+        # role-filtered
+        want_r = oracle.search(q, k=10, role="user")
+        got_r = [
+            (r["doc_id"], r["score"])
+            for r in search(idx, q, k=10, role="user", with_meta=False).collect()
+        ]
+        assert got_r == want_r, (seed, q, "role")
