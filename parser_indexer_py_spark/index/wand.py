@@ -159,7 +159,12 @@ def search_pruned(
 
     blocks = _blocks_for_terms(index, terms)
     if pool_target is None:
-        pool_target = max(8 * k, 4 * k * len(terms))
+        # measured at 6.5M docs: the old max(8k, 4k|q|) pool left the
+        # residual bound R above theta_k (R is the SUM over terms of the
+        # best pruned bound, so a rare high-idf term's unselected blocks
+        # dominate it) — every query silently fell back to full
+        # evaluation. 64k/16k|q| postings is still ~1e-5 of a hot term.
+        pool_target = max(64 * k, 16 * k * len(terms))
     est_meta_rows = total_postings // 128 + len(terms)
 
     if est_meta_rows <= driver_meta_cap:
@@ -173,19 +178,44 @@ def search_pruned(
         cum = meta["n"].cumsum()
         take = int(np.searchsorted(cum.to_numpy(), pool_target, side="left")) + 1
         take = min(take, len(meta))
-        selected, pruned = meta.iloc[:take], meta.iloc[take:]
+        # per-term floor: R sums each term's best PRUNED bound, so global
+        # by-score selection alone lets one term's untouched top blocks
+        # keep R high; always take every term's top-B blocks as well
+        per_term_b = max(2, int(np.ceil(pool_target / (128.0 * len(terms)))))
+        sel_idx = np.union1d(
+            np.arange(take),
+            meta.groupby("term", sort=False).head(per_term_b).index.to_numpy(),
+        )
+        selected = meta.loc[sel_idx]
+        pruned = meta.drop(index=sel_idx)
         # residual bound: best pruned block per term, summed over terms
         R = (
             float(pruned.groupby("term")["block_max_score"].max().sum())
             if len(pruned)
             else 0.0
         )
-        sel_keys = spark.createDataFrame(
-            selected[["term", "block_id"]], "term string, block_id int"
-        )
-        sel_blocks = blocks.join(
-            F.broadcast(sel_keys), ["term", "block_id"], "left_semi"
-        )
+        # selection as a PUSHABLE predicate (term == t AND block_id IN ids)
+        # rather than a broadcast semi-join: the join form reads every
+        # block's binary payload before discarding rows, while the
+        # predicate reaches the parquet scan (measured at 6.5M docs: the
+        # join form made the whole pruned path slower than full
+        # evaluation). Falls back to the join form only for very large
+        # selections, where a literal IN-list would bloat the plan.
+        if len(selected) <= 1024:
+            cond = None
+            for t, g in selected.groupby("term"):
+                c = (F.col("term") == t) & F.col("block_id").isin(
+                    [int(b) for b in g["block_id"]]
+                )
+                cond = c if cond is None else (cond | c)
+            sel_blocks = blocks.filter(cond)
+        else:
+            sel_keys = spark.createDataFrame(
+                selected[["term", "block_id"]], "term string, block_id int"
+            )
+            sel_blocks = blocks.join(
+                F.broadcast(sel_keys), ["term", "block_id"], "left_semi"
+            )
     else:
         # ---- phase 1b: DISTRIBUTED block selection (driver sees O(1) rows) --
         # tau = approximate block_max_score quantile such that ~pool_target
@@ -228,9 +258,32 @@ def search_pruned(
         .collect()
     )
     candidates = np.array([r["doc_id"] for r in cand_rows], dtype=np.int64)
+    if candidates.size == 0:
+        return _fallback()
 
-    # ---- phase 3: exact rescore of candidates over ALL query-term blocks ----
-    decoded = blocks.select(
+    # ---- phase 3: exact rescore of candidates ------------------------------
+    # decode ONLY blocks whose [doc_min, doc_max] range can contain a
+    # candidate (every posting of a candidate doc lives in such a block, so
+    # this prunes no needed data). The broadcast side is the O(k*|q|)
+    # candidate list; the non-equi semi-join runs as a BroadcastNestedLoop
+    # over block METADATA rows, before any payload is transferred/decoded —
+    # this is what makes pruned evaluation decode strictly less than full
+    # evaluation (round-2 scale-up measured phase 3 decoding everything and
+    # losing to the full path at 6.5M docs).
+    cand_df = spark.createDataFrame(
+        [(int(c),) for c in candidates], "cand long"
+    )
+    # coarse PUSHED bounds first (row-group min/max skipping on the scan),
+    # then the exact per-candidate range semi-join on the survivors
+    blocks3 = blocks.filter(
+        (F.col("doc_max") >= int(candidates.min()))
+        & (F.col("doc_min") <= int(candidates.max()))
+    ).join(
+        F.broadcast(cand_df),
+        (F.col("cand") >= F.col("doc_min")) & (F.col("cand") <= F.col("doc_max")),
+        "left_semi",
+    )
+    decoded = blocks3.select(
         "term", "n", "idf", "docs_bin", "tfs_bin", "dls_bin"
     ).mapInPandas(_make_filtered_decoder(index.avgdl, candidates), _DECODED_SCHEMA)
     scored = _score_decoded(decoded)
