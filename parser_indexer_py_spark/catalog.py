@@ -63,11 +63,7 @@ class TableCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._path(table))
-        snaps = self._read_manifest(table)
-        sid = (snaps[-1]["id"] + 1) if snaps else 1
-        snaps.append({"id": sid, "ts": time.time()})
-        self._write_manifest(table, snaps)
-        return sid
+        return self._commit(table, df.schema.json(), op="append")
 
     def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> int:
         if self.use_iceberg:
@@ -77,13 +73,41 @@ class TableCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._path(table))
-        self._write_manifest(table, [{"id": 1, "ts": time.time()}])
-        return 1
+        return self._commit(table, df.schema.json(), op="overwrite")
+
+    def _commit(self, table: str, schema_json: str, op: str) -> int:
+        """Record a snapshot. IDs are MONOTONIC across appends, overwrites
+        and truncations — matching Iceberg, where every operation creates
+        a new, higher snapshot (round-2 review: resetting on
+        overwrite/delete made resume/lineage consumers treat new data as
+        already seen). The last schema is kept so a truncated table still
+        reads as an empty, correctly-typed DataFrame."""
+        snaps = self._read_manifest(table)
+        sid = (snaps[-1]["id"] + 1) if snaps else 1
+        snaps.append({"id": sid, "ts": time.time(), "op": op, "schema": schema_json})
+        self._write_manifest(table, snaps)
+        return sid
 
     def read(self, table: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(self._ident(table))
-        return self.spark.read.parquet(self._path(table))
+        path = self._path(table)
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") or not f.startswith(("_", "."))
+            for f in os.listdir(path)
+        ):
+            return self.spark.read.parquet(path)
+        # truncated (or never-written) table: empty DataFrame with the
+        # last committed schema — Iceberg-read parity
+        snaps = self._read_manifest(table)
+        schemas = [s["schema"] for s in snaps if s.get("schema")]
+        if not schemas:
+            raise ValueError(f"table {table!r} does not exist in {self.base}")
+        from pyspark.sql import types as T
+
+        return self.spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(schemas[-1]))
+        )
 
     def snapshot_id(self, table: str) -> int:
         if self.use_iceberg:
@@ -103,8 +127,18 @@ class TableCatalog:
             return
         import shutil
 
+        snaps = self._read_manifest(table)
+        last_schema = next(
+            (s["schema"] for s in reversed(snaps) if s.get("schema")), None
+        )
         shutil.rmtree(self._path(table), ignore_errors=True)
-        self._write_manifest(table, [])
+        # truncation is a NEW snapshot (id keeps increasing, like Iceberg's
+        # DELETE); history is preserved, schema carried for empty reads
+        sid = (snaps[-1]["id"] + 1) if snaps else 1
+        snaps.append(
+            {"id": sid, "ts": time.time(), "op": "truncate", "schema": last_schema}
+        )
+        self._write_manifest(table, snaps)
 
     # -- manifest ------------------------------------------------------------
     def _read_manifest(self, table: str) -> list[dict]:

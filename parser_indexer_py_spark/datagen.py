@@ -99,8 +99,22 @@ def _gen_convs(
     min_tokens: int = MIN_TOKENS,
     max_tokens: int = MAX_TOKENS,
 ) -> pd.DataFrame:
-    """Expand an array of conversation numbers into their turn rows."""
+    """Expand an array of conversation numbers into their turn rows.
+    ``max_tokens`` is an EXCLUSIVE bound (turns carry min..max-1 tokens) —
+    documented rather than changed: the generator is the deterministic
+    twin for every golden corpus already recorded."""
     conv_nums = conv_nums.astype(np.uint64)
+    if len(conv_nums) == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=str),
+                "turn_idx": pd.Series([], dtype=np.int32),
+                "role": pd.Series([], dtype=str),
+                "text": pd.Series([], dtype=str),
+                "tool": pd.Series([], dtype=object),
+                "ts": pd.Series([], dtype="datetime64[s]"),
+            }
+        )
     n_turns = 1 + (
         _u01(_h(conv_nums, np.uint64(1))) * MAX_TURNS_PER_CONV
     ).astype(np.int64)

@@ -104,8 +104,11 @@ def q_numeric_literal_cast(spark, sf_dir):
     (csvindexer.py:47-48's literal-inference analog)."""
     ev = _t(spark, sf_dir, "events")
     raw = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+    # bound to 18 digits: a >=19-digit literal overflows BIGINT, where
+    # Spark's cast silently NULLs but DuckDB's CAST raises — the bounded
+    # pattern keeps both engines on defined, identical behavior
     return (
-        ev.withColumn("k_val", F.when(raw.rlike("^[0-9]+$"), raw.cast("long")))
+        ev.withColumn("k_val", F.when(raw.rlike("^[0-9]{1,18}$"), raw.cast("long")))
         .groupBy("event_type")
         .agg(
             F.sum("k_val").alias("sum_k"),
@@ -116,10 +119,10 @@ def q_numeric_literal_cast(spark, sf_dir):
 
 SQL_NUMERIC_CAST = r"""
 SELECT event_type,
-       CAST(SUM(CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) ~ '^[0-9]+$'
+       CAST(SUM(CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) ~ '^[0-9]{1,18}$'
                 THEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) END)
             AS BIGINT) AS sum_k,
-       COUNT(CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) ~ '^[0-9]+$'
+       COUNT(CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) ~ '^[0-9]{1,18}$'
                   THEN 1 END) AS n_parsed
 FROM events GROUP BY event_type
 """
@@ -260,7 +263,14 @@ def q_sessionize(spark, sf_dir):
     (corenlp_parser.py:85-101's adjacent-token merge, as sessionization)."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # FULL-precision gap in both engines: timestamp->double is fractional
+    # epoch seconds in Spark AND DuckDB's epoch() (unix_timestamp() would
+    # floor-truncate to whole seconds and classify boundary gaps
+    # differently than the oracle — found in round-2 review). ts is
+    # TIMESTAMP_NTZ: hop through TIMESTAMP (UTC session) for the cast —
+    # the gap is a difference, so the interpretation offset cancels.
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
     return (
         ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
         .groupBy("user_id")

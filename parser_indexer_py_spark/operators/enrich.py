@@ -111,10 +111,18 @@ def merge_adjacent_spans(
 ) -> DataFrame:
     """J7/W1: merge spans whose begin is within ``max_gap`` of the previous
     span's end (adjacent NER tokens -> multi-word span,
-    corenlp_parser.py:82-101). Window lag + gap-flag cumulative sum ->
-    island ids -> one aggregate; linear, no self-join."""
-    w = W.partitionBy(*part_cols).orderBy(begin_col)
-    gap = F.col(begin_col) - F.lag(end_col).over(w)
+    corenlp_parser.py:82-101). Window gap-flag cumulative sum ->
+    island ids -> one aggregate; linear, no self-join.
+
+    The gap compares begin against the RUNNING MAX of previous ends, not
+    lag(end): with nested/overlapping spans (e.g. (0,100) then (5,10) then
+    (20,30)) lag(end)=10 would wrongly start a new island inside the
+    still-open (0,100) span (round-2 review finding)."""
+    w = W.partitionBy(*part_cols).orderBy(begin_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    gap = F.col(begin_col) - prev_max_end
     flagged = df.withColumn(
         "_new_island", F.when(gap.isNull() | (gap > max_gap), 1).otherwise(0)
     ).withColumn(

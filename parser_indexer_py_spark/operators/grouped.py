@@ -30,11 +30,18 @@ from pyspark.sql import DataFrame
 
 def _carry_split(pdf: pd.DataFrame, group_cols: list[str]) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Split off the trailing rows belonging to the last (possibly
-    incomplete) group. Requires pdf sorted by group_cols."""
+    incomplete) group. Requires pdf sorted by group_cols. Null-safe: a
+    null group key equals itself here (plain == is all-False against
+    NaN/None, which would emit a null-keyed group as 'complete' and split
+    it across fn calls — round-2 review finding)."""
     last = pdf.iloc[-1]
     mask = np.ones(len(pdf), dtype=bool)
     for c in group_cols:
-        mask &= (pdf[c] == last[c]).to_numpy()
+        col = pdf[c]
+        if pd.isna(last[c]):
+            mask &= col.isna().to_numpy()
+        else:
+            mask &= (col == last[c]).to_numpy()
     # sorted => rows of the last group are the contiguous True tail
     cut = int(len(pdf) - mask[::-1].argmin()) if not mask.all() else 0
     return pdf.iloc[:cut], pdf.iloc[cut:]

@@ -107,11 +107,18 @@ def decode_media(
 
 
 def repartition_for_media(
-    df: DataFrame, size_col: str = "n_bytes", target_bytes: int = 256 << 20
+    df: DataFrame,
+    size_col: str | None = None,
+    target_bytes: int = 256 << 20,
+    blob_col: str = "data",
 ) -> DataFrame:
     """Partition heavy blob rows by cumulative byte size, not row count —
-    one driver-side agg to size the partition count, then a hash spread."""
-    total = df.agg(F.sum(size_col).alias("s")).head()["s"] or 0
+    one driver-side agg to size the partition count, then a hash spread.
+    By default sizes from ``length(data)`` on the raw media table (the
+    round-1 default named a column only the DECODED output carries);
+    pass ``size_col`` when a precomputed byte count exists."""
+    size_expr = F.col(size_col) if size_col else F.length(F.col(blob_col))
+    total = df.agg(F.sum(size_expr).alias("s")).head()["s"] or 0
     parts = max(1, int(total // target_bytes) + 1)
     return df.repartition(parts)
 

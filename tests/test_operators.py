@@ -294,8 +294,15 @@ def test_catalog_parquet_fallback(spark, tmp_path):
     assert (s1, s2) == (1, 2)
     assert cat.read("t").count() == 10
     assert cat.snapshot_id("t") == 2
+    # snapshot ids stay MONOTONIC through truncation (Iceberg parity:
+    # DELETE creates a new, higher snapshot) and a truncated table reads
+    # as an empty, correctly-typed DataFrame
     cat.delete_all("t")
-    assert cat.snapshot_id("t") == 0
+    assert cat.snapshot_id("t") == 3
+    empty = cat.read("t")
+    assert empty.count() == 0 and empty.columns == ["x"]
+    assert cat.append(df, "t") == 4
+    assert cat.read("t").count() == 5
 
 
 def test_sources(spark, tmp_path):
@@ -326,6 +333,61 @@ def test_sources(spark, tmp_path):
     assert point_lookup(df, "k", 42).head()["k"] == 42
     page = [r["k"] for r in paged_scan(df, ["k"], 10, 5).collect()]
     assert page == [10, 11, 12, 13, 14]
+
+
+def test_merge_adjacent_spans_overlapping(spark):
+    """Round-2 review: a span nested in / overlapping an earlier long span
+    must join its island — the gap compares against the running max of
+    ends, not lag(end)."""
+    from parser_indexer_py_spark.operators.enrich import merge_adjacent_spans
+
+    pdf = pd.DataFrame(
+        {
+            "doc": ["d"] * 4,
+            "begin": [0, 5, 20, 205],
+            "end": [100, 10, 30, 210],
+            "text": ["long", "nested", "inside", "far"],
+        }
+    )
+    out = (
+        merge_adjacent_spans(spark.createDataFrame(pdf), ["doc"])
+        .orderBy("begin")
+        .collect()
+    )
+    assert [(r["begin"], r["end"], r["n_merged"]) for r in out] == [
+        (0, 100, 3),
+        (205, 210, 1),
+    ]
+
+
+def test_carry_split_null_group_keys():
+    """Round-2 review: a null-keyed group must be CARRIED across batch
+    boundaries, not emitted as complete (== against NaN is all-False)."""
+    from parser_indexer_py_spark.operators.grouped import _carry_split
+
+    pdf = pd.DataFrame({"k": [None, None, None], "v": [1, 2, 3]})
+    head, carry = _carry_split(pdf, ["k"])
+    assert len(head) == 0 and len(carry) == 3
+    pdf2 = pd.DataFrame({"k": ["a", "a", None], "v": [1, 2, 3]})
+    head2, carry2 = _carry_split(pdf2, ["k"])
+    assert list(head2["k"]) == ["a", "a"] and len(carry2) == 1
+
+
+def test_datagen_empty_and_media_repartition(spark):
+    from parser_indexer_py_spark.datagen import generate_transcripts_pandas
+    from parser_indexer_py_spark.operators.multimodal import (
+        generate_fake_media,
+        repartition_for_media,
+    )
+
+    empty = generate_transcripts_pandas(0)
+    assert len(empty) == 0
+    assert list(empty.columns) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    # default sizing works on the RAW media table (round-2 review: the old
+    # default named a column only the decoded output carries)
+    media = generate_fake_media(spark, 12)
+    out = repartition_for_media(media, target_bytes=1 << 10)
+    assert out.count() == 12 and out.rdd.getNumPartitions() >= 1
 
 
 def test_gram_slide_matches_naive_shingles(spark, tmp_path):
