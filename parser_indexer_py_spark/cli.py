@@ -1,18 +1,19 @@
-"""CLI entrypoint for spark-submit.
+"""CLI entrypoint (argparse core shared by local `python -m` use and the
+spark-submit wrapper).
 
-Production shape (north_rule):
+Production shape (north_rule; see scripts/submit_build.sh which does
+exactly this):
 
     zip -r pkg.zip parser_indexer_py_spark
     spark-submit --py-files pkg.zip \\
         --master <cluster> [--packages org.apache.iceberg:...] \\
-        -m parser_indexer_py_spark.cli build \\
+        scripts/submit_main.py build \\
         --input <table-or-parquet> --out /data/index
 
 Subcommands:
   build   — build/resume the index from a transcripts table
   search  — run a BM25 top-k query against an index
   gen     — write a deterministic synthetic transcripts corpus
-  bench   — timed build+search, prints one JSON line
 
 In local mode the session factory propagates PYTHONPATH so --py-files is
 optional; on a cluster the zip is required (executors have no repo checkout).
@@ -77,10 +78,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "build":
         from .index.build import build_index
 
+        import os
+
         t0 = time.time()
+        # path vs table: anything that exists on disk, carries a path
+        # separator, or has a parquet suffix is a file path; only bare
+        # catalog identifiers go to read.table (round-2 review: a
+        # slash-free relative path like 'transcripts.parquet' used to be
+        # misrouted to the table reader)
+        is_path = (
+            os.path.exists(args.input)
+            or "/" in args.input
+            or args.input.endswith(".parquet")
+        )
         df = (
             spark.read.parquet(args.input)
-            if "/" in args.input
+            if is_path
             else spark.read.table(args.input)
         )
         build_index(

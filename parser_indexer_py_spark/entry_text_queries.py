@@ -556,10 +556,13 @@ def q_ann_cosine_topk(spark, sf_dir):
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .withColumn("cos_raw", cos)
-        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        # float policy: LIMIT selection must be deterministic across
+        # engines, so order by the ROUNDED cosine (raw doubles differ by
+        # ~1 ulp between Spark's ordered fold and DuckDB's SUM order)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
+        .select("vec_id", "cosine")
     )
 
 
@@ -567,7 +570,7 @@ SQL_ANN_TOPK = ("WITH x AS (SELECT 1)" + SQL_COSINE_PAIRS.format(
     pair_cond="a.vec_id = 0 AND b.vec_id != 0"
 ) + """
 SELECT vb AS vec_id, ROUND(dot / (na * nb), 6) AS cosine
-FROM pr ORDER BY dot / (na * nb) DESC, vb LIMIT 10
+FROM pr ORDER BY ROUND(dot / (na * nb), 6) DESC, vb LIMIT 10
 """)
 
 COS_TAU = 0.45
@@ -797,10 +800,13 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     return (
         emb.join(cands, "vec_id", "left_semi")
         .crossJoin(F.broadcast(q))
-        .withColumn("cos_raw", cos)
-        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        # float policy: LIMIT selection must be deterministic across
+        # engines, so order by the ROUNDED cosine (raw doubles differ by
+        # ~1 ulp between Spark's ordered fold and DuckDB's SUM order)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
+        .select("vec_id", "cosine")
     )
 
 
@@ -842,7 +848,7 @@ WITH ex AS (
   WHERE a.vec_id = 0 AND b.vec_id IN (SELECT vec_id FROM cands)
   GROUP BY a.vec_id, b.vec_id)
 SELECT vb AS vec_id, ROUND(dot / (na * nb), 6) AS cosine
-FROM pr ORDER BY dot / (na * nb) DESC, vb LIMIT 10
+FROM pr ORDER BY ROUND(dot / (na * nb), 6) DESC, vb LIMIT 10
 """
 
 
@@ -896,10 +902,13 @@ def q_ann_ivf_probe(spark, sf_dir):
     return (
         emb.join(cands, "vec_id", "left_semi")
         .crossJoin(F.broadcast(q))
-        .withColumn("cos_raw", cos)
-        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        # float policy: LIMIT selection must be deterministic across
+        # engines, so order by the ROUNDED cosine (raw doubles differ by
+        # ~1 ulp between Spark's ordered fold and DuckDB's SUM order)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
+        .select("vec_id", "cosine")
     )
 
 
@@ -931,7 +940,7 @@ WITH ex AS (
   WHERE a.vec_id = 0 AND b.vec_id IN (SELECT vec_id FROM cands)
   GROUP BY b.vec_id)
 SELECT vec_id, ROUND(dot / (na * nb), 6) AS cosine
-FROM pr ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
+FROM pr ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_id LIMIT 10
 """
 
 

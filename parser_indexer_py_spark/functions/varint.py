@@ -20,17 +20,15 @@ _U7 = np.uint64(7)
 _U127 = np.uint64(0x7F)
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """LEB128-encode a non-negative integer array."""
+def encode_varint(values: np.ndarray, _nb: np.ndarray | None = None) -> bytes:
+    """LEB128-encode a non-negative integer array. ``_nb`` optionally
+    supplies precomputed per-value byte counts (grouped encoding computes
+    them anyway for offsets — sharing avoids a second full shift-loop pass
+    on the hottest build path)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value = number of 7-bit groups
-    nb = np.ones(v.shape, dtype=np.int64)
-    tmp = v >> _U7
-    while tmp.any():
-        nb += tmp > 0
-        tmp = tmp >> _U7
+    nb = _varint_nbytes(v) if _nb is None else _nb
     total = int(nb.sum())
     out = np.empty(total, dtype=np.uint8)
     pos = np.zeros(v.size, dtype=np.int64)
@@ -114,8 +112,8 @@ def encode_varint_grouped(values: np.ndarray, starts: np.ndarray) -> list[bytes]
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return []
-    buf = np.frombuffer(encode_varint(v), dtype=np.uint8)
     nb = _varint_nbytes(v)
+    buf = np.frombuffer(encode_varint(v, _nb=nb), dtype=np.uint8)
     byte_off = np.zeros(v.size + 1, dtype=np.int64)
     np.cumsum(nb, out=byte_off[1:])
     ends = np.append(starts[1:], v.size)

@@ -200,42 +200,6 @@ def _encode_partials_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _encode_token_runs_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized partial-run encoder over RAW TOKEN rows (term, salt,
-    doc_id, dl), sorted by (term, salt, doc_id). Computes tf inline as the
-    run-length of equal doc_ids — this removes the separate
-    groupBy(term, doc_id) shuffle entirely: the ONE (term, salt) shuffle is
-    the only full-volume exchange in the posting build."""
-    terms = pdf["term"].to_numpy()
-    salts = pdf["salt"].to_numpy()
-    docs = pdf["doc_id"].to_numpy().astype(np.uint64)
-    dls = pdf["dl"].to_numpy().astype(np.uint64)
-    n = len(pdf)
-    gchange = np.ones(n, dtype=bool)
-    gchange[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-    echange = gchange.copy()
-    echange[1:] |= docs[1:] != docs[:-1]
-    estarts = np.flatnonzero(echange)
-    eends = np.append(estarts[1:], n)
-    tf = (eends - estarts).astype(np.uint64)
-    edocs = docs[estarts]
-    edls = dls[estarts]
-    # group starts, re-indexed into entry space
-    gstarts = np.flatnonzero(gchange[estarts])
-    gends = np.append(gstarts[1:], len(estarts))
-    csum = np.concatenate([[0], np.cumsum(tf.astype(np.int64))])
-    return pd.DataFrame(
-        {
-            "term": terms[estarts][gstarts],
-            "n": (gends - gstarts).astype(np.int32),
-            "cf": csum[gends] - csum[gstarts],
-            "docs_bin": encode_deltas_grouped(edocs, gstarts),
-            "tfs_bin": encode_varint_grouped(tf, gstarts),
-            "dls_bin": encode_varint_grouped(edls, gstarts),
-        }
-    )
-
-
 def _make_local_combiner(n_buckets: int, salt: int, chunk: list[int] | None):
     """Map-side local combine (DESIGN.md 'shuffle budget' option 1): each
     input partition tokenizes its docs in-python (vectorized twin of the
@@ -436,6 +400,24 @@ def build_index(
             if os.path.exists(f):
                 os.remove(f)
     man = Manifest(paths.manifest)
+    # a resumed build MUST use the parameters of the interrupted one:
+    # chunk stages are keyed by bucket range and postings are bucketed by
+    # term % n_buckets, so resuming with different n_buckets/n_chunks/salt
+    # would silently skip buckets or bucket new blocks under a different
+    # modulus than globals.json records (round-2 review finding)
+    params = {"n_buckets": n_buckets, "salt": salt, "n_chunks": n_chunks}
+    prior = next((r for r in man.records if r["stage"] == "params"), None)
+    if prior is not None:
+        mismatch = {
+            k: (prior.get(k), v) for k, v in params.items() if prior.get(k) != v
+        }
+        if mismatch:
+            raise ValueError(
+                f"resume with different build parameters {mismatch}; pass "
+                "resume=False (CLI: --no-resume) to rebuild from scratch"
+            )
+    else:
+        man.add("params", **params)
     P = n_partitions or spark.sparkContext.defaultParallelism * 2
 
     # ---- stage 1+2 fused: docmap (stable docIDs, tokens, dl) ---------------

@@ -27,6 +27,9 @@ class BM25Oracle:
     """Single-process inverted index + scorer over a small corpus."""
 
     def __init__(self, docs: dict[int, list[str]], roles: dict[int, str] | None = None):
+        if not docs:
+            # same contract as build_index's explicit empty-input error
+            raise ValueError("BM25Oracle: corpus is empty")
         self.dl = {d: len(toks) for d, toks in docs.items()}
         self.n_docs = len(docs)
         # exact: integer token total / doc count (matches the engine's

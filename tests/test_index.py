@@ -150,6 +150,17 @@ def test_resume_skips_completed_stages(spark, index, tmp_path_factory, capsys):
     assert time.time() - t0 < 30
 
 
+def test_resume_with_different_params_raises(spark, index):
+    """Round-2 review: chunk stages are keyed by bucket range, so resuming
+    with different n_buckets/n_chunks/salt would silently skip buckets or
+    mis-bucket new blocks — must fail fast instead."""
+    df = generate_transcripts(spark, 5)
+    with pytest.raises(ValueError, match="different build parameters"):
+        build_index(
+            spark, df, index.paths.root, n_buckets=16, salt=4, n_chunks=2
+        )
+
+
 def test_no_resume_rebuild_is_clean(spark, index, oracle, tmp_path_factory):
     """ADVICE r1 build.py:414: a resume=False rebuild over an existing index
     must produce a fresh, correct index — not silently no-op (stale manifest)
