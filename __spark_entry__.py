@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": TQ.q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": TQ.q_dedup_minhash_lsh,
         "dedup_simhash": TQ.q_dedup_simhash,
+        "dedup_simhash_pairs": TQ.q_dedup_simhash_pairs,
         # similarity search over embeddings
         "ann_cosine_topk": TQ.q_ann_cosine_topk,
         "ann_lsh_bucketed": TQ.q_ann_lsh_bucketed,
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": TQ.SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": TQ.SQL_MINHASH_LSH,
         "dedup_simhash": TQ.SQL_SIMHASH,
+        "dedup_simhash_pairs": TQ.SQL_SIMHASH_PAIRS,
         "ann_cosine_topk": TQ.SQL_ANN_TOPK,
         "ann_lsh_bucketed": TQ.SQL_ANN_LSH,
         "ann_ivf_probe": TQ.SQL_ANN_IVF,

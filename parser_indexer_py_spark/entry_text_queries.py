@@ -494,14 +494,87 @@ def q_dedup_simhash(spark, sf_dir):
     return bits
 
 
-SQL_SIMHASH = SQL_TOK + """
+_SQL_SIMHASH_SIGS = SQL_TOK + """
 , bits AS (
   SELECT doc_id, j,
          SUM(((('0x' || substr(md5(w), 1, 15))::BIGINT >> j) & 1) * 2 - 1) AS s
   FROM tok, range(0, 16) r(j)
-  GROUP BY doc_id, j)
-SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id
+  GROUP BY doc_id, j),
+sigs AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id)
+"""
+
+SQL_SIMHASH = _SQL_SIMHASH_SIGS + "SELECT doc_id, simhash FROM sigs"
+
+# SimHash pair detection: Hamming tau and band structure. With 4 bands
+# over a 16-bit signature, any pair within Hamming distance <= 3 shares at
+# least one untouched band (pigeonhole) — candidate recall is EXACTLY 1,
+# not probabilistic. At production scale the same structure applies to
+# 64-bit signatures with 4x16-bit bands.
+SIMHASH_HAM_TAU = 3
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 4
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS (completes the simhash family: signatures ->
+    banded bucket join -> exact Hamming verify <= tau). The band split
+    guarantees full recall at tau=3 by pigeonhole; no all-pairs join."""
+    sigs = q_dedup_simhash(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"CAST(shiftright(simhash, {SIMHASH_BAND_BITS * b})"
+                            f" & {(1 << SIMHASH_BAND_BITS) - 1} AS INT)"
+                        ).alias("val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
+    sb = sigs.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .withColumn("hamming", F.expr("CAST(bit_count(ha ^ hb) AS INT)"))
+        .filter(F.col("hamming") <= SIMHASH_HAM_TAU)
+        .select("da", "db", "hamming")
+    )
+
+
+SQL_SIMHASH_PAIRS = _SQL_SIMHASH_SIGS + f"""
+, bands AS (
+  SELECT doc_id, b AS band,
+         CAST((simhash >> ({SIMHASH_BAND_BITS} * b))
+              & {(1 << SIMHASH_BAND_BITS) - 1} AS INT) AS val
+  FROM sigs, range(0, {SIMHASH_BANDS}) r(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT da, db, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand JOIN sigs sa ON sa.doc_id = da JOIN sigs sb ON sb.doc_id = db
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_HAM_TAU}
 """
 
 
