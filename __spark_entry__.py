@@ -27,16 +27,37 @@ from parser_indexer_py_spark import entry_queries as Q  # noqa: E402
 from parser_indexer_py_spark import entry_text_queries as TQ  # noqa: E402
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on EXECUTORS for a session the caller
+    already created: mutating os.environ['PYTHONPATH'] here is a no-op
+    (the JVM snapshotted its env at launch), so ship a package zip via
+    addPyFile — the runtime equivalent of spark-submit --py-files."""
+    import zipfile
+
+    pkg_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "parser_indexer_py_spark"
+    )
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"pi_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: index a deterministic synthetic transcript corpus and run a
     multi-term BM25 top-10 query (pruned path). Idempotent: the index build
     resumes from its manifest on re-run."""
-    # executors need the package importable regardless of driver cwd
-    pkg_parent = os.path.dirname(os.path.abspath(__file__))
-    if pkg_parent not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            pkg_parent + os.pathsep + os.environ.get("PYTHONPATH", "")
-        ).rstrip(os.pathsep)
+    _ship_package(spark)
 
     from parser_indexer_py_spark.datagen import generate_transcripts
     from parser_indexer_py_spark.index.build import build_index

@@ -44,9 +44,15 @@ def assert_take_ordered(df: DataFrame) -> None:
 
 
 def assert_column_pruned(df: DataFrame, absent_column: str) -> None:
+    """Match the IDENTIFIER boundary in ReadSchema (``<col:`` / ``,col:``):
+    raw substring matching would misfire when the name is a substring of a
+    kept column (e.g. 'price' inside 'l_extendedprice')."""
+    import re
+
     p = plan_string(df)
     scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert scans, f"no ReadSchema in plan:\n{p}"
-    assert all(absent_column not in ln for ln in scans), (
+    pat = re.compile(rf"[<,]{re.escape(absent_column)}:")
+    assert all(not pat.search(ln) for ln in scans), (
         f"column {absent_column!r} not pruned from scan: {scans}"
     )

@@ -68,11 +68,35 @@ class SegmentedIndex:
             out.update(c.get("epochs", [c["epoch"]]))
         return out
 
-    def append_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        """foreachBatch body: build one segment from a micro-batch."""
+    def append_batch(
+        self, batch_df: DataFrame, epoch_id: int, writer_id: str | None = None
+    ) -> None:
+        """foreachBatch body: build one segment from a micro-batch.
+
+        ``writer_id`` identifies the stream (index_stream passes its
+        checkpoint dir). Epoch ids are CHECKPOINT-scoped: a stream
+        restarted with a fresh checkpoint restarts epochs at 0, and
+        silently treating those as replays would drop new data forever —
+        with a writer_id recorded, an epoch collision from a DIFFERENT
+        writer fails loudly instead."""
         commits = self.commits()
-        if epoch_id in self.covered_epochs():
-            return  # exactly-once: epoch replayed after a failure
+        for c in commits:
+            if epoch_id in c.get("epochs", [c["epoch"]]):
+                prev_writer = c.get("writer")
+                if (
+                    writer_id is not None
+                    and prev_writer is not None
+                    and prev_writer != writer_id
+                ):
+                    raise ValueError(
+                        f"epoch {epoch_id} was already committed by a "
+                        f"different stream (writer {prev_writer!r}); a new "
+                        "checkpoint restarts epoch ids — use a fresh "
+                        "index_root (or compact and keep the checkpoint)"
+                    )
+                return  # exactly-once: epoch replayed after a failure
+        if batch_df.isEmpty():
+            return  # empty micro-batch: nothing to index, do not kill the query
         seg_dir = os.path.join(self.root, f"seg-{epoch_id:08d}")
         build_index(self.spark, batch_df, seg_dir, n_chunks=1)
         idx = load_index(self.spark, seg_dir)
@@ -85,6 +109,7 @@ class SegmentedIndex:
                 "n_docs": int(idx.n_docs),
                 "sum_dl": int(round(idx.avgdl * idx.n_docs)),
                 "ts": time.time(),
+                "writer": writer_id,
             }
         )
         self._write_commits(commits)
@@ -106,7 +131,10 @@ class SegmentedIndex:
         commits.json with one record carrying the absorbed ``epochs`` list
         (replayed pre-compaction micro-batches remain exactly-once). Old
         segment dirs are left on disk for concurrent readers; sweep them
-        after a grace period in production."""
+        after a grace period in production. Concurrent WRITERS are guarded
+        optimistically: if commits.json changed while the merge build ran
+        (a live stream appended a segment), the compaction aborts rather
+        than dropping that segment — stop the stream or retry."""
         commits = self.commits()
         if len(commits) <= 1:
             return commits[0] if commits else None
@@ -133,7 +161,20 @@ class SegmentedIndex:
             "sum_dl": int(round(idx.avgdl * idx.n_docs)),
             "ts": time.time(),
             "compacted_from": [c["dir"] for c in commits],
+            # keep the writer identity when unambiguous so the
+            # checkpoint-scoped epoch guard still works after compaction
+            "writer": (
+                commits[0].get("writer")
+                if len({c.get("writer") for c in commits}) == 1
+                else None
+            ),
         }
+        if self.commits() != commits:
+            raise RuntimeError(
+                "commits.json changed during compaction (a stream appended "
+                "a segment); aborting to avoid dropping it — stop the "
+                "stream or retry compact()"
+            )
         self._write_commits([record])
         return record
 
@@ -145,10 +186,15 @@ def index_stream(
     checkpoint_dir: str,
     schema,
     max_files_per_trigger: int = 1,
+    trigger: dict | None = None,
 ):
     """Structured Streaming: parquet-directory source -> segment-per-batch
-    sink. Returns the StreamingQuery (caller drives with
-    processAllAvailable/stop in tests, or leaves running in production)."""
+    sink. Returns the StreamingQuery. ``trigger`` passes through to
+    writeStream.trigger: the default ``availableNow=True`` drains what
+    exists and STOPS (the test/batch-catchup mode); a continuously-running
+    production ingest passes e.g. ``{"processingTime": "30 seconds"}``.
+    The checkpoint dir doubles as the writer identity so a fresh
+    checkpoint cannot silently replay epoch ids into an old index_root."""
     seg = SegmentedIndex(spark, index_root)
     stream = (
         spark.readStream.schema(schema)
@@ -157,10 +203,12 @@ def index_stream(
     )
     return (
         stream.writeStream.foreachBatch(
-            lambda df, epoch: seg.append_batch(df, epoch)
+            lambda df, epoch: seg.append_batch(
+                df, epoch, writer_id=checkpoint_dir
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 
@@ -195,16 +243,23 @@ def search_segments_df(
     if not segs:
         return empty
     n_docs = sum(c["n_docs"] for c, _ in segs)
+    if n_docs == 0:
+        return empty
     avgdl = float(sum(c["sum_dl"] for c, _ in segs)) / float(n_docs)
-    # merged df per term — termstats point lookups, O(|terms|) per segment
-    dfs: dict[str, int] = {}
-    for _, idx in segs:
-        for r in (
-            idx.termstats.filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        ):
-            dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+    # merged df per term: ONE job over the union of per-segment termstats
+    # point lookups (round-2 review: one sequential collect per segment
+    # would pay S driver round-trips at S segments between compactions)
+    ts_union = reduce(
+        DataFrame.unionByName,
+        [
+            idx.termstats.filter(F.col("term").isin(terms)).select("term", "df")
+            for _, idx in segs
+        ],
+    )
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in ts_union.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
     if not dfs:
         return empty
     idf = {t: bm25_idf(df, n_docs) for t, df in dfs.items()}

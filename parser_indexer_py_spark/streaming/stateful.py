@@ -51,10 +51,15 @@ def _update(key, pdfs, state: GroupState):
             continue
         n_turns += len(pdf)
         n_tokens += int(analyze_series(pdf["text"]).str.len().sum())
-        top = pdf.sort_values("turn_idx").iloc[-1]
-        if int(top["turn_idx"]) > last_idx:
-            last_idx = int(top["turn_idx"])
-            last_role = top["role"]
+        # null turn_idx rows count toward totals but cannot be "last"
+        # (pandas widens the column to float with NaN; int(NaN) would kill
+        # the streaming query). idxmax also avoids a full sort.
+        valid = pdf.dropna(subset=["turn_idx"])
+        if len(valid):
+            top = valid.loc[valid["turn_idx"].idxmax()]
+            if int(top["turn_idx"]) > last_idx:
+                last_idx = int(top["turn_idx"])
+                last_role = top["role"]
     state.update((n_turns, n_tokens, last_role, last_idx))
     yield pd.DataFrame(
         {

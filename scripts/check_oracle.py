@@ -41,17 +41,21 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     if len(a) != len(b):
         return f"row count differs: {len(a)} vs {len(b)}"
     a, b = normalize(a), normalize(b)
+
+    def feq(x, y) -> bool:
+        # numpy float32/float64 scalars are NOT Python-float subclasses in
+        # every code path; coerce instead of isinstance-gating, and treat
+        # an uncoercible side (dtype skew) as a mismatch
+        try:
+            fx, fy = float(x), float(y)
+        except (TypeError, ValueError):
+            return False
+        return fx == fy or (math.isnan(fx) and math.isnan(fy))
+
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if str(a[c].dtype).startswith("float"):
-            bad = [
-                i
-                for i, (x, y) in enumerate(zip(av, bv))
-                if not (
-                    (isinstance(x, float) and isinstance(y, float))
-                    and (x == y or (math.isnan(x) and math.isnan(y)))
-                )
-            ]
+        if str(a[c].dtype).startswith("float") or str(b[c].dtype).startswith("float"):
+            bad = [i for i, (x, y) in enumerate(zip(av, bv)) if not feq(x, y)]
         else:
             bad = [i for i, (x, y) in enumerate(zip(av, bv)) if x != y]
         if bad:
@@ -68,6 +72,10 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, sqls = entry_mod.queries(), entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL unknown query names: {sorted(unknown)}")
+        return 1
     failures = 0
     import time
 

@@ -144,6 +144,53 @@ def test_compaction_preserves_results(spark, dirs):
     assert seg.compact()["dir"] == rec["dir"]
 
 
+def test_stateful_update_handles_null_turn_idx():
+    """Round-2 review: a NULL turn_idx (pandas: NaN in a widened float
+    column) must not kill the stateful query via int(NaN)."""
+    import numpy as np
+    import pandas as pd
+
+    from parser_indexer_py_spark.streaming.stateful import _update
+
+    class StubState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 3,
+            "turn_idx": [0.0, np.nan, 2.0],
+            "role": ["user", "tool", "assistant"],
+            "text": ["a b", "c", "d e f"],
+        }
+    )
+    st = StubState()
+    out = list(_update(("c",), iter([pdf]), st))
+    assert st.value == (3, 6, "assistant", 2)
+    assert out[0]["n_turns"].iloc[0] == 3
+
+
+def test_new_checkpoint_epoch_collision_raises(spark, dirs):
+    """Round-2 review: epoch ids are checkpoint-scoped — a DIFFERENT
+    writer replaying an already-covered epoch must fail loudly (silent
+    skip would drop new data forever); the SAME writer stays a no-op."""
+    seg = SegmentedIndex(spark, dirs["idx"])
+    covered = sorted(seg.covered_epochs())[0]
+    df = generate_transcripts(spark, 5)
+    before = seg.commits()
+    # writerless + same-writer replays: no-ops (crash-replay idempotence)
+    seg.append_batch(df, epoch_id=covered)
+    assert seg.commits() == before
+    with pytest.raises(ValueError, match="different stream"):
+        seg.append_batch(df, epoch_id=covered, writer_id="some-new-ckpt")
+    # empty micro-batches are skipped, not indexed and not fatal
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    seg.append_batch(empty, epoch_id=10_001, writer_id="w")
+    assert seg.commits() == before
+
+
 def test_stateful_conversation_state(spark, tmp_path_factory):
     """applyInPandasWithState: final per-conversation state across
     micro-batches equals the batch groundtruth."""
