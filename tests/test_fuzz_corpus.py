@@ -62,6 +62,39 @@ QUERIES = [
 ]
 
 
+def test_fuzz_segmented_equals_batch(spark, tmp_path_factory):
+    """Nasty corpus split into arrival-ordered segments: distributed
+    multi-segment search must score exactly like a monolithic batch build
+    (query-time-merged stats), including synonym expansion."""
+    from pyspark.sql import functions as F
+
+    from parser_indexer_py_spark.streaming.incremental import (
+        SegmentedIndex,
+        search_segments,
+    )
+
+    pdf = _random_corpus(31, 90)
+    df = spark.createDataFrame(pdf)
+    batch_dir = str(tmp_path_factory.mktemp("fuzzseg_batch"))
+    build_index(spark, df, batch_dir, n_buckets=4, salt=2, n_chunks=1)
+    batch = load_index(spark, batch_dir)
+
+    seg = SegmentedIndex(spark, str(tmp_path_factory.mktemp("fuzzseg")))
+    for i in range(3):
+        seg.append_batch(
+            df.filter(F.pmod(F.crc32(F.col("conv_id")), F.lit(3)) == i), i,
+            writer_id="fuzz",
+        )
+
+    for q in ["hot", "alpha gamma", "a•b u.s.a", "missingterm", "don't 3.14"]:
+        got_scores = sorted(s for _, s in search_segments(seg, q, k=10))
+        want_scores = sorted(
+            r["score"]
+            for r in search(batch, q, k=10, with_meta=False).collect()
+        )
+        assert got_scores == want_scores, q
+
+
 @pytest.mark.parametrize("seed", [11, 23])
 def test_fuzz_engine_matches_oracle(spark, tmp_path_factory, seed):
     pdf = _random_corpus(seed, 120)
