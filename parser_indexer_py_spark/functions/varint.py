@@ -121,6 +121,46 @@ def encode_varint_grouped(values: np.ndarray, starts: np.ndarray) -> list[bytes]
     return [raw[byte_off[s]:byte_off[e]] for s, e in zip(starts, ends)]
 
 
+def encode_deltas_grouped_resets(
+    values: np.ndarray, reset_starts: np.ndarray, group_starts: np.ndarray
+) -> list[bytes]:
+    """Delta+varint encode with TWO levels of structure: deltas reset to the
+    absolute value at every ``reset_starts`` offset (e.g. each posting
+    entry's position list restarts at its absolute first position), while
+    the returned byte strings are sliced at ``group_starts`` (e.g. one
+    payload per postings block). ``group_starts`` must be a subset of
+    ``reset_starts`` — every payload boundary is also a delta reset, so a
+    payload is independently decodable. Used for the positional payload
+    (Lucene stores positions the same way: per-term-per-doc delta lists
+    inside a block — the proximity data behind PhraseQuery)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b""] * len(group_starts)
+    deltas = np.empty_like(v)
+    deltas[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=deltas[1:])
+    deltas[reset_starts] = v[reset_starts]
+    return encode_varint_grouped(deltas, group_starts)
+
+
+def decode_deltas_resets(
+    buf: bytes, n: int, reset_starts: np.ndarray
+) -> np.ndarray:
+    """Inverse of one :func:`encode_deltas_grouped_resets` payload: decode
+    ``n`` varints, then absolutize with the cumulative sum RESTARTING at
+    every ``reset_starts`` offset (segment-cumsum via maximum.accumulate —
+    valid because the global cumsum of unsigned deltas is nondecreasing)."""
+    deltas = decode_varint(buf, n)
+    cum = np.cumsum(deltas, dtype=np.uint64)
+    rs = np.asarray(reset_starts, dtype=np.int64)
+    rs = rs[rs > 0]
+    if rs.size == 0:
+        return cum
+    prev = np.zeros(n, dtype=np.uint64)
+    prev[rs] = cum[rs - 1]
+    return cum - np.maximum.accumulate(prev)
+
+
 def encode_deltas_grouped(sorted_values: np.ndarray, starts: np.ndarray) -> list[bytes]:
     """Per-group delta encoding (first value of each group absolute), then
     one vectorized LEB128 pass; returns per-group byte strings."""

@@ -63,7 +63,9 @@ from pyspark.sql import Observation
 from ..functions.analyzer import tokens_expr
 from ..functions.varint import (
     decode_varint,
+    decode_deltas_resets,
     encode_deltas_grouped,
+    encode_deltas_grouped_resets,
     encode_varint_grouped,
 )
 from ..operators.grouped import grouped_map_batched
@@ -90,6 +92,9 @@ PARTIAL_SCHEMA = T.StructType(
         T.StructField("docs_bin", T.BinaryType(), False),
         T.StructField("tfs_bin", T.BinaryType(), False),
         T.StructField("dls_bin", T.BinaryType(), False),
+        # positional payload (empty when the build has positions=False):
+        # per-entry delta-encoded token positions, concatenated per run
+        T.StructField("pos_bin", T.BinaryType(), False),
     ]
 )
 
@@ -104,8 +109,16 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("docs_bin", T.BinaryType(), False),
         T.StructField("tfs_bin", T.BinaryType(), False),
         T.StructField("dls_bin", T.BinaryType(), False),
+        T.StructField("pos_bin", T.BinaryType(), False),
         T.StructField("block_cf", T.LongType(), False),
         T.StructField("block_max_score", T.DoubleType(), False),
+        # stats-independent per-block extremes: a valid BM25 bound can be
+        # recomputed under ANY (idf, avgdl) as
+        # idf * contrib(block_tf_max, block_dl_min) — what makes block-max
+        # pruning sound across SEGMENTS, whose global stats are merged at
+        # query time (streaming/incremental.py)
+        T.StructField("block_tf_max", T.IntegerType(), False),
+        T.StructField("block_dl_min", T.LongType(), False),
         T.StructField("df", T.LongType(), False),
         T.StructField("cf", T.LongType(), False),
         T.StructField("idf", T.DoubleType(), False),
@@ -196,11 +209,14 @@ def _encode_partials_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "docs_bin": encode_deltas_grouped(docs, starts),
             "tfs_bin": encode_varint_grouped(tfs, starts),
             "dls_bin": encode_varint_grouped(dls, starts),
+            "pos_bin": [b""] * len(starts),
         }
     )
 
 
-def _make_local_combiner(n_buckets: int, salt: int, chunk: list[int] | None):
+def _make_local_combiner(
+    n_buckets: int, salt: int, chunk: list[int] | None, positions: bool = False
+):
     """Map-side local combine (DESIGN.md 'shuffle budget' option 1): each
     input partition tokenizes its docs in-python (vectorized twin of the
     JVM analyzer — golden-tested identical), accumulates ALL its token
@@ -221,7 +237,7 @@ def _make_local_combiner(n_buckets: int, salt: int, chunk: list[int] | None):
     from ..functions.analyzer import analyze_series
 
     def run(batches):
-        term_parts, doc_parts, dl_parts = [], [], []
+        term_parts, doc_parts, dl_parts, pos_parts = [], [], [], []
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -234,11 +250,21 @@ def _make_local_combiner(n_buckets: int, salt: int, chunk: list[int] | None):
             )
             doc_parts.append(np.repeat(pdf["doc_id"].to_numpy(), counts))
             dl_parts.append(np.repeat(pdf["dl"].to_numpy(), counts))
+            if positions:
+                # token index within its doc (0-based analyzer position;
+                # increments of 1 — the index analyzer chain has no
+                # stopword removal, managed-schema:539-547)
+                tot = int(counts.sum())
+                offs = np.repeat(
+                    np.concatenate([[0], np.cumsum(counts[:-1])]), counts
+                )
+                pos_parts.append(np.arange(tot, dtype=np.int64) - offs)
         if not term_parts:
             return
         terms = np.concatenate(term_parts)
         docs = np.concatenate(doc_parts).astype(np.int64)
         dls = np.concatenate(dl_parts).astype(np.int64)
+        poss = np.concatenate(pos_parts) if positions else None
         codes, uniq = pd.factorize(pd.Series(terms))
         uniq = np.asarray(uniq, dtype=object)
         if chunk is not None:
@@ -249,10 +275,18 @@ def _make_local_combiner(n_buckets: int, salt: int, chunk: list[int] | None):
             )
             mask = keep_u[codes]
             codes, docs, dls = codes[mask], docs[mask], dls[mask]
+            if positions:
+                poss = poss[mask]
             if not len(codes):
                 return
         salts = (docs % salt).astype(np.int64)
-        order = np.lexsort((docs, salts, codes))
+        if positions:
+            # positions as the most-minor key: each entry's occurrence
+            # positions come out ascending, ready for delta encoding
+            order = np.lexsort((poss, docs, salts, codes))
+            poss = poss[order].astype(np.uint64)
+        else:
+            order = np.lexsort((docs, salts, codes))
         codes, salts, docs, dls = codes[order], salts[order], docs[order], dls[order]
         docs_u = docs.astype(np.uint64)
         n = len(codes)
@@ -268,6 +302,15 @@ def _make_local_combiner(n_buckets: int, salt: int, chunk: list[int] | None):
         gstarts = np.flatnonzero(gchange[estarts])
         gends = np.append(gstarts[1:], len(estarts))
         csum = np.concatenate([[0], np.cumsum(tf.astype(np.int64))])
+        if positions:
+            # per-entry position lists, deltas resetting at each entry,
+            # one payload per (term, salt) run: payload boundaries are
+            # estarts[gstarts] in occurrence space
+            pos_bin = encode_deltas_grouped_resets(
+                poss, estarts, estarts[gstarts]
+            )
+        else:
+            pos_bin = [b""] * len(gstarts)
         yield pd.DataFrame(
             {
                 "term": uniq[codes[estarts][gstarts]],
@@ -276,13 +319,14 @@ def _make_local_combiner(n_buckets: int, salt: int, chunk: list[int] | None):
                 "docs_bin": encode_deltas_grouped(edocs, gstarts),
                 "tfs_bin": encode_varint_grouped(tf, gstarts),
                 "dls_bin": encode_varint_grouped(edls, gstarts),
+                "pos_bin": pos_bin,
             }
         )
 
     return run
 
 
-def _make_merge(n_docs: int, avgdl: float, n_buckets: int):
+def _make_merge(n_docs: int, avgdl: float, n_buckets: int, positions: bool = False):
     """Closure building the batched run-merger with global stats baked in.
 
     Input: many complete term-groups (each group = that term's partial
@@ -290,7 +334,16 @@ def _make_merge(n_docs: int, avgdl: float, n_buckets: int):
     segment-cumsum the deltas, lexsort (term, doc), slice fixed-size blocks,
     and reduceat per-block cf / max-score. idf per term is a scalar
     ``math.log`` loop — np.log is SIMD-vectorized and NOT bit-identical to
-    libm, which would break oracle score-identity (verified in-sandbox)."""
+    libm, which would break oracle score-identity (verified in-sandbox).
+
+    Runs may be PARTIAL RUNS from the local combiner *or already-built
+    postings blocks from other segments* — an optional per-run ``base``
+    column is added to that run's decoded docIDs, which is what lets the
+    tiered segment compaction (streaming/incremental.py) merge at the
+    postings level with this same encoder instead of re-tokenizing.
+
+    ``positions=True`` decodes/reorders/re-encodes the per-entry position
+    payloads alongside (the Lucene .prx analog feeding PhraseQuery)."""
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         run_terms = pdf["term"].to_numpy()
@@ -310,6 +363,19 @@ def _make_merge(n_docs: int, avgdl: float, n_buckets: int):
         prev = np.zeros(total, dtype=np.uint64)
         prev[run_starts[1:]] = docs[run_starts[1:] - 1]
         docs = docs - np.maximum.accumulate(prev)
+        if "base" in pdf.columns:
+            docs = docs + np.repeat(
+                pdf["base"].to_numpy().astype(np.uint64), run_n
+            )
+        if positions:
+            tfs_i = tfs.astype(np.int64)
+            total_pos = int(tfs_i.sum())
+            # entry start offsets in occurrence (position) space
+            occ_starts = np.zeros(total, dtype=np.int64)
+            np.cumsum(tfs_i[:-1], out=occ_starts[1:])
+            pos_abs = decode_deltas_resets(
+                b"".join(pdf["pos_bin"]), total_pos, occ_starts
+            )
         # per-entry term ids (runs of the same term are adjacent)
         term_change = np.ones(len(pdf), dtype=bool)
         term_change[1:] = run_terms[1:] != run_terms[:-1]
@@ -318,6 +384,15 @@ def _make_merge(n_docs: int, avgdl: float, n_buckets: int):
         uniq_terms = run_terms[term_change]
         # global sort by (term, doc) merges the salt runs
         order = np.lexsort((docs, entry_term))
+        if positions:
+            # ragged gather: carry each entry's position list with it
+            lens = tfs_i[order]
+            out_off = np.zeros(total, dtype=np.int64)
+            np.cumsum(lens[:-1], out=out_off[1:])
+            gather = np.repeat(occ_starts[order] - out_off, lens) + np.arange(
+                total_pos, dtype=np.int64
+            )
+            pos_abs = pos_abs[gather]
         docs, tfs, dls, entry_term = (
             docs[order], tfs[order], dls[order], entry_term[order]
         )
@@ -348,6 +423,12 @@ def _make_merge(n_docs: int, avgdl: float, n_buckets: int):
         buckets = np.array(
             [term_bucket(t, n_buckets) for t in uniq_terms], dtype=np.int32
         )
+        if positions:
+            pos_bin = encode_deltas_grouped_resets(
+                pos_abs, out_off, out_off[bstarts]
+            )
+        else:
+            pos_bin = [b""] * len(bstarts)
         return pd.DataFrame(
             {
                 "term": uniq_terms[bterm],
@@ -359,8 +440,15 @@ def _make_merge(n_docs: int, avgdl: float, n_buckets: int):
                 "docs_bin": encode_deltas_grouped(docs, bstarts),
                 "tfs_bin": encode_varint_grouped(tfs, bstarts),
                 "dls_bin": encode_varint_grouped(dls, bstarts),
+                "pos_bin": pos_bin,
                 "block_cf": tf_csum[bends] - tf_csum[bstarts],
                 "block_max_score": np.maximum.reduceat(contrib, bstarts),
+                "block_tf_max": np.maximum.reduceat(tfs, bstarts).astype(
+                    np.int32
+                ),
+                "block_dl_min": np.minimum.reduceat(dls, bstarts).astype(
+                    np.int64
+                ),
                 "df": dfs[bterm].astype(np.int64),
                 "cf": cfs[bterm].astype(np.int64),
                 "idf": idfs[bterm],
@@ -381,8 +469,15 @@ def build_index(
     n_chunks: int = 4,
     resume: bool = True,
     checkpoint_input: bool = False,
+    positions: bool = False,
 ) -> IndexPaths:
     """Build the full index under ``out_dir``. Idempotent + resumable.
+
+    ``positions=True`` stores per-occurrence token positions in the
+    postings payload (delta+varint per entry — the Lucene proximity data;
+    managed-schema:539-554's analyzed fields carry positions by default),
+    enabling ``search(..., phrase=...)``. Costs ~cf varints of extra
+    payload; leave off when phrase queries aren't needed.
 
     ``resume=False`` means REBUILD: all index artifacts under ``out_dir``
     are deleted first and the manifest starts empty (a leftover manifest or
@@ -405,11 +500,21 @@ def build_index(
     # term % n_buckets, so resuming with different n_buckets/n_chunks/salt
     # would silently skip buckets or bucket new blocks under a different
     # modulus than globals.json records (round-2 review finding)
-    params = {"n_buckets": n_buckets, "salt": salt, "n_chunks": n_chunks}
+    params = {
+        "n_buckets": n_buckets,
+        "salt": salt,
+        "n_chunks": n_chunks,
+        "positions": positions,
+    }
     prior = next((r for r in man.records if r["stage"] == "params"), None)
     if prior is not None:
+        # absent keys in older manifests mean the then-default (positions
+        # was introduced later, default False)
+        defaults = {"positions": False}
         mismatch = {
-            k: (prior.get(k), v) for k, v in params.items() if prior.get(k) != v
+            k: (prior.get(k, defaults.get(k)), v)
+            for k, v in params.items()
+            if prior.get(k, defaults.get(k)) != v
         }
         if mismatch:
             raise ValueError(
@@ -513,6 +618,7 @@ def build_index(
                             "b": BM25_B,
                             "n_buckets": n_buckets,
                             "block_size": BLOCK_SIZE,
+                            "positions": positions,
                         },
                         f,
                     )
@@ -556,6 +662,7 @@ def build_index(
                     "b": BM25_B,
                     "n_buckets": n_buckets,
                     "block_size": BLOCK_SIZE,
+                    "positions": positions,
                 },
                 f,
             )
@@ -566,7 +673,7 @@ def build_index(
 
 
     # ---- stage 4: postings, chunked over buckets (resume granularity) ------
-    merge = _make_merge(n_docs, avgdl, n_buckets)
+    merge = _make_merge(n_docs, avgdl, n_buckets, positions=positions)
     chunk_sz = max(1, n_buckets // n_chunks)
     for chunk_start in range(0, n_buckets, chunk_sz):
         chunk = list(range(chunk_start, min(chunk_start + chunk_sz, n_buckets)))
@@ -575,7 +682,8 @@ def build_index(
             continue
         t0 = time.time()
         combiner = _make_local_combiner(
-            n_buckets, salt, chunk if len(chunk) < n_buckets else None
+            n_buckets, salt, chunk if len(chunk) < n_buckets else None,
+            positions=positions,
         )
         partials = docmap.select("doc_id", "dl", "text").mapInPandas(
             combiner, PARTIAL_SCHEMA

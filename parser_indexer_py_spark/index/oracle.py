@@ -36,9 +36,12 @@ class BM25Oracle:
         # sum(dl)/count avgdl computation)
         self.avgdl = float(sum(self.dl.values())) / float(self.n_docs)
         self.postings: dict[str, dict[int, int]] = {}
+        self.positions: dict[str, dict[int, list[int]]] = {}
         for d, toks in docs.items():
             for t, tf in Counter(toks).items():
                 self.postings.setdefault(t, {})[d] = tf
+            for i, t in enumerate(toks):
+                self.positions.setdefault(t, {}).setdefault(d, []).append(i)
         self.roles = roles or {}
 
     @classmethod
@@ -83,3 +86,39 @@ class BM25Oracle:
         if role is not None:
             cands = [(d, s) for d, s in cands if self.roles.get(d) == role]
         return sorted(cands, key=lambda x: (-x[1], x[0]))[:k]
+
+    def phrase_search(
+        self, query: str, k: int = 10, *, role: str | None = None
+    ) -> list[tuple[int, float, int]]:
+        """Exact-phrase twin of index.search.phrase_eval (Lucene
+        PhraseQuery slop=0): freq = number of start positions where every
+        token of the ordered sequence appears at its offset; score =
+        bm25_contrib(freq, dl, idf_sum, avgdl) with idf_sum folded one
+        addend per token INSTANCE in query order — the same float order
+        the engine uses. Returns (doc_id, score, phrase_freq)."""
+        toks = analyze_text(query)
+        if not toks:
+            return []
+        if any(t not in self.postings for t in set(toks)):
+            return []
+        idf_sum = 0.0
+        for t in toks:
+            idf_sum += bm25_idf(len(self.postings[t]), self.n_docs)
+        cand_docs = set(self.positions[toks[0]])
+        for t in toks[1:]:
+            cand_docs &= set(self.positions[t])
+        out = []
+        for d in cand_docs:
+            starts = set(self.positions[toks[0]][d])
+            for i, t in enumerate(toks[1:], 1):
+                starts &= {p - i for p in self.positions[t][d]}
+                if not starts:
+                    break
+            freq = len(starts)
+            if not freq:
+                continue
+            if role is not None and self.roles.get(d) != role:
+                continue
+            s = bm25_contrib(float(freq), float(self.dl[d]), idf_sum, self.avgdl)
+            out.append((d, s, freq))
+        return sorted(out, key=lambda x: (-x[1], x[0]))[:k]

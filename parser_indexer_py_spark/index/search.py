@@ -46,6 +46,7 @@ class Index:
     n_docs: int
     avgdl: float
     n_buckets: int
+    positions: bool = False
     _cached: dict = None  # populated by .cache()
 
     @property
@@ -88,7 +89,10 @@ def load_index(spark: SparkSession, root: str) -> Index:
     paths = IndexPaths(root)
     with open(paths.globals_json) as f:
         g = json.load(f)
-    return Index(spark, paths, g["n_docs"], g["avgdl"], g["n_buckets"])
+    return Index(
+        spark, paths, g["n_docs"], g["avgdl"], g["n_buckets"],
+        g.get("positions", False),
+    )
 
 
 def _make_decoder(avgdl: float):
@@ -128,6 +132,160 @@ def _make_decoder(avgdl: float):
             )
 
     return decode
+
+
+_POS_DECODED_SCHEMA = "term string, doc_id long, dl long, positions array<int>"
+
+
+def _make_pos_decoder():
+    """mapInPandas block decoder for the PHRASE path: blocks (with
+    positional payload) -> one row per posting entry carrying that entry's
+    absolute token-position list. Optional ``base`` column (multi-segment
+    search) offsets docIDs exactly like :func:`_make_decoder`."""
+    from ..functions.varint import decode_deltas_resets
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_term, out_doc, out_dl, out_pos = [], [], [], []
+            bases = (
+                pdf["base"].to_numpy(dtype=np.int64)
+                if "base" in pdf.columns
+                else np.zeros(len(pdf), dtype=np.int64)
+            )
+            for row, base in zip(pdf.itertuples(index=False), bases):
+                n = int(row.n)
+                docs = decode_deltas(row.docs_bin, n).astype(np.int64) + base
+                tfs = decode_varint(row.tfs_bin, n).astype(np.int64)
+                dls = decode_varint(row.dls_bin, n).astype(np.int64)
+                occ_starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(tfs[:-1], out=occ_starts[1:])
+                pos = decode_deltas_resets(
+                    row.pos_bin, int(tfs.sum()), occ_starts
+                ).astype(np.int32)
+                out_term.append(np.repeat(row.term, n))
+                out_doc.append(docs)
+                out_dl.append(dls)
+                out_pos.extend(np.split(pos, occ_starts[1:]))
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(out_term),
+                    "doc_id": np.concatenate(out_doc),
+                    "dl": np.concatenate(out_dl),
+                    "positions": out_pos,
+                }
+            )
+
+    return decode
+
+
+def phrase_eval(
+    index: "Index",
+    tokens: list[str],
+    k: int,
+    *,
+    role: str | None = None,
+    filters: dict | None = None,
+    with_meta: bool = True,
+) -> DataFrame:
+    """Exact-phrase BM25 top-k (Lucene PhraseQuery, slop=0 — the quoted
+    form the default parser the reference fronts accepts out of the box,
+    solrconfig.xml:841-848). ``tokens`` is the ORDERED analyzed token
+    sequence (duplicates allowed: "the cat the hat" is four offsets).
+
+    Semantics (Lucene): a doc matches when some start position p has
+    token_i at p+i for every i; freq = number of such p; score =
+    BM25(tf=freq) with idf = SUM of the tokens' idfs (one addend per
+    token INSTANCE, in query order — the float fold order both the
+    engine and the pure-Python oracle use).
+
+    Plan: decode blocks with positions (Arrow) -> one shuffle to
+    groupBy(doc_id) -> adjacency verified in Catalyst (array_intersect
+    chain over the per-term position arrays, all JVM-side) -> vectorized
+    scoring UDF on the surviving docs only. A token absent from a doc
+    makes the map lookup NULL and the intersect chain NULL, so presence
+    checking is implicit — no separate n_terms filter."""
+    spark = index.spark
+    empty = spark.createDataFrame(
+        [], "doc_id long, score double, phrase_freq int"
+    )
+    if not tokens:
+        return empty
+    if not getattr(index, "positions", False):
+        raise ValueError(
+            "phrase search requires an index built with positions=True "
+            "(build_index(..., positions=True))"
+        )
+    terms = sorted(set(tokens))
+    stats = {
+        r["term"]: float(r["idf"])
+        for r in index.termstats.filter(F.col("term").isin(terms))
+        .select("term", "idf")
+        .collect()
+    }
+    if any(t not in stats for t in terms):
+        return empty  # a phrase token with df=0 can never match
+    # one addend per token instance, query order (oracle mirrors this)
+    idf_sum = 0.0
+    for t in tokens:
+        idf_sum += stats[t]
+    blocks = _blocks_for_terms(index, terms)
+    cols = ["term", "n", "docs_bin", "tfs_bin", "dls_bin", "pos_bin"]
+    if "base" in blocks.columns:
+        cols.append("base")
+    decoded = blocks.select(*cols).mapInPandas(
+        _make_pos_decoder(), _POS_DECODED_SCHEMA
+    )
+    per_doc = decoded.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "positions"))
+        ).alias("pm"),
+        F.min("dl").alias("dl"),
+    )
+    def _shifted(term: str, off: int):
+        # single-arg lambda only: a 2-arg callable makes F.transform pass
+        # the ARRAY INDEX as the second argument, silently shadowing a
+        # default-bound offset
+        return F.transform(F.col("pm")[term], lambda p: p - F.lit(off))
+
+    cand = F.col("pm")[tokens[0]]
+    for i, t in enumerate(tokens[1:], 1):
+        cand = F.array_intersect(cand, _shifted(t, i))
+    matched = (
+        per_doc.withColumn("phrase_freq", F.size(cand))
+        .filter(F.col("phrase_freq") > 0)
+        .select("doc_id", "dl", "phrase_freq")
+    )
+    avgdl = index.avgdl
+
+    @F.pandas_udf("double")
+    def _pscore(freq: pd.Series, dl: pd.Series) -> pd.Series:
+        return pd.Series(
+            bm25_contrib(
+                freq.to_numpy(dtype=np.float64),
+                dl.to_numpy(dtype=np.float64),
+                idf_sum,
+                avgdl,
+            )
+        )
+
+    scored = matched.withColumn("score", _pscore("phrase_freq", "dl")).drop("dl")
+    allowed = allowed_docs(index, role, filters)
+    if allowed is not None:
+        scored = scored.join(allowed, "doc_id", "left_semi")
+    topk = (
+        scored.select("doc_id", "score", "phrase_freq")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    if with_meta:
+        meta = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
+        topk = (
+            topk.join(meta, "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    return topk
 
 
 def _score_decoded(decoded: DataFrame, keep_cs: bool = False) -> DataFrame:
@@ -196,6 +354,7 @@ def search(
     driver_meta_cap: int | None = None,
     synonyms: dict[str, list[str]] | None = None,
     with_excerpt: bool = False,
+    phrase: bool = False,
 ) -> DataFrame:
     """BM25 top-k. Returns (doc_id, score[, conv_id, turn_idx, role
     [, excerpt]]). ``with_excerpt`` attaches an F11 sentence excerpt around
@@ -222,6 +381,23 @@ def search(
     never changes scoring statistics — it is a semi-join on the docmap
     applied after scoring."""
     from ..functions.analyzer import synonym_groups
+
+    if phrase:
+        # quoted-phrase semantics: ordered token sequence, full evaluation
+        # (positions are doc-local facts; block-max bounds don't apply to
+        # proximity). conjunctive/synonyms don't compose with a phrase.
+        if conjunctive or synonyms:
+            raise ValueError(
+                "phrase=True is a positional query; conjunctive/synonyms "
+                "do not apply (Lucene PhraseQuery semantics)"
+            )
+        seq = analyze_text(query)
+        topk = phrase_eval(
+            index, seq, k, role=role, filters=filters, with_meta=with_meta
+        )
+        if with_meta and with_excerpt:
+            topk = _attach_excerpts(index, topk, sorted(set(seq)))
+        return topk
 
     tokens = sorted(set(analyze_text(query)))
     groups = synonym_groups(tokens, synonyms)

@@ -33,6 +33,53 @@ def test_delta_roundtrip(gaps, start):
     assert (np.diff(out.astype(np.int64)) > 0).all()  # strictly increasing
 
 
+@given(st.data())
+@settings(max_examples=150, deadline=None)
+def test_deltas_grouped_resets_roundtrip(data):
+    """Positional payload codec: per-entry delta resets + per-group byte
+    slicing round-trips exactly (the .prx-analog invariant behind phrase
+    queries)."""
+    from parser_indexer_py_spark.functions.varint import (
+        decode_deltas_resets,
+        encode_deltas_grouped_resets,
+    )
+
+    n_entries = data.draw(st.integers(1, 25))
+    lens = [data.draw(st.integers(1, 9)) for _ in range(n_entries)]
+    pos = np.concatenate(
+        [
+            np.cumsum(
+                np.array(
+                    [data.draw(st.integers(0, 50))]
+                    + [data.draw(st.integers(1, 50)) for _ in range(ln - 1)],
+                    dtype=np.uint64,
+                )
+            )
+            for ln in lens
+        ]
+    )
+    starts = np.concatenate([[0], np.cumsum(lens[:-1])]).astype(np.int64)
+    # group boundaries: random subset of entry starts, always containing 0
+    sel = sorted(
+        {0}
+        | {
+            data.draw(st.integers(0, n_entries - 1))
+            for _ in range(data.draw(st.integers(0, 5)))
+        }
+    )
+    gstarts = starts[np.array(sel)]
+    bufs = encode_deltas_grouped_resets(pos, starts, gstarts)
+    assert len(bufs) == len(gstarts)
+    out = decode_deltas_resets(b"".join(bufs), int(len(pos)), starts)
+    assert (out == pos).all()
+    # each group payload is independently decodable (resets relative to it)
+    gends = np.append(gstarts[1:], len(pos))
+    for buf, gs, ge in zip(bufs, gstarts, gends):
+        local_resets = starts[(starts >= gs) & (starts < ge)] - gs
+        got = decode_deltas_resets(buf, int(ge - gs), local_resets)
+        assert (got == pos[gs:ge]).all()
+
+
 def test_empty():
     assert encode_varint(np.array([], dtype=np.uint64)) == b""
     assert decode_varint(b"").size == 0
