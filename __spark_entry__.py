@@ -27,30 +27,7 @@ from parser_indexer_py_spark import entry_queries as Q  # noqa: E402
 from parser_indexer_py_spark import entry_text_queries as TQ  # noqa: E402
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """Make the package importable on EXECUTORS for a session the caller
-    already created: mutating os.environ['PYTHONPATH'] here is a no-op
-    (the JVM snapshotted its env at launch), so ship a package zip via
-    addPyFile — the runtime equivalent of spark-submit --py-files."""
-    import zipfile
-
-    pkg_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "parser_indexer_py_spark"
-    )
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"pi_spark_pkg_{os.getpid()}.zip"
-    )
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as z:
-            for root, _, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
-    spark.sparkContext.addPyFile(zip_path)
+from parser_indexer_py_spark.shipping import ship_package as _ship_package  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -94,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "termstats_docs": TQ.q_termstats_docs,
         "suggest_prefix": TQ.q_suggest_prefix,
         "bm25_docs_topk": TQ.q_bm25_docs_topk,
+        "phrase_search": TQ.q_phrase_search,
         # text analysis (training-data pipeline)
         "token_counts": TQ.q_token_counts,
         "doc_fingerprint": TQ.q_doc_fingerprint,
@@ -138,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "termstats_docs": TQ.SQL_TERMSTATS,
         "suggest_prefix": TQ.SQL_SUGGEST,
         "bm25_docs_topk": TQ.SQL_BM25_DOCS,
+        "phrase_search": TQ.SQL_PHRASE,
         "token_counts": TQ.SQL_TOKEN_COUNTS,
         "doc_fingerprint": TQ.SQL_FINGERPRINT,
         "quality_score": TQ.SQL_QUALITY,

@@ -735,6 +735,83 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+PHRASE_QUERY = ("window", "join")  # adjacent in documents at every SF
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase BM25 top-10 THROUGH THE REAL ENGINE: build a positional
+    index (``build_index(positions=True)``) over the documents table and run
+    ``search(phrase=True)`` — Lucene PhraseQuery slop=0 semantics (the
+    quoted-query form of the default parser the reference fronts,
+    conf/solr/docs/conf/solrconfig.xml:841-848). The DuckDB oracle
+    recomputes phrase frequency from token positions and BM25 from corpus
+    stats; it is exact (not statistical) because documents.text is strictly
+    ``[a-z0-9 ]`` so the engine analyzer equals the whitespace split.
+
+    Determinism: both engines round the score to 6dp BEFORE the sort+limit
+    (module float policy), tie-broken by doc_id."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .index.build import build_index
+    from .index.search import load_index, search
+    from .shipping import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit("").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"pi_docs_pidx_{key}")
+    # resume=True: repeat invocations over the same sf_dir reuse the index
+    build_index(
+        spark, src, out, n_buckets=8, salt=4, n_chunks=1, positions=True
+    )
+    idx = load_index(spark, out)
+    hits = search(
+        idx, " ".join(PHRASE_QUERY), k=1_000_000, phrase=True, with_meta=True
+    )
+    return (
+        hits.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            F.col("phrase_freq").cast("long").alias("phrase_freq"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_PHRASE = SQL_TOK + f"""
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+dfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE w IN ({PHRASE_QUERY[0]!r}, {PHRASE_QUERY[1]!r}) GROUP BY w),
+idf AS (SELECT SUM(ln(1.0 + (g.n - df + 0.5) / (df + 0.5))) AS s
+        FROM dfs, g),
+hits AS (
+  SELECT t0.doc_id, COUNT(*) AS phrase_freq
+  FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  WHERE t0.w = {PHRASE_QUERY[0]!r} AND t1.w = {PHRASE_QUERY[1]!r}
+  GROUP BY t0.doc_id)
+SELECT h.doc_id,
+       ROUND(idf.s * (h.phrase_freq * 2.2)
+             / (h.phrase_freq
+                + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n))),
+             6) AS score,
+       h.phrase_freq
+FROM hits h JOIN dl USING (doc_id), idf, g
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing demo (rows-only check: the decode is a
     deterministic fake — no codec libs in this environment; see
