@@ -231,9 +231,7 @@ def phrase_eval(
     for t in tokens:
         idf_sum += stats[t]
     blocks = _blocks_for_terms(index, terms)
-    cols = ["term", "n", "docs_bin", "tfs_bin", "dls_bin", "pos_bin"]
-    if "base" in blocks.columns:
-        cols.append("base")
+    cols = [c for c in _payload_cols(blocks, "pos_bin") if c != "idf"]
     decoded = blocks.select(*cols).mapInPandas(
         _make_pos_decoder(), _POS_DECODED_SCHEMA
     )
@@ -337,6 +335,16 @@ def _blocks_for_terms(index: Index, terms: list[str]) -> DataFrame:
     return index.postings.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
+
+
+def _payload_cols(blocks: DataFrame, *extra: str) -> list[str]:
+    """Columns the Arrow block decoders need. A multi-segment view
+    (streaming/merged.py) carries an extra per-block ``base`` docID offset —
+    include it whenever present so decoded docIDs come out global."""
+    cols = ["term", "n", "idf", "docs_bin", "tfs_bin", "dls_bin", *extra]
+    if "base" in blocks.columns:
+        cols.append("base")
+    return cols
 
 
 def search(
@@ -452,7 +460,7 @@ def full_eval(
     original query token: a doc qualifies when it matches >= 1 term of
     every group (Solr SynonymQuery AND semantics)."""
     blocks = _blocks_for_terms(index, terms)
-    decoded = blocks.select("term", "n", "idf", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
+    decoded = blocks.select(*_payload_cols(blocks)).mapInPandas(
         _make_decoder(index.avgdl), _DECODED_SCHEMA
     )
     use_groups = conjunctive and groups is not None
@@ -530,7 +538,7 @@ def facet_counts(
         return index.spark.createDataFrame([], f"{field} string, n long")
     blocks = _blocks_for_terms(index, terms)
     matching = (
-        blocks.select("term", "n", "idf", "docs_bin", "tfs_bin", "dls_bin")
+        blocks.select(*_payload_cols(blocks))
         .mapInPandas(_make_decoder(index.avgdl), _DECODED_SCHEMA)
         .select("doc_id")
         .distinct()

@@ -64,6 +64,10 @@ def _make_filtered_decoder(avgdl: float, keep_docs: np.ndarray | None):
             idfs = np.repeat(
                 pdf["idf"].to_numpy(dtype=np.float64), pdf["n"].to_numpy()
             )
+            if "base" in pdf.columns:  # multi-segment view: globalize ids
+                docs = docs + np.repeat(
+                    pdf["base"].to_numpy(dtype=np.int64), pdf["n"].to_numpy()
+                )
             if keep is not None:
                 m = np.isin(docs, keep)
                 docs, tfs, dls, terms, idfs = (
@@ -167,13 +171,19 @@ def search_pruned(
         pool_target = max(64 * k, 16 * k * len(terms))
     est_meta_rows = total_postings // 128 + len(terms)
 
+    # a multi-segment view repeats block_id per segment: selection keys must
+    # then be (term, seg, block_id) — (term, block_id) alone would select a
+    # superset (harmless for correctness, wasteful at scale)
+    seg_aware = "seg" in blocks.columns
+    key_cols = ["term", "seg", "block_id"] if seg_aware else ["term", "block_id"]
+
     if est_meta_rows <= driver_meta_cap:
         # ---- phase 1a: exact block selection on the driver ------------------
-        meta = blocks.select("term", "block_id", "n", "block_max_score").toPandas()
+        meta = blocks.select(*key_cols, "n", "block_max_score").toPandas()
         if not len(meta):
             return spark.createDataFrame([], "doc_id long, score double")
         meta = meta.sort_values(
-            ["block_max_score", "term", "block_id"], ascending=[False, True, True]
+            ["block_max_score", *key_cols], ascending=[False] + [True] * len(key_cols)
         ).reset_index(drop=True)
         cum = meta["n"].cumsum()
         take = int(np.searchsorted(cum.to_numpy(), pool_target, side="left")) + 1
@@ -203,18 +213,21 @@ def search_pruned(
         # selections, where a literal IN-list would bloat the plan.
         if len(selected) <= 1024:
             cond = None
-            for t, g in selected.groupby("term"):
-                c = (F.col("term") == t) & F.col("block_id").isin(
-                    [int(b) for b in g["block_id"]]
-                )
+            group_key = ["term", "seg"] if seg_aware else "term"
+            for t, g in selected.groupby(group_key):
+                c = F.col("block_id").isin([int(b) for b in g["block_id"]])
+                if seg_aware:
+                    c = (F.col("term") == t[0]) & (F.col("seg") == t[1]) & c
+                else:
+                    c = (F.col("term") == t) & c
                 cond = c if cond is None else (cond | c)
             sel_blocks = blocks.filter(cond)
         else:
-            sel_keys = spark.createDataFrame(
-                selected[["term", "block_id"]], "term string, block_id int"
-            )
+            key_schema = "term string, seg int, block_id int" if seg_aware \
+                else "term string, block_id int"
+            sel_keys = spark.createDataFrame(selected[key_cols], key_schema)
             sel_blocks = blocks.join(
-                F.broadcast(sel_keys), ["term", "block_id"], "left_semi"
+                F.broadcast(sel_keys), key_cols, "left_semi"
             )
     else:
         # ---- phase 1b: DISTRIBUTED block selection (driver sees O(1) rows) --
@@ -249,9 +262,11 @@ def search_pruned(
         R = float(r_row[0]["R"]) if r_row and r_row[0]["R"] is not None else 0.0
 
     # ---- phase 2: candidate docIDs from selected blocks ---------------------
+    from .search import _payload_cols
+
     cand_rows = (
         sel_blocks
-        .select("term", "n", "idf", "docs_bin", "tfs_bin", "dls_bin")
+        .select(*_payload_cols(sel_blocks))
         .mapInPandas(_make_filtered_decoder(index.avgdl, None), _DECODED_SCHEMA)
         .select("doc_id")
         .distinct()
@@ -283,9 +298,9 @@ def search_pruned(
         (F.col("cand") >= F.col("doc_min")) & (F.col("cand") <= F.col("doc_max")),
         "left_semi",
     )
-    decoded = blocks3.select(
-        "term", "n", "idf", "docs_bin", "tfs_bin", "dls_bin"
-    ).mapInPandas(_make_filtered_decoder(index.avgdl, candidates), _DECODED_SCHEMA)
+    decoded = blocks3.select(*_payload_cols(blocks3)).mapInPandas(
+        _make_filtered_decoder(index.avgdl, candidates), _DECODED_SCHEMA
+    )
     scored = _score_decoded(decoded)
     if conjunctive:
         scored = scored.filter(F.col("n_terms") == len(terms))
