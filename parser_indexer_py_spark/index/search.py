@@ -307,17 +307,34 @@ def _score_decoded(decoded: DataFrame, keep_cs: bool = False) -> DataFrame:
     return out if keep_cs else out.drop("cs")
 
 
+@dataclass(frozen=True)
+class Between:
+    """Inclusive range marker for ``search(filters=...)`` — the Solr
+    ``fq=field:[lo TO hi]`` form. An explicit type because a bare 2-tuple
+    is ambiguous: ``('user', 'assistant')`` intended as IN would silently
+    become BETWEEN over string ordering (round-2 ADVICE)."""
+
+    lo: object
+    hi: object
+
+
 def allowed_docs(index: Index, role: str | None, filters: dict | None):
     """Solr ``fq`` analog: build the allowed-docID set from docmap-field
-    predicates (scalar = equality, list/set = IN, 2-tuple = inclusive
-    range). Returns None when unfiltered. Predicates reach the docmap
-    parquet scan as pushed filters."""
+    predicates (scalar = equality, list/set/tuple = IN, ``Between(lo, hi)``
+    = inclusive range). Returns None when unfiltered. Predicates reach the
+    docmap parquet scan as pushed filters."""
     conds = []
     if role is not None:
         conds.append(F.col("role") == role)
     for fld, v in (filters or {}).items():
-        if isinstance(v, tuple) and len(v) == 2:
-            conds.append(F.col(fld).between(v[0], v[1]))
+        if isinstance(v, Between):
+            conds.append(F.col(fld).between(v.lo, v.hi))
+        elif isinstance(v, tuple):
+            raise ValueError(
+                f"filters[{fld!r}] is a bare tuple — ambiguous between IN "
+                "and range semantics. Pass a list/set for IN or "
+                "Between(lo, hi) for an inclusive range."
+            )
         elif isinstance(v, (list, set, frozenset)):
             conds.append(F.col(fld).isin(list(v)))
         else:
@@ -384,8 +401,9 @@ def search(
 
     ``filters`` generalizes ``role`` to arbitrary docmap fields — the full
     Solr ``fq`` surface (P10; solr.py /select clients pass fq on any
-    stored field): scalar = equality, list/set = IN, 2-tuple = inclusive
-    range (e.g. ``{"tool": "search", "ts": (t0, t1)}``). Like Solr, fq
+    stored field): scalar = equality, list/set = IN, ``Between(lo, hi)`` =
+    inclusive range (e.g. ``{"tool": "search", "ts": Between(t0, t1)}``;
+    a bare 2-tuple raises — ambiguous with IN). Like Solr, fq
     never changes scoring statistics — it is a semi-join on the docmap
     applied after scoring."""
     from ..functions.analyzer import synonym_groups

@@ -102,9 +102,18 @@ def test_search_generalized_fq_filters(spark, index):
             lambda r: r["role"] in ("user", "assistant"),
         ),
     ]
+    from parser_indexer_py_spark.index.search import Between
+
     ts_vals = sorted(r["ts"] for r in dm)
     lo, hi = ts_vals[len(ts_vals) // 4], ts_vals[3 * len(ts_vals) // 4]
-    cases.append(({"ts": (lo, hi)}, lambda r: lo <= r["ts"] <= hi))
+    cases.append(({"ts": Between(lo, hi)}, lambda r: lo <= r["ts"] <= hi))
+    # bare tuples are ambiguous (IN vs BETWEEN) and must fail loudly
+    # rather than silently BETWEEN over string ordering (round-2 ADVICE)
+    with pytest.raises(ValueError, match="ambiguous"):
+        search(
+            index, "bace", k=5, filters={"role": ("user", "assistant")},
+            with_meta=False,
+        ).collect()
 
     for filt, pred in cases:
         allowed = {r["doc_id"] for r in dm if pred(r)}
@@ -339,3 +348,61 @@ def test_docmap_update_is_partition_scoped(spark, index):
     untouched_after = {f: h for f, h in after.items() if f"dkey={touched_dkey}/" not in f}
     assert untouched_before == untouched_after, "untouched partitions rewritten"
     assert index.docmap.filter("doc_id = 7").head()["role"] == "editor"
+
+
+def test_docmap_update_crash_recovery(spark, index, tmp_path_factory):
+    """ADVICE r2 (medium): the partition-swap commit must be recoverable
+    from every crash window — a missing dkey partition with its .bak
+    beside it is restored; a completed swap's leftover .bak and any
+    uncommitted .staging dirs are discarded."""
+    import os as _os
+    import shutil as _shutil
+
+    from parser_indexer_py_spark.index.build import IndexPaths
+    from parser_indexer_py_spark.index.update import (
+        _recover_partition_swaps,
+        update_docmap,
+    )
+
+    root = str(tmp_path_factory.mktemp("crash_idx"))
+    _shutil.copytree(index.paths.root, root, dirs_exist_ok=True)
+    paths = IndexPaths(root)
+    dm_dir = paths.docmap
+    parts = sorted(
+        p for p in _os.listdir(dm_dir) if p.startswith("dkey=")
+    )
+    victim = _os.path.join(dm_dir, parts[0])
+    n_docs = spark.read.parquet(dm_dir).count()
+
+    # window 1: crash between the two renames — partition moved to .bak,
+    # staged file never moved in
+    bak = _os.path.join(dm_dir, ".bak-" + parts[0])
+    _os.replace(victim, bak)
+    stale = dm_dir + ".staging-123"
+    _os.makedirs(stale, exist_ok=True)
+    _recover_partition_swaps(dm_dir)
+    assert _os.path.exists(victim) and not _os.path.exists(bak)
+    assert not _os.path.exists(stale)
+    assert spark.read.parquet(dm_dir).count() == n_docs
+
+    # window 2: crash after the swap completed but before .bak cleanup —
+    # recovery discards the stale backup, keeping the NEW data
+    _shutil.copytree(victim, bak)
+    _recover_partition_swaps(dm_dir)
+    assert _os.path.exists(victim) and not _os.path.exists(bak)
+
+    # and a real update still lands after recovery (runs recovery itself)
+    row = spark.read.parquet(dm_dir).filter("doc_id = 3").head()
+    n = update_docmap(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(row["conv_id"], row["turn_idx"], "survivor")],
+            "conv_id string, turn_idx int, role string",
+        ),
+    )
+    assert n == 1
+    assert (
+        spark.read.parquet(dm_dir).filter("doc_id = 3").head()["role"]
+        == "survivor"
+    )
