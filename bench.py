@@ -106,6 +106,25 @@ def main() -> None:
         lambda: search(idx, "bace cedi", k=10, role="assistant").collect(),
     )
 
+    # ---- positional index + phrase search (round-3 capability) -------------
+    # separate build so the headline index_build stays comparable across
+    # rounds; the delta between the two numbers IS the positional payload
+    # cost (~cf extra varints encoded/merged)
+    pidx_dir = idx_dir + "_pos"
+    shutil.rmtree(pidx_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(
+        spark, df, pidx_dir, n_partitions=n_parts, n_chunks=1,
+        checkpoint_input=True, positions=True,
+    )
+    timings["index_build_positional"] = time.time() - t0
+    pidx = load_index(spark, pidx_dir).cache()
+    run(
+        "search_phrase",
+        lambda: search(pidx, "bace cedi", k=10, phrase=True).collect(),
+    )
+    pidx.uncache()
+
     # ---- streaming segment search (distributed multi-segment BM25) ---------
     from parser_indexer_py_spark.streaming.incremental import (
         SegmentedIndex,
@@ -130,6 +149,20 @@ def main() -> None:
     run(
         "segment_search",
         lambda: search_segments_df(seg, "bace cedi wedi rikizudi", k=10).collect(),
+    )
+    run(
+        "segment_search_pruned",
+        lambda: search_segments_df(
+            seg, "bace cedi wedi rikizudi", k=10, mode="pruned",
+            full_cutover=0,
+        ).collect(),
+    )
+    # tiered postings-level merge of the two segments (no re-tokenization;
+    # cost ~ merged postings bytes — compare against segment_build_x2)
+    run(
+        "segment_compact_tiered",
+        lambda: seg.compact_tiered(min_merge=2),
+        reps=1,
     )
 
     # ---- operator queries over the sf tables --------------------------------
