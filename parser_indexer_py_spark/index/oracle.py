@@ -88,14 +88,20 @@ class BM25Oracle:
         return sorted(cands, key=lambda x: (-x[1], x[0]))[:k]
 
     def phrase_search(
-        self, query: str, k: int = 10, *, role: str | None = None
+        self, query: str, k: int = 10, *, slop: int = 0, role: str | None = None
     ) -> list[tuple[int, float, int]]:
-        """Exact-phrase twin of index.search.phrase_eval (Lucene
-        PhraseQuery slop=0): freq = number of start positions where every
-        token of the ordered sequence appears at its offset; score =
-        bm25_contrib(freq, dl, idf_sum, avgdl) with idf_sum folded one
-        addend per token INSTANCE in query order — the same float order
-        the engine uses. Returns (doc_id, score, phrase_freq)."""
+        """Phrase twin of index.search.phrase_eval. slop=0: exact phrase
+        (Lucene PhraseQuery slop=0; freq = start positions where every
+        token of the ordered sequence appears at its offset, computed here
+        with INDEPENDENT set algebra as a cross-check of the engine's
+        intersect chain). slop>0: ordered proximity — freq delegated to
+        the SHARED sloppy_phrase_freq definition (search.py documents the
+        semantics; sharing the function makes the slop gate a
+        decode/plumbing check, while slop=0 stays a dual-implementation
+        check). score = bm25_contrib(freq, dl, idf_sum, avgdl) with
+        idf_sum folded one addend per token INSTANCE in query order — the
+        same float order the engine uses. Returns
+        (doc_id, score, phrase_freq)."""
         toks = analyze_text(query)
         if not toks:
             return []
@@ -109,12 +115,19 @@ class BM25Oracle:
             cand_docs &= set(self.positions[t])
         out = []
         for d in cand_docs:
-            starts = set(self.positions[toks[0]][d])
-            for i, t in enumerate(toks[1:], 1):
-                starts &= {p - i for p in self.positions[t][d]}
-                if not starts:
-                    break
-            freq = len(starts)
+            if slop == 0:
+                starts = set(self.positions[toks[0]][d])
+                for i, t in enumerate(toks[1:], 1):
+                    starts &= {p - i for p in self.positions[t][d]}
+                    if not starts:
+                        break
+                freq = len(starts)
+            else:
+                from .search import sloppy_phrase_freq
+
+                freq = sloppy_phrase_freq(
+                    [self.positions[t][d] for t in toks], slop
+                )
             if not freq:
                 continue
             if role is not None and self.roles.get(d) != role:

@@ -180,11 +180,43 @@ def _make_pos_decoder():
     return decode
 
 
+def sloppy_phrase_freq(
+    position_lists: list, slop: int
+) -> int:
+    """Ordered-proximity frequency: the number of occurrences p of the
+    FIRST token that admit strictly-increasing positions for the remaining
+    tokens (in query order) with total window stretch
+    (p_last - p - (m-1)) <= slop. Greedy earliest-completion per start is
+    optimal for the window criterion, so this is deterministic and
+    O(total positions). slop=0 is exactly adjacency (Lucene PhraseQuery
+    slop=0); slop>0 is a deliberately simplified, ORDERED subset of
+    Lucene's sloppy semantics (Lucene also permits reordering) — the
+    pure-Python oracle implements the identical definition, so the gate is
+    exact equality, not approximation. Shared by the Arrow UDF below and
+    oracle.BM25Oracle.phrase_search."""
+    lists = [np.asarray(p, dtype=np.int64) for p in position_lists]
+    m = len(lists)
+    count = 0
+    for p in lists[0]:
+        q = int(p)
+        ok = True
+        for lst in lists[1:]:
+            i = int(np.searchsorted(lst, q + 1))
+            if i == len(lst):
+                ok = False
+                break
+            q = int(lst[i])
+        if ok and (q - int(p) - (m - 1)) <= slop:
+            count += 1
+    return count
+
+
 def phrase_eval(
     index: "Index",
     tokens: list[str],
     k: int,
     *,
+    slop: int = 0,
     role: str | None = None,
     filters: dict | None = None,
     with_meta: bool = True,
@@ -247,11 +279,36 @@ def phrase_eval(
         # default-bound offset
         return F.transform(F.col("pm")[term], lambda p: p - F.lit(off))
 
-    cand = F.col("pm")[tokens[0]]
-    for i, t in enumerate(tokens[1:], 1):
-        cand = F.array_intersect(cand, _shifted(t, i))
+    if slop == 0:
+        cand = F.col("pm")[tokens[0]]
+        for i, t in enumerate(tokens[1:], 1):
+            cand = F.array_intersect(cand, _shifted(t, i))
+        freq_col = F.size(cand)
+    else:
+        # ordered proximity: positions interleave per start, which the
+        # rigid intersect chain cannot express — Arrow-batched UDF over
+        # the per-doc position arrays (query-term positions only; the
+        # decode already pruned to the query's blocks)
+        toks = list(tokens)
+        s = int(slop)
+
+        @F.pandas_udf("int")
+        def _sloppy(arrs: pd.Series) -> pd.Series:
+            out = np.zeros(len(arrs), dtype=np.int32)
+            for r, pm in enumerate(arrs):
+                if pm is None:
+                    continue
+                if not isinstance(pm, dict):  # arrow map as (k, v) pairs
+                    pm = dict(pm)
+                lists = [pm.get(t) for t in toks]
+                if any(p is None or not len(p) for p in lists):
+                    continue
+                out[r] = sloppy_phrase_freq(lists, s)
+            return pd.Series(out)
+
+        freq_col = _sloppy("pm")
     matched = (
-        per_doc.withColumn("phrase_freq", F.size(cand))
+        per_doc.withColumn("phrase_freq", freq_col)
         .filter(F.col("phrase_freq") > 0)
         .select("doc_id", "dl", "phrase_freq")
     )
@@ -380,6 +437,7 @@ def search(
     synonyms: dict[str, list[str]] | None = None,
     with_excerpt: bool = False,
     phrase: bool = False,
+    slop: int = 0,
 ) -> DataFrame:
     """BM25 top-k. Returns (doc_id, score[, conv_id, turn_idx, role
     [, excerpt]]). ``with_excerpt`` attaches an F11 sentence excerpt around
@@ -408,10 +466,14 @@ def search(
     applied after scoring."""
     from ..functions.analyzer import synonym_groups
 
+    if slop and not phrase:
+        raise ValueError("slop only applies to phrase=True queries")
     if phrase:
         # quoted-phrase semantics: ordered token sequence, full evaluation
         # (positions are doc-local facts; block-max bounds don't apply to
-        # proximity). conjunctive/synonyms don't compose with a phrase.
+        # proximity). ``slop`` relaxes adjacency to ordered proximity
+        # (see phrase_eval / sloppy_phrase_freq).
+        # conjunctive/synonyms don't compose with a phrase.
         if conjunctive or synonyms:
             raise ValueError(
                 "phrase=True is a positional query; conjunctive/synonyms "
@@ -419,7 +481,8 @@ def search(
             )
         seq = analyze_text(query)
         topk = phrase_eval(
-            index, seq, k, role=role, filters=filters, with_meta=with_meta
+            index, seq, k, slop=slop, role=role, filters=filters,
+            with_meta=with_meta,
         )
         if with_meta and with_excerpt:
             topk = _attach_excerpts(index, topk, sorted(set(seq)))

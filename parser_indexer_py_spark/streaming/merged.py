@@ -78,6 +78,11 @@ class MergedSegmentsView:
         self.positions = all(
             getattr(idx, "positions", False) for _, idx in self._segs
         )
+        # DataFrames are immutable: memoize the merged tables so repeated
+        # property access within one query reuses the analyzed plan
+        self._docmap_df = None
+        self._termstats_df = None
+        self._postings_df = None
 
     @staticmethod
     def _load(spark, d: str):
@@ -88,17 +93,22 @@ class MergedSegmentsView:
     # -- docmap ---------------------------------------------------------------
     @property
     def docmap(self) -> DataFrame:
+        if self._docmap_df is not None:
+            return self._docmap_df
         parts = [
             idx.docmap.withColumn(
                 "doc_id", F.col("doc_id") + F.lit(int(c["base"]))
             )
             for c, idx in self._segs
         ]
-        return reduce(DataFrame.unionByName, parts)
+        self._docmap_df = reduce(DataFrame.unionByName, parts)
+        return self._docmap_df
 
     # -- termstats ------------------------------------------------------------
     @property
     def termstats(self) -> DataFrame:
+        if self._termstats_df is not None:
+            return self._termstats_df
         n_docs = self.n_docs
 
         @F.pandas_udf("double")
@@ -118,11 +128,14 @@ class MergedSegmentsView:
                 F.first("bucket").alias("bucket"),
             )
         )
-        return merged.withColumn("idf", _idf("df"))
+        self._termstats_df = merged.withColumn("idf", _idf("df"))
+        return self._termstats_df
 
     # -- postings ---------------------------------------------------------------
     @property
     def postings(self) -> DataFrame:
+        if self._postings_df is not None:
+            return self._postings_df
         avgdl = self.avgdl
 
         @F.pandas_udf("double")
@@ -152,10 +165,11 @@ class MergedSegmentsView:
         # term-equi join: the query's term IN-list predicate pushes to both
         # sides, so per query this joins a handful of blocks against a
         # handful of termstats rows (AQE broadcasts the filtered side)
-        return blocks.join(stats, "term").withColumn(
+        self._postings_df = blocks.join(stats, "term").withColumn(
             "block_max_score",
             _bound("block_tf_max", "block_dl_min", "idf"),
         )
+        return self._postings_df
 
     # Index-API compatibility shims -------------------------------------------
     def cache(self):

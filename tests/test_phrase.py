@@ -136,3 +136,55 @@ def test_phrase_rejects_conjunctive_and_synonyms(pindex):
         search(pindex, "a b", k=5, phrase=True, conjunctive=True)
     with pytest.raises(ValueError, match="phrase"):
         search(pindex, "a b", k=5, phrase=True, synonyms={"a": ["c"]})
+
+
+def test_sloppy_freq_unit():
+    """sloppy_phrase_freq semantics: slop=0 == adjacency; ordered-only;
+    window stretch counted as (last - first) - (m-1)."""
+    from parser_indexer_py_spark.index.search import sloppy_phrase_freq
+
+    # "a b" in 'a x b': gap of 1 -> needs slop >= 1
+    assert sloppy_phrase_freq([[0], [2]], 0) == 0
+    assert sloppy_phrase_freq([[0], [2]], 1) == 1
+    # reordering is NOT allowed (ordered subset of Lucene slop)
+    assert sloppy_phrase_freq([[2], [0]], 5) == 0
+    # two valid starts: 'a b a b' for "a b"
+    assert sloppy_phrase_freq([[0, 2], [1, 3]], 0) == 2
+    # repeated token "a a": strictly increasing positions required
+    assert sloppy_phrase_freq([[0, 1], [0, 1]], 0) == 2 - 1  # starts: 0 only
+    # trigram window: a(0) b(2) c(3) -> stretch (3-0)-2 = 1
+    assert sloppy_phrase_freq([[0], [2], [3]], 0) == 0
+    assert sloppy_phrase_freq([[0], [2], [3]], 1) == 1
+
+
+def test_phrase_slop_rank_identity_vs_oracle(pindex, poracle, bigrams):
+    for q in bigrams[:3]:
+        for slop in (1, 3):
+            eng = _collect(
+                search(
+                    pindex, q, k=10, phrase=True, slop=slop, with_meta=False
+                )
+            )
+            assert eng == poracle.phrase_search(q, k=10, slop=slop), (q, slop)
+
+
+def test_phrase_slop_monotone(pindex, bigrams):
+    """Relaxing slop can only grow the match set (same start criterion)."""
+    q = bigrams[0]
+
+    def matches(slop):
+        return {
+            r["doc_id"]: r["phrase_freq"]
+            for r in search(
+                pindex, q, k=10**6, phrase=True, slop=slop, with_meta=False
+            ).collect()
+        }
+
+    m0, m2 = matches(0), matches(2)
+    assert set(m0) <= set(m2)
+    assert all(m2[d] >= f for d, f in m0.items())
+
+
+def test_slop_requires_phrase(pindex):
+    with pytest.raises(ValueError, match="slop"):
+        search(pindex, "a b", k=5, slop=2)
