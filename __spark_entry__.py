@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_prefix": TQ.q_suggest_prefix,
         "bm25_docs_topk": TQ.q_bm25_docs_topk,
         "phrase_search": TQ.q_phrase_search,
+        "phrase_search_slop": TQ.q_phrase_search_slop,
+        "lucene_query": TQ.q_lucene_query,
         # text analysis (training-data pipeline)
         "token_counts": TQ.q_token_counts,
         "doc_fingerprint": TQ.q_doc_fingerprint,
@@ -117,6 +119,8 @@ def oracle_sql() -> dict[str, str]:
         "suggest_prefix": TQ.SQL_SUGGEST,
         "bm25_docs_topk": TQ.SQL_BM25_DOCS,
         "phrase_search": TQ.SQL_PHRASE,
+        "phrase_search_slop": TQ.SQL_PHRASE_SLOP,
+        "lucene_query": TQ.SQL_LUCENE,
         "token_counts": TQ.SQL_TOKEN_COUNTS,
         "doc_fingerprint": TQ.SQL_FINGERPRINT,
         "quality_score": TQ.SQL_QUALITY,

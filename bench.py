@@ -123,6 +123,14 @@ def main() -> None:
         "search_phrase",
         lambda: search(pidx, "bace cedi", k=10, phrase=True).collect(),
     )
+    from parser_indexer_py_spark.index.boolean import boolean_search
+
+    run(
+        "search_boolean",
+        lambda: boolean_search(
+            pidx, 'cedi +bace -rikizudi "bace cedi"', k=10
+        ).collect(),
+    )
     pidx.uncache()
 
     # ---- streaming segment search (distributed multi-segment BM25) ---------

@@ -747,24 +747,16 @@ ORDER BY score DESC, doc_id LIMIT 10
 PHRASE_QUERY = ("window", "join")  # adjacent in documents at every SF
 
 
-def q_phrase_search(spark, sf_dir):
-    """Exact-phrase BM25 top-10 THROUGH THE REAL ENGINE: build a positional
-    index (``build_index(positions=True)``) over the documents table and run
-    ``search(phrase=True)`` — Lucene PhraseQuery slop=0 semantics (the
-    quoted-query form of the default parser the reference fronts,
-    conf/solr/docs/conf/solrconfig.xml:841-848). The DuckDB oracle
-    recomputes phrase frequency from token positions and BM25 from corpus
-    stats; it is exact (not statistical) because documents.text is strictly
-    ``[a-z0-9 ]`` so the engine analyzer equals the whitespace split.
-
-    Determinism: both engines round the score to 6dp BEFORE the sort+limit
-    (module float policy), tie-broken by doc_id."""
+def _docs_pos_index(spark, sf_dir):
+    """Positional index over the documents table, shared by the phrase /
+    slop / boolean entries (identical build params => manifest resume makes
+    every call after the first a metadata no-op)."""
     import hashlib
     import os
     import tempfile
 
     from .index.build import build_index
-    from .index.search import load_index, search
+    from .index.search import load_index
     from .shipping import ship_package
 
     ship_package(spark)
@@ -783,7 +775,24 @@ def q_phrase_search(spark, sf_dir):
     build_index(
         spark, src, out, n_buckets=8, salt=4, n_chunks=1, positions=True
     )
-    idx = load_index(spark, out)
+    return load_index(spark, out)
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase BM25 top-10 THROUGH THE REAL ENGINE: build a positional
+    index (``build_index(positions=True)``) over the documents table and run
+    ``search(phrase=True)`` — Lucene PhraseQuery slop=0 semantics (the
+    quoted-query form of the default parser the reference fronts,
+    conf/solr/docs/conf/solrconfig.xml:841-848). The DuckDB oracle
+    recomputes phrase frequency from token positions and BM25 from corpus
+    stats; it is exact (not statistical) because documents.text is strictly
+    ``[a-z0-9 ]`` so the engine analyzer equals the whitespace split.
+
+    Determinism: both engines round the score to 6dp BEFORE the sort+limit
+    (module float policy), tie-broken by doc_id."""
+    from .index.search import search
+
+    idx = _docs_pos_index(spark, sf_dir)
     hits = search(
         idx, " ".join(PHRASE_QUERY), k=1_000_000, phrase=True, with_meta=True
     )
@@ -817,6 +826,133 @@ SELECT h.doc_id,
              6) AS score,
        h.phrase_freq
 FROM hits h JOIN dl USING (doc_id), idf, g
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+PHRASE_SLOP = 2
+
+
+def q_phrase_search_slop(spark, sf_dir):
+    """Sloppy-phrase BM25 top-10 through the engine:
+    ``search(phrase=True, slop=2)`` — ordered proximity (Lucene
+    ``"a b"~N`` syntax; the engine's deliberately ORDERED subset of sloppy
+    matching, index/search.py:sloppy_phrase_freq). The DuckDB oracle uses
+    the m=2 equivalence: greedy earliest-completion == EXISTS a later
+    occurrence within the window (for two tokens the greedy chain has one
+    step, so "some valid continuation exists" IS the greedy criterion) —
+    freq = count of first-token positions p with a second-token position
+    in (p, p + 1 + slop]."""
+    from .index.search import search
+
+    idx = _docs_pos_index(spark, sf_dir)
+    hits = search(
+        idx,
+        " ".join(PHRASE_QUERY),
+        k=1_000_000,
+        phrase=True,
+        slop=PHRASE_SLOP,
+        with_meta=True,
+    )
+    return (
+        hits.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            F.col("phrase_freq").cast("long").alias("phrase_freq"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_PHRASE_SLOP = SQL_TOK + f"""
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+dfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE w IN ({PHRASE_QUERY[0]!r}, {PHRASE_QUERY[1]!r}) GROUP BY w),
+idf AS (SELECT SUM(ln(1.0 + (g.n - df + 0.5) / (df + 0.5))) AS s
+        FROM dfs, g),
+hits AS (
+  SELECT t0.doc_id, COUNT(*) AS phrase_freq
+  FROM tok t0
+  WHERE t0.w = {PHRASE_QUERY[0]!r} AND EXISTS (
+    SELECT 1 FROM tok t1
+    WHERE t1.doc_id = t0.doc_id AND t1.w = {PHRASE_QUERY[1]!r}
+      AND t1.pos > t0.pos AND t1.pos <= t0.pos + 1 + {PHRASE_SLOP})
+  GROUP BY t0.doc_id)
+SELECT h.doc_id,
+       ROUND(idf.s * (h.phrase_freq * 2.2)
+             / (h.phrase_freq
+                + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n))),
+             6) AS score,
+       h.phrase_freq
+FROM hits h JOIN dl USING (doc_id), idf, g
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+# one of every clause type the flat classic-parser subset supports:
+# optional term, required term, prohibited term, optional phrase
+LUCENE_QUERY = 'merge +window -stream "window join"'
+
+
+def q_lucene_query(spark, sf_dir):
+    """Boolean query THROUGH THE ENGINE's Solr front door: parse
+    ``'merge +window -stream "window join"'`` with the classic-syntax
+    parser (functions/queryparser.py) and evaluate with
+    index.boolean.boolean_search — BM25 sum over the positive term clauses
+    plus the PhraseQuery score of the optional phrase, docs required to
+    contain ``window``, docs containing ``stream`` excluded (Lucene
+    BooleanQuery, coord-free). The DuckDB oracle recomputes every piece
+    from the token table and assembles them with the same
+    required/optional/prohibited algebra."""
+    from .index.boolean import boolean_search
+
+    idx = _docs_pos_index(spark, sf_dir)
+    hits = boolean_search(idx, LUCENE_QUERY, k=1_000_000, with_meta=True)
+    return (
+        hits.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_LUCENE = SQL_TOK + f"""
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       WHERE w IN ('merge', 'window') GROUP BY doc_id, w),
+dfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS contrib
+  FROM tf JOIN dfs USING (w) JOIN dl ON dl.doc_id = tf.doc_id, g),
+base AS (SELECT doc_id, SUM(contrib) AS st FROM scored GROUP BY doc_id),
+pdfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok
+         WHERE w IN ('window', 'join') GROUP BY w),
+pidf AS (SELECT SUM(ln(1.0 + (g.n - df + 0.5) / (df + 0.5))) AS s
+         FROM pdfs, g),
+phits AS (
+  SELECT t0.doc_id, COUNT(*) AS pf
+  FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  WHERE t0.w = 'window' AND t1.w = 'join'
+  GROUP BY t0.doc_id),
+pscore AS (
+  SELECT ph.doc_id,
+         pidf.s * (ph.pf * 2.2)
+         / (ph.pf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS sp
+  FROM phits ph JOIN dl USING (doc_id), pidf, g)
+SELECT b.doc_id, ROUND(b.st + COALESCE(p.sp, 0.0), 6) AS score
+FROM base b LEFT JOIN pscore p USING (doc_id)
+WHERE b.doc_id IN (SELECT doc_id FROM tok WHERE w = 'window')
+  AND b.doc_id NOT IN (SELECT doc_id FROM tok WHERE w = 'stream')
 ORDER BY score DESC, doc_id LIMIT 10
 """
 

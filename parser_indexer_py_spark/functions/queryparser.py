@@ -1,0 +1,258 @@
+"""Lucene classic-syntax query parser (the flat subset the reference's
+clients actually send).
+
+The reference fronts Solr's default ``lucene`` query parser
+(conf/solr/docs/conf/solrconfig.xml:841-848) and every sample query in
+docs/mte-samplequeries.md is a flat clause list in that syntax —
+``q=type:doc``, ``q=_depth:1 AND source:corenlp``, ``fq=id:1249``,
+quoted sub-queries like ``"source:corenlp AND type:target"`` — never a
+parenthesized boolean tree. This module parses exactly that surface into a
+:class:`ParsedQuery` the engine (index/boolean.py) and the pure-Python
+oracle share, so both sides interpret a query string identically.
+
+Supported grammar (documented subset of the Lucene classic parser):
+
+- bare terms — optional (SHOULD) clauses, default operator OR (Solr's
+  ``q.op`` default). A term that analyzes to several tokens contributes
+  one clause per token with the same occur flag.
+- ``+term`` / ``-term`` / ``NOT term`` / ``!term`` — required / prohibited.
+- ``a AND b`` — promotes BOTH neighbors to required (classic-parser
+  behavior); ``OR``/``||`` is a no-op under default-OR. ``&&`` == AND.
+- ``"a phrase"`` — positional phrase clause; ``"a phrase"~N`` sets slop
+  (ordered proximity, see index.search.sloppy_phrase_freq). A quoted
+  string that analyzes to ONE token degrades to a term clause (Lucene
+  does the same). Phrases accept the +/-/NOT prefixes.
+- ``field:value`` / ``field:"two words"`` / ``field:[lo TO hi]`` — fielded
+  clauses over docmap metadata fields. These are treated as SCORE-NEUTRAL
+  filters (Solr ``fq`` semantics) rather than scoring clauses: in every
+  reference sample query field clauses select (``type:doc``) rather than
+  rank, and fq-style filtering keeps BM25 statistics untouched. The same
+  field repeated with positive occur folds to IN semantics (``role:user
+  role:tool`` means either). ``-field:value`` excludes.
+- ``*:*`` — match-all (used by the reference for facet-only queries,
+  mte-samplequeries.md:54 with ``rows=0``).
+
+NOT supported (raises ValueError, so silent misreads are impossible):
+parenthesized grouping, per-clause boosts (``^2``), wildcards/fuzzy
+(``te?t``, ``test~``), and child-doc transformers — the engine exposes
+block joins through its own operators instead.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .analyzer import analyze_text
+
+__all__ = ["PhraseClause", "ParsedQuery", "parse_query"]
+
+SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
+
+
+@dataclass(frozen=True)
+class PhraseClause:
+    tokens: tuple[str, ...]
+    slop: int
+    occur: str
+
+
+@dataclass(frozen=True)
+class RangeValue:
+    """Inclusive [lo TO hi] — converted to search.Between by the engine."""
+
+    lo: object
+    hi: object
+
+
+@dataclass
+class ParsedQuery:
+    should_terms: tuple[str, ...] = ()
+    must_terms: tuple[str, ...] = ()
+    must_not_terms: tuple[str, ...] = ()
+    phrases: tuple[PhraseClause, ...] = ()
+    filters: dict = field(default_factory=dict)
+    not_filters: dict = field(default_factory=dict)
+    match_all: bool = False
+
+    @property
+    def has_positive(self) -> bool:
+        return bool(
+            self.should_terms
+            or self.must_terms
+            or any(p.occur != MUST_NOT for p in self.phrases)
+        )
+
+
+_FIELD = r"[A-Za-z_][A-Za-z0-9_.]*"
+_LEX = re.compile(
+    rf"""
+    (?P<ws>\s+)
+  | (?P<matchall>\*:\*)
+  | (?P<lparen>\() | (?P<rparen>\))
+  | (?P<range>(?P<rfield>{_FIELD}):\[(?P<lo>[^\]\s]+)\s+TO\s+(?P<hi>[^\]\s]+)\])
+  | (?P<fphrase>(?P<pfield>{_FIELD}):"(?P<fpv>[^"]*)")
+  | (?P<fielded>(?P<field>{_FIELD}):(?P<fval>[^\s()]+))
+  | (?P<phrase>"(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?)
+  | (?P<plus>\+) | (?P<minus>-) | (?P<bang>!)
+  | (?P<term>[^\s()]+)
+    """,
+    re.X,
+)
+
+_UNSUPPORTED = re.compile(r"[*?]|~\d*$")  # wildcard / fuzzy on a bare term
+
+
+def _coerce(v: str):
+    """Field values: ints stay ints (turn_idx etc.); all else string."""
+    try:
+        return int(v)
+    except ValueError:
+        return v
+
+
+def _add_filter(filters: dict, fld: str, value) -> None:
+    """Same field repeated with positive occur -> IN list (Lucene
+    default-OR over same-field clauses)."""
+    if fld not in filters:
+        filters[fld] = value
+        return
+    cur = filters[fld]
+    if isinstance(cur, RangeValue) or isinstance(value, RangeValue):
+        raise ValueError(
+            f"field {fld!r} given both a range and another constraint — "
+            "not representable in the flat fq subset"
+        )
+    cur = cur if isinstance(cur, list) else [cur]
+    filters[fld] = cur + [value]
+
+
+def parse_query(q: str) -> ParsedQuery:
+    """Parse a Lucene classic-syntax string into a :class:`ParsedQuery`.
+
+    Raises ValueError on the unsupported constructs listed in the module
+    docstring rather than guessing."""
+    should, must, must_not = [], [], []
+    phrases: list[PhraseClause] = []
+    filters: dict = {}
+    not_filters: dict = {}
+    match_all = False
+
+    pending: str | None = None  # occur forced by +/-/NOT for next clause
+    next_must = False  # set when the previous connective was AND
+    last_positive: list | None = None  # clause list holding the last
+    last_positive_val = None  # ... SHOULD item, for AND promotion
+
+    def occur_for_next() -> str:
+        nonlocal pending, next_must
+        occ = pending or (MUST if next_must else SHOULD)
+        pending, next_must = None, False
+        return occ
+
+    def promote_last() -> None:
+        """AND promotes its LEFT neighbor from SHOULD to MUST."""
+        nonlocal last_positive, last_positive_val
+        if last_positive is should and last_positive_val in should:
+            should.remove(last_positive_val)
+            must.append(last_positive_val)
+            last_positive = must
+        elif last_positive is phrases and last_positive_val in phrases:
+            i = phrases.index(last_positive_val)
+            if phrases[i].occur == SHOULD:
+                phrases[i] = PhraseClause(
+                    phrases[i].tokens, phrases[i].slop, MUST
+                )
+                last_positive_val = phrases[i]
+
+    pos = 0
+    for m in _LEX.finditer(q):
+        if m.start() != pos:
+            raise ValueError(f"unparseable query near {q[pos:]!r}")
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        if m.group("lparen") or m.group("rparen"):
+            raise ValueError(
+                "parenthesized grouping is outside the flat classic-parser "
+                "subset this engine implements (see queryparser docstring)"
+            )
+        if m.group("matchall"):
+            match_all = True
+            continue
+        if m.group("plus"):
+            pending = MUST
+            continue
+        if m.group("minus") or m.group("bang"):
+            pending = MUST_NOT
+            continue
+        if m.group("range"):
+            fld = m.group("rfield")
+            rv = RangeValue(_coerce(m.group("lo")), _coerce(m.group("hi")))
+            occ = occur_for_next()
+            if occ == MUST_NOT:
+                _add_filter(not_filters, fld, rv)
+            else:
+                _add_filter(filters, fld, rv)
+            continue
+        if m.group("fphrase") or m.group("fielded"):
+            fld = m.group("pfield") or m.group("field")
+            raw = m.group("fpv") if m.group("fphrase") else m.group("fval")
+            if raw == "*":
+                raise ValueError(f"field existence query {fld}:* unsupported")
+            occ = occur_for_next()
+            tgt = not_filters if occ == MUST_NOT else filters
+            _add_filter(tgt, fld, _coerce(raw))
+            continue
+        if m.group("phrase"):
+            toks = tuple(analyze_text(m.group("ph")))
+            slop = int(m.group("slop") or 0)
+            occ = occur_for_next()
+            if not toks:
+                continue
+            if len(toks) == 1:  # single-token "phrase" degrades to a term
+                {SHOULD: should, MUST: must, MUST_NOT: must_not}[occ].append(
+                    toks[0]
+                )
+                if occ == SHOULD:
+                    last_positive, last_positive_val = should, toks[0]
+                continue
+            pc = PhraseClause(toks, slop, occ)
+            phrases.append(pc)
+            if occ != MUST_NOT:
+                last_positive, last_positive_val = phrases, pc
+            continue
+        # bare term (may be a connective keyword)
+        word = m.group("term")
+        if word in ("AND", "&&"):
+            promote_last()
+            next_must = True
+            continue
+        if word in ("OR", "||"):
+            continue
+        if word == "NOT":
+            pending = MUST_NOT
+            continue
+        if _UNSUPPORTED.search(word):
+            raise ValueError(
+                f"wildcard/fuzzy term {word!r} unsupported (flat subset)"
+            )
+        occ = occur_for_next()
+        toks = analyze_text(word)
+        if not toks:
+            continue
+        bucket = {SHOULD: should, MUST: must, MUST_NOT: must_not}[occ]
+        bucket.extend(toks)
+        if occ == SHOULD:
+            last_positive, last_positive_val = should, toks[-1]
+    if pos != len(q):
+        raise ValueError(f"unparseable query near {q[pos:]!r}")
+
+    return ParsedQuery(
+        should_terms=tuple(should),
+        must_terms=tuple(must),
+        must_not_terms=tuple(must_not),
+        phrases=tuple(phrases),
+        filters=filters,
+        not_filters=not_filters,
+        match_all=match_all,
+    )

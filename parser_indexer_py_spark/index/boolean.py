@@ -1,0 +1,306 @@
+"""Boolean query evaluation + Solr-style /select facade.
+
+The reference never exposes raw posting intersections to users — its whole
+query surface is Solr's ``/select`` handler fed with Lucene classic-syntax
+strings (``q=type:doc AND source:corenlp``, ``fq=id:1249``, quoted
+phrases; docs/mte-samplequeries.md throughout, parser configured at
+conf/solr/docs/conf/solrconfig.xml:841-848). This module is that front
+door for the engine: :func:`parse_query` (functions/queryparser.py)
+produces a flat clause list, and :func:`boolean_search` evaluates it by
+COMPOSING the existing primitives — the Arrow block decoder + deterministic
+score fold for term clauses, ``phrase_scores`` for positional clauses,
+``allowed_docs`` for field clauses — into one declarative plan.
+
+Scoring (Lucene BooleanQuery, coord-free since Lucene 6):
+
+- score(doc) = sum of the scores of the POSITIVE clauses the doc matches:
+  the BM25 term-clause sum (ascending-term fold, same as ``search()``)
+  plus each matching phrase clause's PhraseQuery score, folded in clause
+  order (fixed ``coalesce(s0)+coalesce(s1)+...`` expression — float
+  order is deterministic and mirrored by the pure-Python oracle).
+- MUST clauses constrain: a doc must match every required clause
+  (inner joins). With no MUST clause, a doc must match >= 1 SHOULD
+  clause (full outer union of the optional pieces).
+- MUST_NOT clauses exclude (anti joins), each independently.
+- field clauses are score-neutral filters (Solr fq semantics — see the
+  queryparser docstring for why this matches reference usage).
+- a PURE-NEGATIVE or pure-filter query behaves like Solr's top-level
+  rewrite (``*:*`` minus exclusions) with constant score 1.0 — the
+  reference's own ``q=type:doc&rows=0`` facet queries are this shape.
+
+Scale shape: every join here is on ``doc_id`` over already-decoded,
+query-term-sized subsets (never the corpus); the per-clause pieces reuse
+the same pruned block decode the plain search paths use, so a boolean
+query costs ~ the sum of its clauses' term scans plus small doc_id joins
+that AQE plans (broadcast when one side is tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.queryparser import (
+    MUST,
+    MUST_NOT,
+    ParsedQuery,
+    RangeValue,
+    parse_query,
+)
+from .search import (
+    _DECODED_SCHEMA,
+    Between,
+    Index,
+    _attach_excerpts,
+    _blocks_for_terms,
+    _make_decoder,
+    _payload_cols,
+    _score_decoded,
+    allowed_docs,
+    phrase_scores,
+)
+
+__all__ = ["boolean_search", "select"]
+
+
+def _conv_filters(raw: dict) -> dict:
+    """queryparser RangeValue -> search.Between; scalars/lists pass."""
+    return {
+        f: Between(v.lo, v.hi) if isinstance(v, RangeValue) else v
+        for f, v in raw.items()
+    }
+
+
+def _validate_fields(index: Index, *filter_dicts: dict) -> None:
+    cols = set(index.docmap.columns)
+    for d in filter_dicts:
+        for f in d:
+            if f not in cols:
+                raise ValueError(
+                    f"unknown field {f!r}; docmap fields: {sorted(cols)}"
+                )
+
+
+def _scored_docs(
+    index: Index,
+    pq: ParsedQuery,
+    *,
+    role: str | None = None,
+    extra_filters: dict | None = None,
+    match_all_score: float = 1.0,
+) -> DataFrame | None:
+    """(doc_id, score) for every doc matching ``pq`` — the pre-top-k core
+    shared by boolean_search (scores kept) and fq evaluation (doc set
+    only). Returns None when the query matches nothing by construction
+    (empty string)."""
+    filters = dict(extra_filters or {})
+    for f, v in _conv_filters(pq.filters).items():
+        if f in filters:
+            raise ValueError(f"field {f!r} constrained twice (q and fq)")
+        filters[f] = v
+    not_filters = _conv_filters(pq.not_filters)
+    _validate_fields(index, filters, not_filters)
+
+    # positive pieces, in clause order: terms first, then phrases
+    pieces: list[tuple[bool, DataFrame]] = []  # (required, (doc_id, score))
+    pos_terms = sorted(set(pq.should_terms) | set(pq.must_terms))
+    if pos_terms:
+        blocks = _blocks_for_terms(index, pos_terms)
+        decoded = blocks.select(*_payload_cols(blocks)).mapInPandas(
+            _make_decoder(index.avgdl), _DECODED_SCHEMA
+        )
+        scored = _score_decoded(decoded, keep_cs=bool(pq.must_terms))
+        if pq.must_terms:
+            def _has(term: str):
+                # single-arg lambda only (arity is inspected; a default-arg
+                # second parameter makes ArrayExists reject the bind)
+                return F.exists("cs", lambda x: x["term"] == F.lit(term))
+
+            cond = None
+            for t in sorted(set(pq.must_terms)):
+                c = _has(t)
+                cond = c if cond is None else (cond & c)
+            scored = scored.filter(cond).drop("cs")
+        pieces.append(
+            (bool(pq.must_terms), scored.select("doc_id", "score"))
+        )
+    for pc in pq.phrases:
+        if pc.occur == MUST_NOT:
+            continue
+        ps = phrase_scores(index, list(pc.tokens), slop=pc.slop)
+        pieces.append((pc.occur == MUST, ps.select("doc_id", "score")))
+
+    allowed = allowed_docs(index, role, filters)
+    if not pieces:
+        # pure-filter / match-all / pure-negative query (Solr top-level
+        # rewrite). Constant score like MatchAllDocsQuery.
+        has_neg = bool(pq.must_not_terms or not_filters) or any(
+            p.occur == MUST_NOT for p in pq.phrases
+        )
+        if allowed is None and not (pq.match_all or has_neg):
+            return None  # genuinely empty query ("" or all-stopword)
+        base = allowed if allowed is not None else index.docmap.select("doc_id")
+        out = base.withColumn("score", F.lit(float(match_all_score)))
+    else:
+        req = [(i, df) for i, (r, df) in enumerate(pieces) if r]
+        opt = [(i, df) for i, (r, df) in enumerate(pieces) if not r]
+        req_ids = {i for i, _ in req}
+        acc: DataFrame | None = None
+        for i, df in req + opt:  # required first => inner joins shrink early
+            df = df.select("doc_id", F.col("score").alias(f"_s{i}"))
+            if acc is None:
+                acc = df
+            elif i in req_ids:
+                acc = acc.join(df, "doc_id", "inner")
+            else:
+                # optional: keeps acc's docs when something is required,
+                # else unions doc sets (>=1 SHOULD must match)
+                acc = acc.join(df, "doc_id", "left" if req else "full")
+        score = None
+        for i in range(len(pieces)):  # clause-order float fold
+            c = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+            score = c if score is None else (score + c)
+        out = acc.select("doc_id", score.alias("score"))
+        if allowed is not None:
+            out = out.join(allowed, "doc_id", "left_semi")
+
+    # MUST_NOT exclusions — each clause excludes independently (anti joins)
+    nt = sorted(set(pq.must_not_terms))
+    if nt:
+        nb = _blocks_for_terms(index, nt)
+        nd = nb.select(*_payload_cols(nb)).mapInPandas(
+            _make_decoder(index.avgdl), _DECODED_SCHEMA
+        ).select("doc_id")
+        out = out.join(nd, "doc_id", "left_anti")
+    for pc in pq.phrases:
+        if pc.occur == MUST_NOT:
+            out = out.join(
+                phrase_scores(index, list(pc.tokens), slop=pc.slop)
+                .select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+    for f, v in not_filters.items():
+        ex = allowed_docs(index, None, {f: v})
+        out = out.join(ex, "doc_id", "left_anti")
+    return out
+
+
+def _apply_fq(index: Index, out: DataFrame, fq) -> DataFrame:
+    """Solr fq semantics: each fq string is itself a query; a doc must
+    MATCH every fq (score-neutral semi-joins — statistics untouched).
+    Accepts one string or a list (Solr allows repeated fq params;
+    reference clients send both field fq (``fq=id:1249``) and TEXT fq
+    (``fq=Manganese``, mte-samplequeries.md:96))."""
+    for s in [fq] if isinstance(fq, str) else list(fq or []):
+        sub = _scored_docs(index, parse_query(s))
+        if sub is None:
+            raise ValueError(f"fq {s!r} parses to an empty query")
+        out = out.join(sub.select("doc_id"), "doc_id", "left_semi")
+    return out
+
+
+def boolean_search(
+    index: Index,
+    query: str,
+    k: int = 10,
+    *,
+    fq: str | list[str] | None = None,
+    role: str | None = None,
+    filters: dict | None = None,
+    with_meta: bool = True,
+    with_excerpt: bool = False,
+) -> DataFrame:
+    """Top-k for a Lucene classic-syntax query string (module docstring
+    has the semantics). Returns (doc_id, score[, conv_id, turn_idx, role
+    [, excerpt]]), ties broken by ascending doc_id like every other path.
+
+    ``fq``/``role``/``filters`` compose exactly as in ``search()`` —
+    score-neutral doc-set restrictions applied before the top-k."""
+    pq = parse_query(query)
+    out = _scored_docs(index, pq, role=role, extra_filters=filters)
+    if out is None:
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    if fq:
+        out = _apply_fq(index, out, fq)
+    topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if with_meta:
+        meta = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
+        topk = topk.join(meta, "doc_id", "left").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        if with_excerpt:
+            hl_terms = sorted(
+                set(pq.should_terms)
+                | set(pq.must_terms)
+                | {t for p in pq.phrases if p.occur != MUST_NOT for t in p.tokens}
+            )
+            if hl_terms:
+                topk = _attach_excerpts(index, topk, hl_terms)
+    return topk
+
+
+def select(
+    index: Index,
+    q: str = "*:*",
+    *,
+    fq: str | list[str] | None = None,
+    rows: int = 10,
+    start: int = 0,
+    facet_field: str | None = None,
+    facet_limit: int = 10,
+    hl: bool = False,
+) -> dict:
+    """Solr ``/select`` twin — the request shape every reference sample
+    query uses (docs/mte-samplequeries.md; handler defaults rows=10 at
+    solrconfig.xml:770). Returns a dict mirroring the response:
+
+    - ``"response"``: the result page DataFrame (rows/start pagination
+      over the scored order, metadata attached; ``hl=True`` adds the F11
+      excerpt column — Solr highlighting's k-row analog),
+    - ``"facets"``: value counts of ``facet_field`` over the ENTIRE
+      matching doc set (not the page), like facet.field with rows=0
+      (mte-samplequeries.md:54-90), or None.
+
+    Lazy like everything else: each value is an unevaluated DataFrame; no
+    count job runs unless the caller asks (numFound is
+    ``response_all.count()`` — deliberately not precomputed, a 100-TB
+    match set's exact count is its own job)."""
+    pq = parse_query(q)
+    scored = _scored_docs(index, pq)
+    if scored is None:
+        raise ValueError(f"q {q!r} parses to an empty query")
+    if fq:
+        scored = _apply_fq(index, scored, fq)
+    resp = None
+    if rows > 0:
+        page = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(start + rows)
+            .offset(start)
+        )
+        meta = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
+        resp = page.join(meta, "doc_id", "left").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        if hl:
+            hl_terms = sorted(
+                set(pq.should_terms)
+                | set(pq.must_terms)
+                | {t for p in pq.phrases if p.occur != MUST_NOT for t in p.tokens}
+            )
+            if hl_terms:
+                resp = _attach_excerpts(index, resp, hl_terms)
+    facets = None
+    if facet_field is not None:
+        if facet_field not in index.docmap.columns:
+            raise ValueError(f"unknown facet field {facet_field!r}")
+        facets = (
+            scored.select("doc_id")
+            .join(index.docmap.select("doc_id", facet_field), "doc_id")
+            .groupBy(facet_field)
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc(facet_field))
+            .limit(facet_limit)
+        )
+    return {"response": resp, "facets": facets}

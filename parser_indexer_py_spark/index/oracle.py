@@ -102,18 +102,32 @@ class BM25Oracle:
         idf_sum folded one addend per token INSTANCE in query order — the
         same float order the engine uses. Returns
         (doc_id, score, phrase_freq)."""
-        toks = analyze_text(query)
+        out = [
+            (d, s, f)
+            for d, (s, f) in self._phrase_scores(
+                analyze_text(query), slop
+            ).items()
+            if role is None or self.roles.get(d) == role
+        ]
+        return sorted(out, key=lambda x: (-x[1], x[0]))[:k]
+
+    def _phrase_scores(
+        self, toks: list[str], slop: int
+    ) -> dict[int, tuple[float, int]]:
+        """doc_id -> (score, phrase_freq) for every matching doc — the
+        composable core behind phrase_search and boolean_search (the twin
+        of index.search.phrase_scores)."""
         if not toks:
-            return []
+            return {}
         if any(t not in self.postings for t in set(toks)):
-            return []
+            return {}
         idf_sum = 0.0
         for t in toks:
             idf_sum += bm25_idf(len(self.postings[t]), self.n_docs)
         cand_docs = set(self.positions[toks[0]])
         for t in toks[1:]:
             cand_docs &= set(self.positions[t])
-        out = []
+        out: dict[int, tuple[float, int]] = {}
         for d in cand_docs:
             if slop == 0:
                 starts = set(self.positions[toks[0]][d])
@@ -130,8 +144,109 @@ class BM25Oracle:
                 )
             if not freq:
                 continue
-            if role is not None and self.roles.get(d) != role:
-                continue
             s = bm25_contrib(float(freq), float(self.dl[d]), idf_sum, self.avgdl)
-            out.append((d, s, freq))
-        return sorted(out, key=lambda x: (-x[1], x[0]))[:k]
+            out[d] = (s, freq)
+        return out
+
+    def boolean_search(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        role: str | None = None,
+        match_all_score: float = 1.0,
+    ) -> list[tuple[int, float]]:
+        """Twin of index.boolean.boolean_search — same parser
+        (functions.queryparser, shared on purpose: the parse is plumbing,
+        the EVALUATION is the dual implementation), independent set
+        algebra, and the identical float fold order: the term piece sums
+        contribs in ascending term order, then each positive phrase
+        clause's score adds in clause order — exactly the engine's
+        ``coalesce(s0)+coalesce(s1)+...`` expression.
+
+        Field clauses: the oracle's only metadata field is ``role``;
+        other fields raise (engine-only surface)."""
+        from ..functions.queryparser import MUST, MUST_NOT, parse_query
+
+        pq = parse_query(query)
+        for f in set(pq.filters) | set(pq.not_filters):
+            if f != "role":
+                raise ValueError(f"oracle supports only role filters, got {f!r}")
+        role_f = pq.filters.get("role")
+        not_role = pq.not_filters.get("role")
+
+        pieces: list[tuple[bool, dict[int, float]]] = []
+        pos_terms = sorted(set(pq.should_terms) | set(pq.must_terms))
+        if pos_terms:
+            sc: dict[int, float] = {}
+            for t in pos_terms:  # ascending order == engine's cs fold
+                pl = self.postings.get(t)
+                if not pl:
+                    continue
+                idf = bm25_idf(len(pl), self.n_docs)
+                for d, tf in pl.items():
+                    c = bm25_contrib(
+                        float(tf), float(self.dl[d]), idf, self.avgdl
+                    )
+                    sc[d] = sc.get(d, 0.0) + c
+            if pq.must_terms:
+                need = sorted(set(pq.must_terms))
+                sc = {
+                    d: s
+                    for d, s in sc.items()
+                    if all(d in self.postings.get(t, {}) for t in need)
+                }
+            pieces.append((bool(pq.must_terms), sc))
+        for pc in pq.phrases:
+            if pc.occur == MUST_NOT:
+                continue
+            ps = self._phrase_scores(list(pc.tokens), pc.slop)
+            pieces.append((pc.occur == MUST, {d: s for d, (s, _) in ps.items()}))
+
+        if not pieces:
+            has_neg = bool(pq.must_not_terms or not_role) or any(
+                p.occur == MUST_NOT for p in pq.phrases
+            )
+            if role_f is None and role is None and not (pq.match_all or has_neg):
+                return []
+            scores = {d: float(match_all_score) for d in self.dl}
+        else:
+            req = [p for r, p in pieces if r]
+            if req:
+                docs = set(req[0])
+                for p in req[1:]:
+                    docs &= set(p)
+            else:
+                docs = set()
+                for _, p in pieces:
+                    docs |= set(p)
+            scores = {}
+            for d in docs:
+                s = 0.0
+                for _, p in pieces:  # clause-order fold, 0.0 when absent
+                    s += p.get(d, 0.0)
+                scores[d] = s
+
+        def keep(d: int) -> bool:
+            if role is not None and self.roles.get(d) != role:
+                return False
+            if role_f is not None:
+                rf = role_f if isinstance(role_f, list) else [role_f]
+                if self.roles.get(d) not in rf:
+                    return False
+            if not_role is not None:
+                nr = not_role if isinstance(not_role, list) else [not_role]
+                if self.roles.get(d) in nr:
+                    return False
+            for t in set(pq.must_not_terms):
+                if d in self.postings.get(t, {}):
+                    return False
+            for pc in pq.phrases:
+                if pc.occur == MUST_NOT and d in self._phrase_scores(
+                    list(pc.tokens), pc.slop
+                ):
+                    return False
+            return True
+
+        cands = [(d, s) for d, s in scores.items() if keep(d)]
+        return sorted(cands, key=lambda x: (-x[1], x[0]))[:k]

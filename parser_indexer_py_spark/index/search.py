@@ -211,26 +211,28 @@ def sloppy_phrase_freq(
     return count
 
 
-def phrase_eval(
+def phrase_scores(
     index: "Index",
     tokens: list[str],
-    k: int,
     *,
     slop: int = 0,
-    role: str | None = None,
-    filters: dict | None = None,
-    with_meta: bool = True,
 ) -> DataFrame:
-    """Exact-phrase BM25 top-k (Lucene PhraseQuery, slop=0 — the quoted
-    form the default parser the reference fronts accepts out of the box,
-    solrconfig.xml:841-848). ``tokens`` is the ORDERED analyzed token
-    sequence (duplicates allowed: "the cat the hat" is four offsets).
+    """Per-doc phrase scores for EVERY matching doc — (doc_id, score,
+    phrase_freq), unfiltered and un-limited. The composable core behind
+    both ``phrase_eval`` (quoted-query top-k) and the boolean evaluator
+    (index/boolean.py), where a phrase is one clause among several and its
+    scores join against other clauses' before any top-k.
 
-    Semantics (Lucene): a doc matches when some start position p has
+    Semantics (Lucene PhraseQuery, slop=0 — the quoted form the default
+    parser the reference fronts accepts out of the box,
+    solrconfig.xml:841-848): a doc matches when some start position p has
     token_i at p+i for every i; freq = number of such p; score =
     BM25(tf=freq) with idf = SUM of the tokens' idfs (one addend per
     token INSTANCE, in query order — the float fold order both the
-    engine and the pure-Python oracle use).
+    engine and the pure-Python oracle use). ``tokens`` is the ORDERED
+    analyzed sequence (duplicates allowed: "the cat the hat" is four
+    offsets). ``slop`` relaxes adjacency to ordered proximity
+    (sloppy_phrase_freq).
 
     Plan: decode blocks with positions (Arrow) -> one shuffle to
     groupBy(doc_id) -> adjacency verified in Catalyst (array_intersect
@@ -325,7 +327,22 @@ def phrase_eval(
             )
         )
 
-    scored = matched.withColumn("score", _pscore("phrase_freq", "dl")).drop("dl")
+    return matched.withColumn("score", _pscore("phrase_freq", "dl")).drop("dl")
+
+
+def phrase_eval(
+    index: "Index",
+    tokens: list[str],
+    k: int,
+    *,
+    slop: int = 0,
+    role: str | None = None,
+    filters: dict | None = None,
+    with_meta: bool = True,
+) -> DataFrame:
+    """Quoted-query top-k over ``phrase_scores`` (doc-set filters, order,
+    limit, metadata — the same post-processing the term paths apply)."""
+    scored = phrase_scores(index, tokens, slop=slop)
     allowed = allowed_docs(index, role, filters)
     if allowed is not None:
         scored = scored.join(allowed, "doc_id", "left_semi")

@@ -1,0 +1,301 @@
+"""Lucene classic-syntax parser + boolean evaluation + /select facade.
+
+Gates:
+- parser units: occur flags, AND promotion, phrases/slop, fielded
+  clauses (equality / IN / range / negation), match-all, loud errors on
+  the unsupported constructs;
+- engine boolean top-k (docIDs AND scores) == pure-Python oracle
+  bit-for-bit across every clause-type combination;
+- consistency with the dedicated paths: a bare-OR string equals
+  search(), an AND string equals search(conjunctive=True), a lone quoted
+  phrase equals search(phrase=True) — the boolean layer adds no scoring
+  of its own;
+- /select facade: pagination slices the boolean order, facets count the
+  FULL match set, text-fq restricts without changing scores.
+"""
+
+import pytest
+
+from parser_indexer_py_spark.datagen import generate_transcripts
+from parser_indexer_py_spark.functions.queryparser import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    RangeValue,
+    parse_query,
+)
+from parser_indexer_py_spark.index.boolean import boolean_search, select
+from parser_indexer_py_spark.index.build import build_index
+from parser_indexer_py_spark.index.oracle import BM25Oracle
+from parser_indexer_py_spark.index.search import load_index, search
+
+N_CONVS = 100
+
+
+# ---------------------------------------------------------------- parser
+
+def test_parser_bare_terms_default_or():
+    pq = parse_query("alpha beta")
+    assert pq.should_terms == ("alpha", "beta")
+    assert not pq.must_terms and not pq.must_not_terms and not pq.phrases
+
+
+def test_parser_prefixes():
+    pq = parse_query("+alpha -beta gamma")
+    assert pq.must_terms == ("alpha",)
+    assert pq.must_not_terms == ("beta",)
+    assert pq.should_terms == ("gamma",)
+
+
+def test_parser_and_promotes_both_sides():
+    pq = parse_query("alpha AND beta")
+    assert set(pq.must_terms) == {"alpha", "beta"}
+    assert not pq.should_terms
+    # OR stays optional; AND only promotes its neighbors
+    pq = parse_query("alpha OR beta AND gamma")
+    assert pq.should_terms == ("alpha",)
+    assert set(pq.must_terms) == {"beta", "gamma"}
+
+
+def test_parser_not():
+    pq = parse_query("alpha NOT beta !gamma")
+    assert pq.should_terms == ("alpha",)
+    assert set(pq.must_not_terms) == {"beta", "gamma"}
+
+
+def test_parser_phrases():
+    pq = parse_query('"alpha beta" +"gamma delta"~3 -"eps zeta"')
+    occ = {p.tokens: (p.slop, p.occur) for p in pq.phrases}
+    assert occ[("alpha", "beta")] == (0, SHOULD)
+    assert occ[("gamma", "delta")] == (3, MUST)
+    assert occ[("eps", "zeta")] == (0, MUST_NOT)
+
+
+def test_parser_single_token_phrase_degrades_to_term():
+    pq = parse_query('"alpha"')
+    assert pq.should_terms == ("alpha",) and not pq.phrases
+
+
+def test_parser_fields():
+    pq = parse_query('role:user turn_idx:[3 TO 7] -tool:search conv_id:"c 1"')
+    assert pq.filters["role"] == "user"
+    assert pq.filters["turn_idx"] == RangeValue(3, 7)
+    assert pq.filters["conv_id"] == "c 1"
+    assert pq.not_filters["tool"] == "search"
+    # repeated positive field -> IN
+    pq = parse_query("role:user role:tool")
+    assert pq.filters["role"] == ["user", "tool"]
+
+
+def test_parser_and_with_field():
+    pq = parse_query("alpha AND role:user")
+    assert pq.must_terms == ("alpha",)
+    assert pq.filters["role"] == "user"
+
+
+def test_parser_match_all():
+    assert parse_query("*:*").match_all
+
+
+def test_parser_rejects_unsupported():
+    for bad in ["(a OR b) AND c", "te?t", "wild*", "fuzzy~", "role:*"]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+# ------------------------------------------------------------- fixtures
+
+@pytest.fixture(scope="module")
+def bindex(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bidx"))
+    df = generate_transcripts(spark, N_CONVS, partitions=4)
+    build_index(
+        spark, df, out, n_partitions=6, n_buckets=8, salt=4, n_chunks=2,
+        positions=True,
+    )
+    return load_index(spark, out)
+
+
+@pytest.fixture(scope="module")
+def boracle(bindex):
+    pdf = bindex.docmap.select("doc_id", "text", "role").toPandas()
+    return BM25Oracle.from_pandas(pdf)
+
+
+def _pick_terms(oracle):
+    """(t1, t2, t3): t1,t2 = the corpus's most frequent adjacent bigram
+    (so phrase clauses actually match), t3 = another high-df term."""
+    from collections import Counter, defaultdict
+
+    seqs: dict = defaultdict(dict)
+    for t, dd in oracle.positions.items():
+        for d, ps in dd.items():
+            for p in ps:
+                seqs[d][p] = t
+    bg: Counter = Counter()
+    for pm in seqs.values():
+        toks = [pm[p] for p in sorted(pm)]
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] += 1
+    (t1, t2), _ = bg.most_common(1)[0]
+    df_sorted = sorted(
+        oracle.postings.items(), key=lambda kv: (-len(kv[1]), kv[0])
+    )
+    t3 = next(t for t, _ in df_sorted if t not in (t1, t2))
+    return t1, t2, t3
+
+
+@pytest.fixture(scope="module")
+def qterms(boracle):
+    return _pick_terms(boracle)
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+# -------------------------------------------------- engine == oracle
+
+def test_boolean_rank_identity_vs_oracle(bindex, boracle, qterms):
+    t1, t2, t3 = qterms
+    queries = [
+        f"{t1} {t2}",
+        f"{t1} +{t2}",
+        f"{t1} -{t2}",
+        f"{t1} AND {t2}",
+        f'"{t1} {t2}"',
+        f'{t3} "{t1} {t2}"',
+        f'{t3} +"{t1} {t2}"',
+        f'{t3} -"{t1} {t2}"',
+        f'"{t1} {t2}"~2 {t3}',
+        f"{t1} role:user",
+        f"-{t1} role:user",
+        f"{t3} AND role:user",
+    ]
+    for q in queries:
+        eng = _rows(boolean_search(bindex, q, k=10, with_meta=False))
+        assert eng == boracle.boolean_search(q, k=10), q
+
+
+def test_boolean_match_all(bindex, boracle):
+    eng = _rows(boolean_search(bindex, "*:*", k=7, with_meta=False))
+    assert eng == boracle.boolean_search("*:*", k=7)
+    assert all(s == 1.0 for _, s in eng) and len(eng) == 7
+
+
+def test_boolean_empty_query(bindex):
+    assert boolean_search(bindex, "", k=5).count() == 0
+
+
+# ------------------------------------- consistency with dedicated paths
+
+def test_bare_or_equals_search(bindex, qterms):
+    t1, t2, _ = qterms
+    q = f"{t1} {t2}"
+    assert _rows(boolean_search(bindex, q, k=10, with_meta=False)) == _rows(
+        search(bindex, q, k=10, with_meta=False)
+    )
+
+
+def test_and_equals_conjunctive_search(bindex, qterms):
+    t1, t2, _ = qterms
+    assert _rows(
+        boolean_search(bindex, f"{t1} AND {t2}", k=10, with_meta=False)
+    ) == _rows(
+        search(bindex, f"{t1} {t2}", k=10, conjunctive=True, with_meta=False)
+    )
+
+
+def test_lone_phrase_equals_phrase_search(bindex, qterms):
+    t1, t2, _ = qterms
+    eng = _rows(
+        boolean_search(bindex, f'"{t1} {t2}"', k=10, with_meta=False)
+    )
+    ref = [
+        (r["doc_id"], r["score"])
+        for r in search(
+            bindex, f"{t1} {t2}", k=10, phrase=True, with_meta=False
+        ).collect()
+    ]
+    assert eng == ref
+
+
+# --------------------------------------------------------- /select
+
+def test_select_pagination(bindex, qterms):
+    t1, t2, _ = qterms
+    q = f"{t1} {t2}"
+    full = _rows(boolean_search(bindex, q, k=9, with_meta=False))
+    page = select(bindex, q, rows=3, start=3)["response"]
+    assert [(r["doc_id"], r["score"]) for r in page.collect()] == full[3:6]
+
+
+def test_select_facets_count_full_match_set(bindex, boracle, qterms):
+    t1, _, _ = qterms
+    facets = select(bindex, t1, rows=0, facet_field="role")["facets"]
+    got = {r["role"]: r["n"] for r in facets.collect()}
+    want: dict = {}
+    for d in boracle.postings[t1]:
+        want[boracle.roles[d]] = want.get(boracle.roles[d], 0) + 1
+    assert got == dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
+
+
+def test_select_text_fq_is_score_neutral(bindex, boracle, qterms):
+    t1, _, t3 = qterms
+    res = select(bindex, t1, fq=t3, rows=1000)["response"]
+    got = [(r["doc_id"], r["score"]) for r in res.collect()]
+    base = dict(boracle.boolean_search(t1, k=10**6))
+    with_t3 = set(boracle.postings[t3])
+    want = sorted(
+        ((d, s) for d, s in base.items() if d in with_t3),
+        key=lambda x: (-x[1], x[0]),
+    )[:1000]
+    assert got == want
+
+
+def test_select_rejects_unknown_facet_field(bindex):
+    with pytest.raises(ValueError):
+        select(bindex, "*:*", facet_field="nope")
+
+
+def test_boolean_on_segments(spark, tmp_path_factory):
+    """The boolean layer composes with the streaming merged view for free
+    (MergedSegmentsView implements the Index API the clause pieces use):
+    engine over 2 positional segments == pure-Python oracle built from the
+    merged view's own docmap, across every clause type."""
+    from pyspark.sql import functions as F
+
+    from parser_indexer_py_spark.streaming.incremental import SegmentedIndex
+    from parser_indexer_py_spark.streaming.merged import MergedSegmentsView
+
+    root = str(tmp_path_factory.mktemp("bseg"))
+    seg = SegmentedIndex(spark, root, positions=True)
+    src = generate_transcripts(spark, 60, partitions=2)
+    seg.append_batch(
+        src.filter(F.pmod(F.crc32(F.col("conv_id")), F.lit(2)) == 0), 0
+    )
+    seg.append_batch(
+        src.filter(F.pmod(F.crc32(F.col("conv_id")), F.lit(2)) == 1), 1
+    )
+    view = MergedSegmentsView(seg)
+    o = BM25Oracle.from_pandas(
+        view.docmap.select("doc_id", "text", "role").toPandas()
+    )
+    t1, t2, t3 = _pick_terms(o)
+    for q in [
+        f"{t1} {t3}",
+        f"{t3} +{t1} -{t2}",
+        f'{t3} "{t1} {t2}"',
+        f'"{t1} {t2}"~2 AND {t3}',
+        f"{t1} role:user",
+    ]:
+        eng = _rows(boolean_search(view, q, k=10, with_meta=False))
+        assert eng == o.boolean_search(q, k=10), q
+
+
+def test_boolean_with_excerpt_smoke(bindex, qterms):
+    t1, t2, _ = qterms
+    rows = boolean_search(
+        bindex, f'{t1} "{t1} {t2}"', k=3, with_excerpt=True
+    ).collect()
+    assert rows and all(r["excerpt"] for r in rows)
