@@ -31,10 +31,19 @@ Supported grammar (documented subset of the Lucene classic parser):
   role:tool`` means either). ``-field:value`` excludes.
 - ``*:*`` — match-all (used by the reference for facet-only queries,
   mte-samplequeries.md:54 with ``rows=0``).
+- ``term^2`` / ``"a phrase"^1.5`` / ``pre*^3`` — per-clause boosts
+  (multiply the clause's score, Lucene semantics). The same bare term
+  appearing twice with different boosts keeps the LAST boost (documented
+  simplification of the flat clause list).
+- ``pre*`` — trailing-wildcard prefix query, evaluated with Lucene's
+  constant-score rewrite (every doc containing ANY term with the prefix
+  scores boost × 1.0; term frequencies don't rank constant-score
+  multi-term queries) and Lucene's safety valve: expansion beyond
+  ``MAX_PREFIX_EXPANSIONS`` (1024, = BooleanQuery.maxClauseCount) raises.
 
 NOT supported (raises ValueError, so silent misreads are impossible):
-parenthesized grouping, per-clause boosts (``^2``), wildcards/fuzzy
-(``te?t``, ``test~``), and child-doc transformers — the engine exposes
+parenthesized grouping, non-trailing wildcards (``te?t``, ``*te``),
+fuzzy (``test~``), and child-doc transformers — the engine exposes
 block joins through its own operators instead.
 """
 
@@ -50,11 +59,22 @@ __all__ = ["PhraseClause", "ParsedQuery", "parse_query"]
 SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
 
 
+MAX_PREFIX_EXPANSIONS = 1024  # Lucene BooleanQuery.maxClauseCount
+
+
 @dataclass(frozen=True)
 class PhraseClause:
     tokens: tuple[str, ...]
     slop: int
     occur: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PrefixClause:
+    prefix: str
+    occur: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -71,8 +91,12 @@ class ParsedQuery:
     must_terms: tuple[str, ...] = ()
     must_not_terms: tuple[str, ...] = ()
     phrases: tuple[PhraseClause, ...] = ()
+    prefixes: tuple[PrefixClause, ...] = ()
     filters: dict = field(default_factory=dict)
     not_filters: dict = field(default_factory=dict)
+    # term -> boost for term clauses (absent == 1.0); phrase/prefix boosts
+    # live on their clause objects
+    boosts: dict = field(default_factory=dict)
     match_all: bool = False
 
     @property
@@ -81,10 +105,15 @@ class ParsedQuery:
             self.should_terms
             or self.must_terms
             or any(p.occur != MUST_NOT for p in self.phrases)
+            or any(p.occur != MUST_NOT for p in self.prefixes)
         )
+
+    def boost_of(self, term: str) -> float:
+        return float(self.boosts.get(term, 1.0))
 
 
 _FIELD = r"[A-Za-z_][A-Za-z0-9_.]*"
+_BOOST = r"\^(?:\d+(?:\.\d+)?)"
 _LEX = re.compile(
     rf"""
     (?P<ws>\s+)
@@ -93,13 +122,15 @@ _LEX = re.compile(
   | (?P<range>(?P<rfield>{_FIELD}):\[(?P<lo>[^\]\s]+)\s+TO\s+(?P<hi>[^\]\s]+)\])
   | (?P<fphrase>(?P<pfield>{_FIELD}):"(?P<fpv>[^"]*)")
   | (?P<fielded>(?P<field>{_FIELD}):(?P<fval>[^\s()]+))
-  | (?P<phrase>"(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?)
-  | (?P<plus>\+) | (?P<minus>-) | (?P<bang>!)
+  | (?P<phrase>"(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<qboost>\d+(?:\.\d+)?))?)
+  | (?P<plus>\+) | (?P<minus>-(?=\S)) | (?P<bang>!)
+  | (?P<prefixq>(?P<pfx>[^\s()*^]+)\*(?:\^(?P<pfxboost>\d+(?:\.\d+)?))?(?=\s|\)|$))
   | (?P<term>[^\s()]+)
     """,
     re.X,
 )
 
+_TERM_BOOST = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
 _UNSUPPORTED = re.compile(r"[*?]|~\d*$")  # wildcard / fuzzy on a bare term
 
 
@@ -134,8 +165,10 @@ def parse_query(q: str) -> ParsedQuery:
     docstring rather than guessing."""
     should, must, must_not = [], [], []
     phrases: list[PhraseClause] = []
+    prefixes: list[PrefixClause] = []
     filters: dict = {}
     not_filters: dict = {}
+    boosts: dict = {}
     match_all = False
 
     pending: str | None = None  # occur forced by +/-/NOT for next clause
@@ -160,9 +193,17 @@ def parse_query(q: str) -> ParsedQuery:
             i = phrases.index(last_positive_val)
             if phrases[i].occur == SHOULD:
                 phrases[i] = PhraseClause(
-                    phrases[i].tokens, phrases[i].slop, MUST
+                    phrases[i].tokens, phrases[i].slop, MUST,
+                    phrases[i].boost,
                 )
                 last_positive_val = phrases[i]
+        elif last_positive is prefixes and last_positive_val in prefixes:
+            i = prefixes.index(last_positive_val)
+            if prefixes[i].occur == SHOULD:
+                prefixes[i] = PrefixClause(
+                    prefixes[i].prefix, MUST, prefixes[i].boost
+                )
+                last_positive_val = prefixes[i]
 
     pos = 0
     for m in _LEX.finditer(q):
@@ -206,6 +247,7 @@ def parse_query(q: str) -> ParsedQuery:
         if m.group("phrase"):
             toks = tuple(analyze_text(m.group("ph")))
             slop = int(m.group("slop") or 0)
+            boost = float(m.group("qboost") or 1.0)
             occ = occur_for_next()
             if not toks:
                 continue
@@ -213,13 +255,28 @@ def parse_query(q: str) -> ParsedQuery:
                 {SHOULD: should, MUST: must, MUST_NOT: must_not}[occ].append(
                     toks[0]
                 )
+                if boost != 1.0:
+                    boosts[toks[0]] = boost
                 if occ == SHOULD:
                     last_positive, last_positive_val = should, toks[0]
                 continue
-            pc = PhraseClause(toks, slop, occ)
+            pc = PhraseClause(toks, slop, occ, boost)
             phrases.append(pc)
             if occ != MUST_NOT:
                 last_positive, last_positive_val = phrases, pc
+            continue
+        if m.group("prefixq"):
+            pfx_toks = analyze_text(m.group("pfx"))
+            boost = float(m.group("pfxboost") or 1.0)
+            occ = occur_for_next()
+            if len(pfx_toks) != 1:
+                raise ValueError(
+                    f"prefix {m.group('pfx')!r}* must analyze to one token"
+                )
+            pc = PrefixClause(pfx_toks[0], occ, boost)
+            prefixes.append(pc)
+            if occ != MUST_NOT:
+                last_positive, last_positive_val = prefixes, pc
             continue
         # bare term (may be a connective keyword)
         word = m.group("term")
@@ -232,9 +289,14 @@ def parse_query(q: str) -> ParsedQuery:
         if word == "NOT":
             pending = MUST_NOT
             continue
+        boost = 1.0
+        bm = _TERM_BOOST.match(word)
+        if bm:
+            word, boost = bm.group(1), float(bm.group(2))
         if _UNSUPPORTED.search(word):
             raise ValueError(
-                f"wildcard/fuzzy term {word!r} unsupported (flat subset)"
+                f"wildcard/fuzzy term {word!r} unsupported (flat subset; "
+                "only TRAILING-wildcard prefixes like 'pre*' are queries)"
             )
         occ = occur_for_next()
         toks = analyze_text(word)
@@ -242,6 +304,9 @@ def parse_query(q: str) -> ParsedQuery:
             continue
         bucket = {SHOULD: should, MUST: must, MUST_NOT: must_not}[occ]
         bucket.extend(toks)
+        if boost != 1.0:
+            for t in toks:  # last occurrence wins (module docstring)
+                boosts[t] = boost
         if occ == SHOULD:
             last_positive, last_positive_val = should, toks[-1]
     if pos != len(q):
@@ -252,7 +317,9 @@ def parse_query(q: str) -> ParsedQuery:
         must_terms=tuple(must),
         must_not_terms=tuple(must_not),
         phrases=tuple(phrases),
+        prefixes=tuple(prefixes),
         filters=filters,
         not_filters=not_filters,
+        boosts=boosts,
         match_all=match_all,
     )

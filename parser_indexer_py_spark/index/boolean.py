@@ -41,8 +41,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.queryparser import (
+    MAX_PREFIX_EXPANSIONS,
     MUST,
     MUST_NOT,
+    SHOULD,
     ParsedQuery,
     RangeValue,
     parse_query,
@@ -81,6 +83,40 @@ def _validate_fields(index: Index, *filter_dicts: dict) -> None:
                 )
 
 
+def _expand_prefix(index: Index, prefix: str) -> list[str]:
+    """Lucene PrefixQuery rewrite step: the matching terms from the term
+    dictionary (termstats point scan — the prefix predicate pushes to the
+    parquet term column), capped at MAX_PREFIX_EXPANSIONS like
+    BooleanQuery.maxClauseCount (a loud error beats a silent 10^6-term
+    scan on a hot prefix at 100 TB)."""
+    rows = (
+        index.termstats.filter(F.col("term").startswith(prefix))
+        .select("term")
+        .limit(MAX_PREFIX_EXPANSIONS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_PREFIX_EXPANSIONS:
+        raise ValueError(
+            f"prefix {prefix!r}* expands past {MAX_PREFIX_EXPANSIONS} terms "
+            "(Lucene maxClauseCount); narrow the prefix"
+        )
+    return sorted(r["term"] for r in rows)
+
+
+def _docs_with_any(index: Index, terms: list[str]) -> DataFrame:
+    """Distinct doc_ids containing >= 1 of ``terms`` (decode only those
+    terms' blocks)."""
+    if not terms:
+        return index.spark.createDataFrame([], "doc_id long")
+    blocks = _blocks_for_terms(index, terms)
+    return (
+        blocks.select(*_payload_cols(blocks))
+        .mapInPandas(_make_decoder(index.avgdl), _DECODED_SCHEMA)
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def _scored_docs(
     index: Index,
     pq: ParsedQuery,
@@ -88,6 +124,7 @@ def _scored_docs(
     role: str | None = None,
     extra_filters: dict | None = None,
     match_all_score: float = 1.0,
+    min_should_match: int = 0,
 ) -> DataFrame | None:
     """(doc_id, score) for every doc matching ``pq`` — the pre-top-k core
     shared by boolean_search (scores kept) and fq evaluation (doc set
@@ -101,53 +138,114 @@ def _scored_docs(
     not_filters = _conv_filters(pq.not_filters)
     _validate_fields(index, filters, not_filters)
 
-    # positive pieces, in clause order: terms first, then phrases
-    pieces: list[tuple[bool, DataFrame]] = []  # (required, (doc_id, score))
+    # mm counts SHOULD clauses only (Lucene minimumNumberShouldMatch);
+    # more required matches than SHOULD clauses exist can never be met
+    should_set = sorted(set(pq.should_terms))
+    n_should_clauses = (
+        len(should_set)
+        + sum(1 for p in pq.phrases if p.occur == SHOULD)
+        + sum(1 for p in pq.prefixes if p.occur == SHOULD)
+    )
+    if min_should_match > n_should_clauses:
+        return None
+
+    # positive pieces, in clause order: terms, phrases, prefixes.
+    # Each entry: (required, df(doc_id, score), counts_toward_mm)
+    pieces: list[tuple[bool, DataFrame, bool]] = []
     pos_terms = sorted(set(pq.should_terms) | set(pq.must_terms))
+    term_piece_has_ns = False
     if pos_terms:
         blocks = _blocks_for_terms(index, pos_terms)
         decoded = blocks.select(*_payload_cols(blocks)).mapInPandas(
             _make_decoder(index.avgdl), _DECODED_SCHEMA
         )
-        scored = _score_decoded(decoded, keep_cs=bool(pq.must_terms))
-        if pq.must_terms:
+        if any(pq.boost_of(t) != 1.0 for t in pos_terms):
+            # clause boosts multiply the per-term contrib BEFORE the
+            # deterministic fold (oracle mirrors the same float op order)
+            bmap = F.create_map(
+                *[
+                    x
+                    for t in pos_terms
+                    for x in (F.lit(t), F.lit(pq.boost_of(t)))
+                ]
+            )
+            decoded = decoded.withColumn(
+                "contrib", F.col("contrib") * bmap[F.col("term")]
+            )
+        keep_cs = bool(pq.must_terms) or (
+            min_should_match > 0 and bool(should_set)
+        )
+        scored = _score_decoded(decoded, keep_cs=keep_cs)
+        if keep_cs:
             def _has(term: str):
                 # single-arg lambda only (arity is inspected; a default-arg
                 # second parameter makes ArrayExists reject the bind)
                 return F.exists("cs", lambda x: x["term"] == F.lit(term))
 
+            if min_should_match > 0 and should_set:
+                term_piece_has_ns = True
+                scored = scored.withColumn(
+                    "_ns",
+                    F.size(
+                        F.filter(
+                            "cs",
+                            lambda x: x["term"].isin(should_set),
+                        )
+                    ),
+                )
             cond = None
             for t in sorted(set(pq.must_terms)):
                 c = _has(t)
                 cond = c if cond is None else (cond & c)
-            scored = scored.filter(cond).drop("cs")
-        pieces.append(
-            (bool(pq.must_terms), scored.select("doc_id", "score"))
-        )
+            if cond is not None:
+                scored = scored.filter(cond)
+            scored = scored.drop("cs")
+        cols = ["doc_id", "score"] + (["_ns"] if term_piece_has_ns else [])
+        pieces.append((bool(pq.must_terms), scored.select(*cols), False))
     for pc in pq.phrases:
         if pc.occur == MUST_NOT:
             continue
         ps = phrase_scores(index, list(pc.tokens), slop=pc.slop)
-        pieces.append((pc.occur == MUST, ps.select("doc_id", "score")))
+        ps = ps.select(
+            "doc_id", (F.col("score") * F.lit(float(pc.boost))).alias("score")
+        )
+        pieces.append((pc.occur == MUST, ps, pc.occur == SHOULD))
+    for pc in pq.prefixes:
+        if pc.occur == MUST_NOT:
+            continue
+        # constant-score rewrite: matching any expanded term scores
+        # boost * 1.0 (Lucene PrefixQuery CONSTANT_SCORE) — tf is
+        # irrelevant for multi-term rewrites
+        docs = _docs_with_any(index, _expand_prefix(index, pc.prefix))
+        pieces.append(
+            (
+                pc.occur == MUST,
+                docs.withColumn("score", F.lit(1.0 * pc.boost)),
+                pc.occur == SHOULD,
+            )
+        )
 
     allowed = allowed_docs(index, role, filters)
     if not pieces:
         # pure-filter / match-all / pure-negative query (Solr top-level
         # rewrite). Constant score like MatchAllDocsQuery.
         has_neg = bool(pq.must_not_terms or not_filters) or any(
-            p.occur == MUST_NOT for p in pq.phrases
+            p.occur == MUST_NOT for p in list(pq.phrases) + list(pq.prefixes)
         )
         if allowed is None and not (pq.match_all or has_neg):
             return None  # genuinely empty query ("" or all-stopword)
         base = allowed if allowed is not None else index.docmap.select("doc_id")
         out = base.withColumn("score", F.lit(float(match_all_score)))
     else:
-        req = [(i, df) for i, (r, df) in enumerate(pieces) if r]
-        opt = [(i, df) for i, (r, df) in enumerate(pieces) if not r]
+        req = [(i, df) for i, (r, df, _) in enumerate(pieces) if r]
+        opt = [(i, df) for i, (r, df, _) in enumerate(pieces) if not r]
         req_ids = {i for i, _ in req}
         acc: DataFrame | None = None
         for i, df in req + opt:  # required first => inner joins shrink early
-            df = df.select("doc_id", F.col("score").alias(f"_s{i}"))
+            extra = ["_ns"] if i == 0 and term_piece_has_ns else []
+            df = df.select(
+                "doc_id", F.col("score").alias(f"_s{i}"), *extra
+            )
             if acc is None:
                 acc = df
             elif i in req_ids:
@@ -160,6 +258,20 @@ def _scored_docs(
         for i in range(len(pieces)):  # clause-order float fold
             c = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
             score = c if score is None else (score + c)
+        if min_should_match > 0:
+            # matched SHOULD clauses: distinct should terms (from the term
+            # piece's cs filter) + each matching SHOULD phrase/prefix piece
+            msum = (
+                F.coalesce(F.col("_ns"), F.lit(0))
+                if term_piece_has_ns
+                else F.lit(0)
+            )
+            for i, (_, _, counts_mm) in enumerate(pieces):
+                if counts_mm:
+                    msum = msum + F.when(
+                        F.col(f"_s{i}").isNotNull(), 1
+                    ).otherwise(0)
+            acc = acc.filter(msum >= min_should_match)
         out = acc.select("doc_id", score.alias("score"))
         if allowed is not None:
             out = out.join(allowed, "doc_id", "left_semi")
@@ -177,6 +289,13 @@ def _scored_docs(
             out = out.join(
                 phrase_scores(index, list(pc.tokens), slop=pc.slop)
                 .select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+    for pc in pq.prefixes:
+        if pc.occur == MUST_NOT:
+            out = out.join(
+                _docs_with_any(index, _expand_prefix(index, pc.prefix)),
                 "doc_id",
                 "left_anti",
             )
@@ -208,6 +327,7 @@ def boolean_search(
     fq: str | list[str] | None = None,
     role: str | None = None,
     filters: dict | None = None,
+    min_should_match: int = 0,
     with_meta: bool = True,
     with_excerpt: bool = False,
 ) -> DataFrame:
@@ -216,9 +336,15 @@ def boolean_search(
     [, excerpt]]), ties broken by ascending doc_id like every other path.
 
     ``fq``/``role``/``filters`` compose exactly as in ``search()`` —
-    score-neutral doc-set restrictions applied before the top-k."""
+    score-neutral doc-set restrictions applied before the top-k.
+    ``min_should_match`` is Lucene's minimumNumberShouldMatch (Solr mm):
+    a doc must match >= that many SHOULD clauses — MUST matches never
+    count toward it, and mm > #SHOULD-clauses matches nothing."""
     pq = parse_query(query)
-    out = _scored_docs(index, pq, role=role, extra_filters=filters)
+    out = _scored_docs(
+        index, pq, role=role, extra_filters=filters,
+        min_should_match=min_should_match,
+    )
     if out is None:
         return index.spark.createDataFrame([], "doc_id long, score double")
     if fq:

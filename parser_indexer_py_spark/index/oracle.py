@@ -148,12 +148,24 @@ class BM25Oracle:
             out[d] = (s, freq)
         return out
 
+    def _prefix_terms(self, prefix: str) -> list[str]:
+        from ..functions.queryparser import MAX_PREFIX_EXPANSIONS
+
+        terms = sorted(t for t in self.postings if t.startswith(prefix))
+        if len(terms) > MAX_PREFIX_EXPANSIONS:
+            raise ValueError(
+                f"prefix {prefix!r}* expands past {MAX_PREFIX_EXPANSIONS} "
+                "terms (Lucene maxClauseCount); narrow the prefix"
+            )
+        return terms
+
     def boolean_search(
         self,
         query: str,
         k: int = 10,
         *,
         role: str | None = None,
+        min_should_match: int = 0,
         match_all_score: float = 1.0,
     ) -> list[tuple[int, float]]:
         """Twin of index.boolean.boolean_search — same parser
@@ -175,8 +187,20 @@ class BM25Oracle:
         role_f = pq.filters.get("role")
         not_role = pq.not_filters.get("role")
 
-        pieces: list[tuple[bool, dict[int, float]]] = []
+        should_set = sorted(set(pq.should_terms))
+        n_should_clauses = (
+            len(should_set)
+            + sum(1 for p in pq.phrases if p.occur == "SHOULD")
+            + sum(1 for p in pq.prefixes if p.occur == "SHOULD")
+        )
+        if min_should_match > n_should_clauses:
+            return []
+
+        # pieces in ENGINE clause order (terms, phrases, prefixes);
+        # each: (required, doc->score, counts_toward_mm)
+        pieces: list[tuple[bool, dict[int, float], bool]] = []
         pos_terms = sorted(set(pq.should_terms) | set(pq.must_terms))
+        boosted = any(pq.boost_of(t) != 1.0 for t in pos_terms)
         if pos_terms:
             sc: dict[int, float] = {}
             for t in pos_terms:  # ascending order == engine's cs fold
@@ -188,6 +212,8 @@ class BM25Oracle:
                     c = bm25_contrib(
                         float(tf), float(self.dl[d]), idf, self.avgdl
                     )
+                    if boosted:  # same guard as the engine: no-boost
+                        c = c * pq.boost_of(t)  # queries skip the multiply
                     sc[d] = sc.get(d, 0.0) + c
             if pq.must_terms:
                 need = sorted(set(pq.must_terms))
@@ -196,36 +222,75 @@ class BM25Oracle:
                     for d, s in sc.items()
                     if all(d in self.postings.get(t, {}) for t in need)
                 }
-            pieces.append((bool(pq.must_terms), sc))
+            pieces.append((bool(pq.must_terms), sc, False))
         for pc in pq.phrases:
             if pc.occur == MUST_NOT:
                 continue
             ps = self._phrase_scores(list(pc.tokens), pc.slop)
-            pieces.append((pc.occur == MUST, {d: s for d, (s, _) in ps.items()}))
+            pieces.append(
+                (
+                    pc.occur == MUST,
+                    {d: s * float(pc.boost) for d, (s, _) in ps.items()},
+                    pc.occur == "SHOULD",
+                )
+            )
+        for pc in pq.prefixes:
+            if pc.occur == MUST_NOT:
+                continue
+            docs_p: set[int] = set()
+            for t in self._prefix_terms(pc.prefix):
+                docs_p |= set(self.postings[t])
+            pieces.append(
+                (
+                    pc.occur == MUST,
+                    {d: 1.0 * pc.boost for d in docs_p},
+                    pc.occur == "SHOULD",
+                )
+            )
 
         if not pieces:
             has_neg = bool(pq.must_not_terms or not_role) or any(
-                p.occur == MUST_NOT for p in pq.phrases
+                p.occur == MUST_NOT
+                for p in list(pq.phrases) + list(pq.prefixes)
             )
             if role_f is None and role is None and not (pq.match_all or has_neg):
                 return []
             scores = {d: float(match_all_score) for d in self.dl}
         else:
-            req = [p for r, p in pieces if r]
+            req = [p for r, p, _ in pieces if r]
             if req:
                 docs = set(req[0])
                 for p in req[1:]:
                     docs &= set(p)
             else:
                 docs = set()
-                for _, p in pieces:
+                for _, p, _ in pieces:
                     docs |= set(p)
             scores = {}
             for d in docs:
                 s = 0.0
-                for _, p in pieces:  # clause-order fold, 0.0 when absent
+                for _, p, _ in pieces:  # clause-order fold, 0.0 when absent
                     s += p.get(d, 0.0)
                 scores[d] = s
+            if min_should_match > 0:
+                def n_sat(d: int) -> int:
+                    n = sum(
+                        1
+                        for t in should_set
+                        if d in self.postings.get(t, {})
+                    )
+                    n += sum(
+                        1
+                        for _, p, counts in pieces
+                        if counts and d in p
+                    )
+                    return n
+
+                scores = {
+                    d: s
+                    for d, s in scores.items()
+                    if n_sat(d) >= min_should_match
+                }
 
         def keep(d: int) -> bool:
             if role is not None and self.roles.get(d) != role:
@@ -244,6 +309,12 @@ class BM25Oracle:
             for pc in pq.phrases:
                 if pc.occur == MUST_NOT and d in self._phrase_scores(
                     list(pc.tokens), pc.slop
+                ):
+                    return False
+            for pc in pq.prefixes:
+                if pc.occur == MUST_NOT and any(
+                    d in self.postings[t]
+                    for t in self._prefix_terms(pc.prefix)
                 ):
                     return False
             return True

@@ -97,8 +97,30 @@ def test_parser_match_all():
     assert parse_query("*:*").match_all
 
 
+def test_parser_boosts():
+    pq = parse_query('alpha^2 "beta gamma"^1.5 +delta^3')
+    assert pq.boost_of("alpha") == 2.0
+    assert pq.boost_of("delta") == 3.0
+    assert pq.boost_of("nope") == 1.0
+    assert pq.phrases[0].boost == 1.5
+    # phrase slop and boost compose: "a b"~2^3
+    pq = parse_query('"alpha beta"~2^3')
+    assert pq.phrases[0].slop == 2 and pq.phrases[0].boost == 3.0
+
+
+def test_parser_prefix():
+    pq = parse_query("alp* -bet*^2 +gam*")
+    occ = {p.prefix: (p.occur, p.boost) for p in pq.prefixes}
+    assert occ["alp"] == (SHOULD, 1.0)
+    assert occ["bet"] == (MUST_NOT, 2.0)
+    assert occ["gam"] == (MUST, 1.0)
+    # AND promotes a prefix clause too
+    pq = parse_query("alp* AND beta")
+    assert pq.prefixes[0].occur == MUST
+
+
 def test_parser_rejects_unsupported():
-    for bad in ["(a OR b) AND c", "te?t", "wild*", "fuzzy~", "role:*"]:
+    for bad in ["(a OR b) AND c", "te?t", "te*t", "*te", "fuzzy~", "role:*"]:
         with pytest.raises(ValueError):
             parse_query(bad)
 
@@ -175,6 +197,50 @@ def test_boolean_rank_identity_vs_oracle(bindex, boracle, qterms):
     for q in queries:
         eng = _rows(boolean_search(bindex, q, k=10, with_meta=False))
         assert eng == boracle.boolean_search(q, k=10), q
+
+
+def test_boolean_boost_prefix_mm_vs_oracle(bindex, boracle, qterms):
+    t1, t2, t3 = qterms
+    queries = [
+        f"{t1}^2 {t3}",                       # term boost
+        f'{t3} "{t1} {t2}"^2.5',              # phrase boost
+        f"{t1[:2]}* {t3}",                    # SHOULD prefix (const score)
+        f"+{t1[:2]}* -{t3}",                  # MUST prefix + NOT term
+        f"{t3} -{t1[:2]}*",                   # MUST_NOT prefix
+        f"{t1[:2]}*^2 AND {t3}",              # boosted prefix, AND promote
+    ]
+    for q in queries:
+        eng = _rows(boolean_search(bindex, q, k=10, with_meta=False))
+        assert eng == boracle.boolean_search(q, k=10), q
+
+
+def test_boolean_min_should_match(bindex, boracle, qterms):
+    t1, t2, t3 = qterms
+    q = f"{t1} {t2} {t3}"
+    for mm in (0, 1, 2, 3):
+        eng = _rows(
+            boolean_search(
+                bindex, q, k=10, min_should_match=mm, with_meta=False
+            )
+        )
+        assert eng == boracle.boolean_search(q, k=10, min_should_match=mm), mm
+    # mm over a mixed term+phrase query (the phrase counts as one clause)
+    q2 = f'{t3} "{t1} {t2}"'
+    eng = _rows(
+        boolean_search(bindex, q2, k=10, min_should_match=2, with_meta=False)
+    )
+    assert eng == boracle.boolean_search(q2, k=10, min_should_match=2)
+    # mm beyond the SHOULD clause count matches nothing
+    assert (
+        boolean_search(bindex, q, k=10, min_should_match=4).count() == 0
+    )
+
+
+def test_boolean_boost_one_is_identity(bindex, qterms):
+    t1, _, t3 = qterms
+    assert _rows(
+        boolean_search(bindex, f"{t1}^1 {t3}", k=10, with_meta=False)
+    ) == _rows(boolean_search(bindex, f"{t1} {t3}", k=10, with_meta=False))
 
 
 def test_boolean_match_all(bindex, boracle):
