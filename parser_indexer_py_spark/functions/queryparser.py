@@ -99,21 +99,11 @@ class ParsedQuery:
     boosts: dict = field(default_factory=dict)
     match_all: bool = False
 
-    @property
-    def has_positive(self) -> bool:
-        return bool(
-            self.should_terms
-            or self.must_terms
-            or any(p.occur != MUST_NOT for p in self.phrases)
-            or any(p.occur != MUST_NOT for p in self.prefixes)
-        )
-
     def boost_of(self, term: str) -> float:
         return float(self.boosts.get(term, 1.0))
 
 
 _FIELD = r"[A-Za-z_][A-Za-z0-9_.]*"
-_BOOST = r"\^(?:\d+(?:\.\d+)?)"
 _LEX = re.compile(
     rf"""
     (?P<ws>\s+)
@@ -131,7 +121,8 @@ _LEX = re.compile(
 )
 
 _TERM_BOOST = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
-_UNSUPPORTED = re.compile(r"[*?]|~\d*$")  # wildcard / fuzzy on a bare term
+# wildcard anywhere / fuzzy suffix (incl. legacy float similarity ~0.8)
+_UNSUPPORTED = re.compile(r"[*?]|~[\d.]*$")
 
 
 def _coerce(v: str):
@@ -173,8 +164,12 @@ def parse_query(q: str) -> ParsedQuery:
 
     pending: str | None = None  # occur forced by +/-/NOT for next clause
     next_must = False  # set when the previous connective was AND
-    last_positive: list | None = None  # clause list holding the last
-    last_positive_val = None  # ... SHOULD item, for AND promotion
+    # AND promotes its immediate LEFT NEIGHBOR (when that neighbor is a
+    # SHOULD clause). These track the neighbor; any non-promotable clause
+    # (MUST/MUST_NOT/fielded/match-all) RESETS them, so 'a -b AND c' does
+    # not reach past '-b' and promote 'a'.
+    last_positive: list | None = None  # clause list holding the neighbor
+    last_positive_val = None  # ... the SHOULD item itself
 
     def occur_for_next() -> str:
         nonlocal pending, next_must
@@ -219,6 +214,8 @@ def parse_query(q: str) -> ParsedQuery:
             )
         if m.group("matchall"):
             match_all = True
+            occur_for_next()  # consume a stray +/-/NOT aimed at *:* so it
+            last_positive = last_positive_val = None  # can't leak onward
             continue
         if m.group("plus"):
             pending = MUST
@@ -234,6 +231,7 @@ def parse_query(q: str) -> ParsedQuery:
                 _add_filter(not_filters, fld, rv)
             else:
                 _add_filter(filters, fld, rv)
+            last_positive = last_positive_val = None
             continue
         if m.group("fphrase") or m.group("fielded"):
             fld = m.group("pfield") or m.group("field")
@@ -243,6 +241,7 @@ def parse_query(q: str) -> ParsedQuery:
             occ = occur_for_next()
             tgt = not_filters if occ == MUST_NOT else filters
             _add_filter(tgt, fld, _coerce(raw))
+            last_positive = last_positive_val = None
             continue
         if m.group("phrase"):
             toks = tuple(analyze_text(m.group("ph")))
@@ -259,11 +258,15 @@ def parse_query(q: str) -> ParsedQuery:
                     boosts[toks[0]] = boost
                 if occ == SHOULD:
                     last_positive, last_positive_val = should, toks[0]
+                else:
+                    last_positive = last_positive_val = None
                 continue
             pc = PhraseClause(toks, slop, occ, boost)
             phrases.append(pc)
             if occ != MUST_NOT:
                 last_positive, last_positive_val = phrases, pc
+            else:
+                last_positive = last_positive_val = None
             continue
         if m.group("prefixq"):
             pfx_toks = analyze_text(m.group("pfx"))
@@ -277,6 +280,8 @@ def parse_query(q: str) -> ParsedQuery:
             prefixes.append(pc)
             if occ != MUST_NOT:
                 last_positive, last_positive_val = prefixes, pc
+            else:
+                last_positive = last_positive_val = None
             continue
         # bare term (may be a connective keyword)
         word = m.group("term")
@@ -309,6 +314,8 @@ def parse_query(q: str) -> ParsedQuery:
                 boosts[t] = boost
         if occ == SHOULD:
             last_positive, last_positive_val = should, toks[-1]
+        else:
+            last_positive = last_positive_val = None
     if pos != len(q):
         raise ValueError(f"unparseable query near {q[pos:]!r}")
 

@@ -103,16 +103,44 @@ def _expand_prefix(index: Index, prefix: str) -> list[str]:
     return sorted(r["term"] for r in rows)
 
 
+def _make_docs_decoder():
+    """Docs-only block decoder for constant-score / exclusion doc sets:
+    decodes ONLY docs_bin (skips the tf/dl varint passes and the BM25
+    float work _make_decoder does — all of it would be discarded by the
+    .distinct() these callers apply)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.varint import decode_deltas
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            docs = [
+                decode_deltas(b, n) for b, n in zip(pdf["docs_bin"], pdf["n"])
+            ]
+            doc_arr = np.concatenate(docs).astype(np.int64)
+            if "base" in pdf.columns:
+                doc_arr += np.repeat(
+                    pdf["base"].to_numpy(dtype=np.int64),
+                    pdf["n"].to_numpy(),
+                )
+            yield pd.DataFrame({"doc_id": doc_arr})
+
+    return decode
+
+
 def _docs_with_any(index: Index, terms: list[str]) -> DataFrame:
-    """Distinct doc_ids containing >= 1 of ``terms`` (decode only those
-    terms' blocks)."""
+    """Distinct doc_ids containing >= 1 of ``terms`` (docs-only decode of
+    only those terms' blocks)."""
     if not terms:
         return index.spark.createDataFrame([], "doc_id long")
     blocks = _blocks_for_terms(index, terms)
+    cols = ["n", "docs_bin"] + (["base"] if "base" in blocks.columns else [])
     return (
-        blocks.select(*_payload_cols(blocks))
-        .mapInPandas(_make_decoder(index.avgdl), _DECODED_SCHEMA)
-        .select("doc_id")
+        blocks.select(*cols)
+        .mapInPandas(_make_docs_decoder(), "doc_id long")
         .distinct()
     )
 
@@ -279,11 +307,7 @@ def _scored_docs(
     # MUST_NOT exclusions — each clause excludes independently (anti joins)
     nt = sorted(set(pq.must_not_terms))
     if nt:
-        nb = _blocks_for_terms(index, nt)
-        nd = nb.select(*_payload_cols(nb)).mapInPandas(
-            _make_decoder(index.avgdl), _DECODED_SCHEMA
-        ).select("doc_id")
-        out = out.join(nd, "doc_id", "left_anti")
+        out = out.join(_docs_with_any(index, nt), "doc_id", "left_anti")
     for pc in pq.phrases:
         if pc.occur == MUST_NOT:
             out = out.join(
@@ -303,6 +327,29 @@ def _scored_docs(
         ex = allowed_docs(index, None, {f: v})
         out = out.join(ex, "doc_id", "left_anti")
     return out
+
+
+def _hl_terms(pq: ParsedQuery) -> list[str]:
+    """Highlightable terms of a query: bare/required terms plus positive
+    phrase tokens (prefix expansions are index-dependent and excluded)."""
+    return sorted(
+        set(pq.should_terms)
+        | set(pq.must_terms)
+        | {t for p in pq.phrases if p.occur != MUST_NOT for t in p.tokens}
+    )
+
+
+_META_SCHEMA = (
+    "doc_id long, score double, conv_id string, turn_idx int, role string"
+)
+
+
+def _empty_result(index: Index, with_meta: bool) -> DataFrame:
+    """Empty result with the SAME schema a non-empty call returns — a
+    caller selecting conv_id on an empty result must not crash."""
+    return index.spark.createDataFrame(
+        [], _META_SCHEMA if with_meta else "doc_id long, score double"
+    )
 
 
 def _apply_fq(index: Index, out: DataFrame, fq) -> DataFrame:
@@ -346,7 +393,7 @@ def boolean_search(
         min_should_match=min_should_match,
     )
     if out is None:
-        return index.spark.createDataFrame([], "doc_id long, score double")
+        return _empty_result(index, with_meta)
     if fq:
         out = _apply_fq(index, out, fq)
     topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -355,14 +402,8 @@ def boolean_search(
         topk = topk.join(meta, "doc_id", "left").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
-        if with_excerpt:
-            hl_terms = sorted(
-                set(pq.should_terms)
-                | set(pq.must_terms)
-                | {t for p in pq.phrases if p.occur != MUST_NOT for t in p.tokens}
-            )
-            if hl_terms:
-                topk = _attach_excerpts(index, topk, hl_terms)
+        if with_excerpt and _hl_terms(pq):
+            topk = _attach_excerpts(index, topk, _hl_terms(pq))
     return topk
 
 
@@ -409,14 +450,8 @@ def select(
         resp = page.join(meta, "doc_id", "left").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
-        if hl:
-            hl_terms = sorted(
-                set(pq.should_terms)
-                | set(pq.must_terms)
-                | {t for p in pq.phrases if p.occur != MUST_NOT for t in p.tokens}
-            )
-            if hl_terms:
-                resp = _attach_excerpts(index, resp, hl_terms)
+        if hl and _hl_terms(pq):
+            resp = _attach_excerpts(index, resp, _hl_terms(pq))
     facets = None
     if facet_field is not None:
         if facet_field not in index.docmap.columns:

@@ -292,7 +292,25 @@ class BM25Oracle:
                     if n_sat(d) >= min_should_match
                 }
 
+        # exclusion sets computed ONCE (not per candidate — a per-doc
+        # _phrase_scores recompute would be quadratic), mirroring the
+        # engine's single anti-join per MUST_NOT clause
+        excluded: set[int] = set()
+        for t in set(pq.must_not_terms):
+            excluded |= set(self.postings.get(t, {}))
+        for pc in pq.phrases:
+            if pc.occur == MUST_NOT:
+                excluded |= set(
+                    self._phrase_scores(list(pc.tokens), pc.slop)
+                )
+        for pc in pq.prefixes:
+            if pc.occur == MUST_NOT:
+                for t in self._prefix_terms(pc.prefix):
+                    excluded |= set(self.postings[t])
+
         def keep(d: int) -> bool:
+            if d in excluded:
+                return False
             if role is not None and self.roles.get(d) != role:
                 return False
             if role_f is not None:
@@ -302,20 +320,6 @@ class BM25Oracle:
             if not_role is not None:
                 nr = not_role if isinstance(not_role, list) else [not_role]
                 if self.roles.get(d) in nr:
-                    return False
-            for t in set(pq.must_not_terms):
-                if d in self.postings.get(t, {}):
-                    return False
-            for pc in pq.phrases:
-                if pc.occur == MUST_NOT and d in self._phrase_scores(
-                    list(pc.tokens), pc.slop
-                ):
-                    return False
-            for pc in pq.prefixes:
-                if pc.occur == MUST_NOT and any(
-                    d in self.postings[t]
-                    for t in self._prefix_terms(pc.prefix)
-                ):
                     return False
             return True
 

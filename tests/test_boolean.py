@@ -120,9 +120,34 @@ def test_parser_prefix():
 
 
 def test_parser_rejects_unsupported():
-    for bad in ["(a OR b) AND c", "te?t", "te*t", "*te", "fuzzy~", "role:*"]:
+    for bad in [
+        "(a OR b) AND c", "te?t", "te*t", "*te", "fuzzy~", "fuzzy~0.8",
+        "fuzzy~2", "role:*",
+    ]:
         with pytest.raises(ValueError):
             parse_query(bad)
+
+
+def test_parser_and_promotes_only_immediate_neighbor():
+    """AND must not reach past an intervening non-SHOULD clause (review
+    finding): 'a -b AND c' promotes only c; 'a role:user AND c' ditto."""
+    pq = parse_query("alpha -beta AND gamma")
+    assert pq.should_terms == ("alpha",)
+    assert pq.must_terms == ("gamma",)
+    assert pq.must_not_terms == ("beta",)
+    pq = parse_query("alpha role:user AND gamma")
+    assert pq.should_terms == ("alpha",)
+    assert pq.must_terms == ("gamma",)
+
+
+def test_parser_pending_occur_consumed_by_match_all():
+    """A +/-/NOT aimed at *:* must not leak onto the next clause."""
+    pq = parse_query("NOT *:* alpha")
+    assert pq.match_all
+    assert pq.should_terms == ("alpha",)
+    assert not pq.must_not_terms
+    pq = parse_query("+*:* alpha")
+    assert pq.should_terms == ("alpha",) and not pq.must_terms
 
 
 # ------------------------------------------------------------- fixtures
@@ -251,6 +276,11 @@ def test_boolean_match_all(bindex, boracle):
 
 def test_boolean_empty_query(bindex):
     assert boolean_search(bindex, "", k=5).count() == 0
+    # empty results keep the documented with_meta schema (review finding:
+    # a caller selecting conv_id on an empty result must not crash)
+    df = boolean_search(bindex, "", k=5, with_meta=True)
+    assert df.columns == ["doc_id", "score", "conv_id", "turn_idx", "role"]
+    assert df.select("conv_id").count() == 0
 
 
 # ------------------------------------- consistency with dedicated paths
