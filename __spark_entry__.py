@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": TQ.q_phrase_search,
         "phrase_search_slop": TQ.q_phrase_search_slop,
         "lucene_query": TQ.q_lucene_query,
+        "spellcheck": TQ.q_spellcheck,
+        "more_like_this": TQ.q_more_like_this,
         # text analysis (training-data pipeline)
         "token_counts": TQ.q_token_counts,
         "doc_fingerprint": TQ.q_doc_fingerprint,
@@ -121,6 +123,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": TQ.SQL_PHRASE,
         "phrase_search_slop": TQ.SQL_PHRASE_SLOP,
         "lucene_query": TQ.SQL_LUCENE,
+        "spellcheck": TQ.SQL_SPELLCHECK,
+        "more_like_this": TQ.SQL_MLT,
         "token_counts": TQ.SQL_TOKEN_COUNTS,
         "doc_fingerprint": TQ.SQL_FINGERPRINT,
         "quality_score": TQ.SQL_QUALITY,

@@ -185,6 +185,7 @@ def main() -> None:
         ("ann_cosine_topk", TQ.q_ann_cosine_topk),
         ("embedding_near_dup_lsh", TQ.q_embedding_near_dup_lsh),
         ("bm25_docs_topk", TQ.q_bm25_docs_topk),
+        ("more_like_this", TQ.q_more_like_this),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 

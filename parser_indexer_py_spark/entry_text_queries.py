@@ -957,6 +957,119 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# out-of-vocabulary misspellings of known documents-table terms
+SPELL_TYPOS = ("windoq", "streap", "merje")
+
+
+def q_spellcheck(spark, sf_dir):
+    """DirectSolrSpellChecker suggestions THROUGH THE ENGINE
+    (index/spell.py; constants from the reference's spellcheck component,
+    conf/solr/docs/conf/solrconfig.xml:1119-1140): three misspelled query
+    terms, each suggested from the index's term dictionary via a
+    prefix-pruned termstats scan + JVM levenshtein. The DuckDB oracle
+    recomputes the same candidates with its own levenshtein() over the
+    token table (both sides: internal Levenshtein, similarity
+    1 - d/min(len), accuracy 0.5, maxEdits 2, minPrefix 1)."""
+    from functools import reduce
+
+    from .index.spell import spellcheck
+
+    idx = _docs_pos_index(spark, sf_dir)
+    res = spellcheck(idx, " ".join(SPELL_TYPOS))
+    parts = [
+        df.select(
+            F.lit(t).alias("term"),
+            "suggestion",
+            F.col("df").cast("long").alias("df"),
+            "similarity",
+        )
+        for t, df in sorted(res["suggestions"].items())
+    ]
+    out = reduce(DataFrame.unionByName, parts)
+    return out.orderBy("term", F.desc("similarity"), F.desc("df"), "suggestion")
+
+
+def _spell_sql_one(bad: str) -> str:
+    return f"""
+SELECT '{bad}' AS term, w AS suggestion, df,
+       ROUND(1.0 - levenshtein(w, '{bad}') * 1.0
+             / LEAST(length(w), {len(bad)}), 6) AS similarity
+FROM stats
+WHERE substr(w, 1, 1) = '{bad[0]}' AND w <> '{bad}'
+  AND abs(length(w) - {len(bad)}) <= 2
+  AND levenshtein(w, '{bad}') <= 2
+  AND 1.0 - levenshtein(w, '{bad}') * 1.0
+      / LEAST(length(w), {len(bad)}) >= 0.5
+ORDER BY similarity DESC, df DESC, suggestion LIMIT 5
+"""
+
+
+SQL_SPELLCHECK = SQL_TOK + f"""
+, stats AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w)
+SELECT * FROM (
+  ({_spell_sql_one(SPELL_TYPOS[0])})
+  UNION ALL ({_spell_sql_one(SPELL_TYPOS[1])})
+  UNION ALL ({_spell_sql_one(SPELL_TYPOS[2])})
+) ORDER BY term, similarity DESC, df DESC, suggestion
+"""
+
+
+MLT_SRC_DOC = 7  # exists at every SF (documents doc_id 0..499)
+
+
+def q_more_like_this(spark, sf_dir):
+    """MoreLikeThis THROUGH THE ENGINE (index/mlt.py; the reference wires
+    the MLT component at solrconfig.xml:1074-1085 with mlt.count=3):
+    interesting terms of documents[7] (tf>=2, df>=5, score
+    tf*(ln(N/(df+1))+1) rounded 6dp, top 25) searched disjunctively via
+    full_eval, source excluded. The DuckDB oracle reselects the terms and
+    rescores from the token table; selection-score rounding (6dp) makes
+    the ln-vs-math.log libm difference unable to reorder the cut."""
+    from .index.mlt import more_like_this
+
+    idx = _docs_pos_index(spark, sf_dir)
+    src = idx.docmap.filter(
+        F.col("conv_id") == str(MLT_SRC_DOC)
+    ).select("doc_id").collect()[0]["doc_id"]
+    hits = more_like_this(idx, int(src), count=10, with_meta=True)
+    return (
+        hits.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_MLT = SQL_TOK + f"""
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+src AS (SELECT w, COUNT(*) AS tf FROM tok WHERE doc_id = {MLT_SRC_DOC}
+        GROUP BY w HAVING COUNT(*) >= 2),
+alldf AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+interesting AS (
+  SELECT src.w,
+         ROUND(src.tf * (ln(g.n / (alldf.df + 1.0)) + 1.0), 6) AS mscore
+  FROM src JOIN alldf USING (w), g
+  WHERE alldf.df >= 5
+  ORDER BY mscore DESC, w LIMIT 25),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       WHERE w IN (SELECT w FROM interesting) GROUP BY doc_id, w),
+dfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS contrib
+  FROM tf JOIN dfs USING (w) JOIN dl ON dl.doc_id = tf.doc_id, g)
+SELECT doc_id, ROUND(SUM(contrib), 6) AS score
+FROM scored WHERE doc_id <> {MLT_SRC_DOC}
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing demo (rows-only check: the decode is a
     deterministic fake — no codec libs in this environment; see

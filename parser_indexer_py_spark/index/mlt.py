@@ -1,0 +1,123 @@
+"""MoreLikeThis — find documents similar to a given document.
+
+The reference's /browse handler wires the MoreLikeThisComponent with
+``mlt.count=3`` over the text fields (conf/solr/docs/conf/
+solrconfig.xml:880-885, component registered at :1074-1085). Semantics
+are Lucene's MoreLikeThis with its public defaults: extract the source
+doc's "interesting terms" — tf >= minTermFreq (2), df >= minDocFreq (5),
+scored tf * (ln(N / (df + 1)) + 1) (the MLT createQueue formula), top
+maxQueryTerms (25) — and run them as a plain disjunctive BooleanQuery
+(boost=false default: result ranking is the ordinary BM25 sum), excluding
+the source document itself.
+
+Split of responsibilities: term SELECTION is driver-side pure Python over
+ONE document's tokens plus a |terms|-row termstats point lookup (shared
+with the oracle — selection is plumbing); result SCORING runs through the
+engine's ``full_eval`` and is gated by the dual-implementation oracle.
+Selection scores are rounded to 6dp before ranking (ties then break on
+the term string) so the DuckDB driver oracle — whose ``ln`` is a
+different libm entry point than ``math.log`` — ranks identically.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import analyze_text
+from .search import Index, full_eval
+
+__all__ = ["more_like_this", "interesting_terms", "MLT_DEFAULTS"]
+
+# solrconfig.xml:885 (mlt.count) + Lucene MoreLikeThis public defaults
+MLT_DEFAULTS = {
+    "count": 3,
+    "max_query_terms": 25,
+    "min_term_freq": 2,
+    "min_doc_freq": 5,
+}
+
+
+def select_interesting(
+    tokens: list[str],
+    df_of,
+    n_docs: int,
+    *,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+) -> list[tuple[str, float]]:
+    """The MLT term-selection core, shared by engine and oracle (pure
+    function of the source doc's tokens and a df lookup). Returns
+    [(term, rounded_score)] ranked score desc, term asc."""
+    tf = Counter(tokens)
+    scored = []
+    for t, f in tf.items():
+        if f < min_term_freq:
+            continue
+        df = int(df_of(t) or 0)
+        if df < min_doc_freq:
+            continue
+        s = round(f * (math.log(n_docs / (df + 1.0)) + 1.0), 6)
+        scored.append((t, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:max_query_terms]
+
+
+def interesting_terms(
+    index: Index, doc_id: int, **overrides
+) -> list[tuple[str, float]]:
+    """MLT 'interesting terms' of one indexed document (the Solr
+    ``mlt.interestingTerms=details`` view)."""
+    cfg = {**MLT_DEFAULTS, **overrides}
+    rows = (
+        index.docmap.filter(F.col("doc_id") == int(doc_id))
+        .select("text")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"doc_id {doc_id} not in the index")
+    tokens = analyze_text(rows[0]["text"])
+    cand = sorted({t for t, c in Counter(tokens).items()
+                   if c >= cfg["min_term_freq"]})
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in index.termstats.filter(F.col("term").isin(cand))
+        .select("term", "df")
+        .collect()
+    } if cand else {}
+    return select_interesting(
+        tokens,
+        dfs.get,
+        index.n_docs,
+        max_query_terms=cfg["max_query_terms"],
+        min_term_freq=cfg["min_term_freq"],
+        min_doc_freq=cfg["min_doc_freq"],
+    )
+
+
+def more_like_this(
+    index: Index, doc_id: int, *, with_meta: bool = True, **overrides
+) -> DataFrame:
+    """Top-``count`` documents most like ``doc_id`` (excluding itself):
+    disjunctive BM25 over the interesting terms through the ordinary
+    ``full_eval`` path (plan and float behavior identical to search())."""
+    cfg = {**MLT_DEFAULTS, **overrides}
+    terms = [t for t, _ in interesting_terms(index, doc_id, **overrides)]
+    if not terms:
+        schema = (
+            "doc_id long, score double, conv_id string, turn_idx int, "
+            "role string" if with_meta else "doc_id long, score double"
+        )
+        return index.spark.createDataFrame([], schema)
+    top = full_eval(
+        index, sorted(terms), k=int(cfg["count"]) + 1, with_meta=with_meta
+    )
+    return (
+        top.filter(F.col("doc_id") != int(doc_id))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(cfg["count"]))
+    )

@@ -30,6 +30,7 @@ class BM25Oracle:
         if not docs:
             # same contract as build_index's explicit empty-input error
             raise ValueError("BM25Oracle: corpus is empty")
+        self.docs = docs
         self.dl = {d: len(toks) for d, toks in docs.items()}
         self.n_docs = len(docs)
         # exact: integer token total / doc count (matches the engine's
@@ -325,3 +326,72 @@ class BM25Oracle:
 
         cands = [(d, s) for d, s in scores.items() if keep(d)]
         return sorted(cands, key=lambda x: (-x[1], x[0]))[:k]
+
+    def spell_suggest(
+        self,
+        term: str,
+        *,
+        accuracy: float = 0.5,
+        max_edits: int = 2,
+        min_prefix: int = 1,
+        count: int = 5,
+    ) -> list[tuple[str, int, float]]:
+        """DirectSolrSpellChecker twin of index.spell._suggest_term:
+        (suggestion, df, similarity) ranked sim desc, df desc, term asc."""
+        out = []
+        for t, pl in self.postings.items():
+            if t == term or not t.startswith(term[:min_prefix]):
+                continue
+            if abs(len(t) - len(term)) > max_edits:
+                continue
+            d = _levenshtein(t, term)
+            if d > max_edits:
+                continue
+            sim = 1.0 - float(d) / float(min(len(t), len(term)))
+            if sim < accuracy:
+                continue
+            out.append((t, len(pl), round(sim, 6)))
+        out.sort(key=lambda x: (-x[2], -x[1], x[0]))
+        return out[:count]
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        *,
+        count: int = 3,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+    ) -> list[tuple[int, float]]:
+        """MLT twin: SHARED term selection (mlt.select_interesting — pure
+        plumbing), INDEPENDENT BM25 scoring via this oracle's search."""
+        from .mlt import select_interesting
+
+        sel = select_interesting(
+            self.docs[doc_id],
+            lambda t: len(self.postings.get(t, {})),
+            self.n_docs,
+            max_query_terms=max_query_terms,
+            min_term_freq=min_term_freq,
+            min_doc_freq=min_doc_freq,
+        )
+        if not sel:
+            return []
+        res = self.search(" ".join(t for t, _ in sel), k=count + 1)
+        return [(d, s) for d, s in res if d != doc_id][:count]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain DP Levenshtein (the 'internal' distance both Lucene's
+    DirectSpellChecker and Spark's/DuckDB's levenshtein() compute)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]

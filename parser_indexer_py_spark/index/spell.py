@@ -1,0 +1,122 @@
+"""Spellcheck — DirectSolrSpellChecker semantics over the term dictionary.
+
+The reference's /select handler appends the spellcheck component to every
+query (conf/solr/docs/conf/solrconfig.xml:929-944) backed by
+DirectSolrSpellChecker over the ``text`` field with explicit constants
+(solrconfig.xml:1119-1140): internal Levenshtein distance, accuracy 0.5,
+maxEdits 2, minPrefix 1, minQueryLength 4, maxQueryFrequency 0.01,
+spellcheck.count 5, collate=true.
+
+Semantics implemented (the documented DirectSpellChecker core):
+
+- a query term is CHECKED when len(term) >= minQueryLength and its
+  df/N <= maxQueryFrequency (frequent terms are presumed correct; a
+  df=0 term is always checked);
+- candidates share the first ``minPrefix`` characters and lie within
+  ``maxEdits`` Levenshtein distance;
+- similarity = 1 - distance / min(len(term), len(candidate)) (Lucene's
+  "internal" distance normalization), kept when >= accuracy;
+- ranked similarity desc, then df desc, then term asc; top ``count``;
+- collation: the query with each checked term replaced by its top
+  suggestion (spellcheck.collate — one collation, the top-1 form).
+
+Scale shape: one termstats scan per checked term with the first-character
+prefix predicate PUSHED to the parquet term column (the same point-scan
+the suggester uses) and a JVM-side ``levenshtein`` filter — no Python in
+the loop, no corpus access at all (the dictionary is ~vocabulary-sized,
+not corpus-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import analyze_text
+from .search import Index
+
+__all__ = ["spellcheck", "SPELL_DEFAULTS"]
+
+# solrconfig.xml:1119-1140 (DirectSolrSpellChecker block) + :933 count
+SPELL_DEFAULTS = {
+    "accuracy": 0.5,
+    "max_edits": 2,
+    "min_prefix": 1,
+    "min_query_length": 4,
+    "max_query_frequency": 0.01,
+    "count": 5,
+}
+
+
+def _suggest_term(index: Index, term: str, cfg: dict) -> DataFrame:
+    """(suggestion, df, similarity) candidates for one checked term."""
+    prefix = term[: cfg["min_prefix"]]
+    max_edits = int(cfg["max_edits"])
+    cand = index.termstats.filter(
+        F.col("term").startswith(prefix)
+        & (F.col("term") != term)
+        # length pruning: |len(a)-len(b)| > maxEdits can't be within
+        # maxEdits — keeps the levenshtein call off absurd candidates
+        & (F.abs(F.length("term") - F.lit(len(term))) <= max_edits)
+    )
+    dist = F.levenshtein(F.col("term"), F.lit(term))
+    sim = 1.0 - dist.cast("double") / F.least(
+        F.length("term"), F.lit(len(term))
+    ).cast("double")
+    return (
+        cand.withColumn("similarity", sim)
+        .filter(
+            (dist <= max_edits) & (F.col("similarity") >= cfg["accuracy"])
+        )
+        .select(
+            F.col("term").alias("suggestion"),
+            "df",
+            F.round("similarity", 6).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.desc("df"), F.asc("suggestion"))
+        .limit(int(cfg["count"]))
+    )
+
+
+def spellcheck(index: Index, query: str, **overrides) -> dict:
+    """Solr spellcheck response twin: ``{"suggestions": {term: DataFrame
+    (suggestion, df, similarity)}, "collation": str | None}``.
+
+    Only CHECKED terms (see module docstring) appear in ``suggestions``;
+    a query whose terms are all frequent enough returns an empty dict and
+    ``collation=None`` — the Solr behavior of not second-guessing good
+    queries. The collation swaps each checked term for its top suggestion
+    (top-1 row — the only driver materialization, k rows per term)."""
+    cfg = {**SPELL_DEFAULTS, **overrides}
+    tokens = analyze_text(query)
+    checked: list[str] = []
+    seen = set()
+    for t in tokens:
+        if len(t) < cfg["min_query_length"] or t in seen:
+            continue
+        seen.add(t)
+        checked.append(t)
+    if not checked:
+        return {"suggestions": {}, "collation": None}
+    # one |checked|-row point lookup for dfs (termstats term predicate)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in index.termstats.filter(F.col("term").isin(checked))
+        .select("term", "df")
+        .collect()
+    }
+    max_df = cfg["max_query_frequency"] * index.n_docs
+    suggestions: dict[str, DataFrame] = {}
+    top: dict[str, str] = {}
+    for t in checked:
+        if dfs.get(t, 0) > max_df:
+            continue  # frequent enough to be presumed correct
+        sugg = _suggest_term(index, t, cfg)
+        suggestions[t] = sugg
+        head = sugg.limit(1).collect()
+        if head:
+            top[t] = head[0]["suggestion"]
+    collation = None
+    if top:
+        collation = " ".join(top.get(t, t) for t in tokens)
+    return {"suggestions": suggestions, "collation": collation}

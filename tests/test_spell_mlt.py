@@ -1,0 +1,120 @@
+"""Spellcheck (DirectSolrSpellChecker twin) + MoreLikeThis.
+
+Gates:
+- engine suggestion lists == pure-Python oracle bit-for-bit
+  (suggestion, df, similarity triples, same ranking);
+- frequent terms are presumed correct (no suggestions, no collation);
+- collation swaps each checked term for its top suggestion;
+- MLT engine top-k == oracle (docIDs AND scores), source doc excluded,
+  interesting-term selection identical.
+"""
+
+import pytest
+
+from parser_indexer_py_spark.datagen import generate_transcripts
+from parser_indexer_py_spark.index.build import build_index
+from parser_indexer_py_spark.index.mlt import interesting_terms, more_like_this
+from parser_indexer_py_spark.index.oracle import BM25Oracle, _levenshtein
+from parser_indexer_py_spark.index.search import load_index
+from parser_indexer_py_spark.index.spell import spellcheck
+
+N_CONVS = 100
+
+
+@pytest.fixture(scope="module")
+def sindex(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sidx"))
+    df = generate_transcripts(spark, N_CONVS, partitions=4)
+    build_index(spark, df, out, n_partitions=6, n_buckets=8, salt=4, n_chunks=2)
+    return load_index(spark, out)
+
+
+@pytest.fixture(scope="module")
+def soracle(sindex):
+    pdf = sindex.docmap.select("doc_id", "text", "role").toPandas()
+    return BM25Oracle.from_pandas(pdf)
+
+
+@pytest.fixture(scope="module")
+def typo(soracle):
+    """(misspelling, source_term): a vocabulary term >=5 chars with one
+    letter changed such that the result is OUT of vocabulary."""
+    terms = sorted(soracle.postings, key=lambda t: (-len(soracle.postings[t]), t))
+    for t in terms:
+        if len(t) < 5:
+            continue
+        for i in (2, 3, 1):
+            for c in "zqxj":
+                cand = t[:i] + c + t[i + 1:]
+                if cand not in soracle.postings and cand[0] == t[0]:
+                    return cand, t
+    raise AssertionError("no typo constructible")
+
+
+def test_levenshtein_unit():
+    assert _levenshtein("kitten", "sitting") == 3
+    assert _levenshtein("abc", "abc") == 0
+    assert _levenshtein("abc", "") == 3
+
+
+def test_spell_suggest_rank_identity(sindex, soracle, typo):
+    bad, src = typo
+    res = spellcheck(sindex, bad)
+    assert bad in res["suggestions"]
+    eng = [
+        (r["suggestion"], r["df"], r["similarity"])
+        for r in res["suggestions"][bad].collect()
+    ]
+    assert eng == soracle.spell_suggest(bad)
+    assert src in [s for s, _, _ in eng], "the source term should be suggested"
+
+
+def test_spell_frequent_terms_presumed_correct(sindex, soracle):
+    # the highest-df term is way above maxQueryFrequency=0.01
+    hot = max(soracle.postings, key=lambda t: len(soracle.postings[t]))
+    if len(hot) >= 4:
+        res = spellcheck(sindex, hot)
+        assert res["suggestions"] == {} and res["collation"] is None
+    # short tokens are never checked (minQueryLength=4)
+    res = spellcheck(sindex, "ab")
+    assert res["suggestions"] == {} and res["collation"] is None
+
+
+def test_spell_collation(sindex, soracle, typo):
+    bad, _ = typo
+    hot = max(soracle.postings, key=lambda t: len(soracle.postings[t]))
+    res = spellcheck(sindex, f"{hot} {bad}")
+    top = soracle.spell_suggest(bad)[0][0]
+    assert res["collation"] == f"{hot} {top}"
+
+
+def test_mlt_rank_identity(sindex, soracle):
+    docs = sorted(soracle.docs)[:1] + sorted(soracle.docs)[50:51]
+    checked = 0
+    for d in docs:
+        eng = [
+            (r["doc_id"], r["score"])
+            for r in more_like_this(sindex, d, with_meta=False).collect()
+        ]
+        assert eng == soracle.more_like_this(d), d
+        assert all(x[0] != d for x in eng)
+        checked += 1
+    assert checked
+
+
+def test_mlt_interesting_terms_match(sindex, soracle):
+    from parser_indexer_py_spark.index.mlt import select_interesting
+
+    d = sorted(soracle.docs)[10]
+    eng = interesting_terms(sindex, d)
+    ora = select_interesting(
+        soracle.docs[d],
+        lambda t: len(soracle.postings.get(t, {})),
+        soracle.n_docs,
+    )
+    assert eng == ora
+
+
+def test_mlt_missing_doc_raises(sindex):
+    with pytest.raises(ValueError, match="not in the index"):
+        more_like_this(sindex, 10**12)
