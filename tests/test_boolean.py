@@ -268,6 +268,23 @@ def test_boolean_boost_one_is_identity(bindex, qterms):
     ) == _rows(boolean_search(bindex, f"{t1} {t3}", k=10, with_meta=False))
 
 
+def test_boolean_delegation_pruned_identity(bindex, boracle, qterms):
+    """Pure-term queries delegate to search() — including the WAND path.
+    The delegated pruned result must equal the independent oracle across
+    OR / AND / fielded shapes."""
+    t1, t2, t3 = qterms
+    for q in [
+        f"{t1} {t2} {t3}",
+        f"{t1} AND {t3}",
+        f"+{t1} +{t3}",
+        f"{t1} {t3} role:user",
+    ]:
+        eng = _rows(
+            boolean_search(bindex, q, k=10, mode="pruned", with_meta=False)
+        )
+        assert eng == boracle.boolean_search(q, k=10), q
+
+
 def test_boolean_match_all(bindex, boracle):
     eng = _rows(boolean_search(bindex, "*:*", k=7, with_meta=False))
     assert eng == boracle.boolean_search("*:*", k=7)

@@ -103,3 +103,39 @@ def test_ann_signature_paths_have_no_posexplode(spark):
         plan = plan_string(df)
         assert "posexplode" not in plan.lower(), plan[:1500]
         assert "MapInPandas" in plan, plan[:1500]
+
+
+def test_boolean_plans(spark, tmp_path):
+    """Boolean-layer physical plans: the top-k is a distributed heap
+    (TakeOrderedAndProject, not a global sort); constant-score/exclusion
+    doc sets use the docs-only decoder (no tf/dl payload columns in the
+    scan); spellcheck candidate scans push the prefix predicate to the
+    term column."""
+    from parser_indexer_py_spark.datagen import generate_transcripts
+    from parser_indexer_py_spark.index.boolean import (
+        _docs_with_any,
+        boolean_search,
+    )
+    from parser_indexer_py_spark.index.build import build_index
+    from parser_indexer_py_spark.index.search import load_index
+    from parser_indexer_py_spark.index.spell import _suggest_term, SPELL_DEFAULTS
+
+    out = str(tmp_path / "bidx")
+    build_index(
+        spark, generate_transcripts(spark, 30), out, n_chunks=1,
+        positions=True,
+    )
+    idx = load_index(spark, out)
+
+    topk = boolean_search(idx, 'bace +cedi -wedi "bace cedi"', k=10,
+                          with_meta=False)
+    assert_take_ordered(topk)
+
+    docs = _docs_with_any(idx, ["bace"])
+    assert_column_pruned(docs, "tfs_bin")
+    assert_column_pruned(docs, "dls_bin")
+    assert_column_pruned(docs, "pos_bin")
+
+    sugg = _suggest_term(idx, "bacq", SPELL_DEFAULTS)
+    p = plan_string(sugg)
+    assert "PushedFilters" in p and "StartsWith" in p, p
