@@ -149,11 +149,15 @@ def _add_filter(filters: dict, fld: str, value) -> None:
     filters[fld] = cur + [value]
 
 
-def parse_query(q: str) -> ParsedQuery:
+def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
     """Parse a Lucene classic-syntax string into a :class:`ParsedQuery`.
 
-    Raises ValueError on the unsupported constructs listed in the module
-    docstring rather than guessing."""
+    ``default_op`` is Solr's ``q.op``: with ``"AND"``, clauses without an
+    explicit occur are required instead of optional (solrconfig's
+    defaultOperator surface). Raises ValueError on the unsupported
+    constructs listed in the module docstring rather than guessing."""
+    if default_op not in ("OR", "AND"):
+        raise ValueError(f"default_op must be OR or AND, got {default_op!r}")
     should, must, must_not = [], [], []
     phrases: list[PhraseClause] = []
     prefixes: list[PrefixClause] = []
@@ -171,9 +175,11 @@ def parse_query(q: str) -> ParsedQuery:
     last_positive: list | None = None  # clause list holding the neighbor
     last_positive_val = None  # ... the SHOULD item itself
 
+    base_occur = MUST if default_op == "AND" else SHOULD
+
     def occur_for_next() -> str:
         nonlocal pending, next_must
-        occ = pending or (MUST if next_must else SHOULD)
+        occ = pending or (MUST if next_must else base_occur)
         pending, next_must = None, False
         return occ
 

@@ -376,6 +376,7 @@ def boolean_search(
     filters: dict | None = None,
     min_should_match: int = 0,
     mode: str = "full",
+    default_op: str = "OR",
     with_meta: bool = True,
     with_excerpt: bool = False,
 ) -> DataFrame:
@@ -388,6 +389,7 @@ def boolean_search(
     ``min_should_match`` is Lucene's minimumNumberShouldMatch (Solr mm):
     a doc must match >= that many SHOULD clauses — MUST matches never
     count toward it, and mm > #SHOULD-clauses matches nothing.
+    ``default_op`` is Solr's q.op (``"AND"`` requires bare clauses).
 
     PURE-TERM queries delegate to ``search()``: a query with only
     SHOULD terms (or only MUST terms) and no phrase/prefix/negative/mm/
@@ -398,7 +400,7 @@ def boolean_search(
     docs delegation is ~7x: 15.6s clause path vs 2.2s pruned). ``mode``
     only applies to delegable queries; the clause evaluator is always a
     full evaluation."""
-    pq = parse_query(query)
+    pq = parse_query(query, default_op=default_op)
     delegable = (
         not pq.phrases
         and not pq.prefixes
@@ -452,6 +454,25 @@ def boolean_search(
     return topk
 
 
+def _parse_sort(index: Index, sort: str):
+    """Solr sort syntax: 'field asc, field2 desc' (or 'score desc').
+    Returns the orderBy column list with the ascending-doc_id tiebreak."""
+    cols = []
+    for part in sort.split(","):
+        bits = part.split()
+        if len(bits) != 2 or bits[1] not in ("asc", "desc"):
+            raise ValueError(
+                f"sort clause {part.strip()!r} is not 'field asc|desc'"
+            )
+        fld, direction = bits
+        if fld != "score" and fld not in index.docmap.columns:
+            raise ValueError(f"unknown sort field {fld!r}")
+        c = F.col(fld)
+        cols.append(c.asc() if direction == "asc" else c.desc())
+    cols.append(F.asc("doc_id"))
+    return cols
+
+
 def select(
     index: Index,
     q: str = "*:*",
@@ -459,6 +480,9 @@ def select(
     fq: str | list[str] | None = None,
     rows: int = 10,
     start: int = 0,
+    sort: str | None = None,
+    fl: list[str] | None = None,
+    q_op: str = "OR",
     facet_field: str | None = None,
     facet_limit: int = 10,
     hl: bool = False,
@@ -474,11 +498,14 @@ def select(
       matching doc set (not the page), like facet.field with rows=0
       (mte-samplequeries.md:54-90), or None.
 
-    Lazy like everything else: each value is an unevaluated DataFrame; no
-    count job runs unless the caller asks (numFound is
-    ``response_all.count()`` — deliberately not precomputed, a 100-TB
-    match set's exact count is its own job)."""
-    pq = parse_query(q)
+    ``sort`` is Solr sort syntax ('ts desc, turn_idx asc'; default
+    relevance = 'score desc'); ``fl`` selects response columns; ``q_op``
+    is the default operator (see parse_query). Lazy like everything
+    else: each value is an unevaluated DataFrame; no count job runs
+    unless the caller asks (numFound is ``response_all.count()`` —
+    deliberately not precomputed, a 100-TB match set's exact count is
+    its own job)."""
+    pq = parse_query(q, default_op=q_op)
     scored = _scored_docs(index, pq)
     if scored is None:
         raise ValueError(f"q {q!r} parses to an empty query")
@@ -486,17 +513,36 @@ def select(
         scored = _apply_fq(index, scored, fq)
     resp = None
     if rows > 0:
-        page = (
-            scored.orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(start + rows)
-            .offset(start)
-        )
         meta = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
-        resp = page.join(meta, "doc_id", "left").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
+        if sort:
+            order = _parse_sort(index, sort)
+            # field sorts need their columns before the top-k, so the
+            # meta join precedes the (still distributed-heap) orderBy+limit
+            resp = (
+                scored.join(meta, "doc_id", "left")
+                .orderBy(*order)
+                .limit(start + rows)
+                .offset(start)
+            )
+        else:
+            order = [F.desc("score"), F.asc("doc_id")]
+            # relevance sort: page FIRST (k rows), then join metadata
+            resp = (
+                scored.orderBy(*order)
+                .limit(start + rows)
+                .offset(start)
+                .join(meta, "doc_id", "left")
+                .orderBy(*order)
+            )
         if hl and _hl_terms(pq):
             resp = _attach_excerpts(index, resp, _hl_terms(pq))
+            resp = resp.orderBy(*order)
+        if fl:
+            avail = set(resp.columns)
+            bad = [c for c in fl if c not in avail]
+            if bad:
+                raise ValueError(f"fl columns {bad} not in {sorted(avail)}")
+            resp = resp.select(*fl)
     facets = None
     if facet_field is not None:
         if facet_field not in index.docmap.columns:

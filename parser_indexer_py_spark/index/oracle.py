@@ -354,6 +354,32 @@ class BM25Oracle:
         out.sort(key=lambda x: (-x[2], -x[1], x[0]))
         return out[:count]
 
+    def wordbreak(
+        self, query: str, *, min_part_len: int = 2
+    ) -> dict:
+        """Independent twin of index.spell.wordbreak (dict lookups over
+        this oracle's postings)."""
+        toks = analyze_text(query)
+        dfs = lambda t: len(self.postings.get(t, {}))  # noqa: E731
+        breaks: dict = {}
+        for t in toks:
+            if dfs(t):
+                continue
+            found = [
+                (t[:i], t[i:], min(dfs(t[:i]), dfs(t[i:])))
+                for i in range(min_part_len, len(t) - min_part_len + 1)
+                if dfs(t[:i]) and dfs(t[i:])
+            ]
+            if found:
+                found.sort(key=lambda x: (-x[2], x[0]))
+                breaks[t] = found
+        combines = [
+            ((a, b), a + b, dfs(a + b))
+            for a, b in zip(toks, toks[1:])
+            if dfs(a + b)
+        ]
+        return {"breaks": breaks, "combines": combines}
+
     def more_like_this(
         self,
         doc_id: int,

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..functions.analyzer import analyze_text
 from .search import Index
 
-__all__ = ["spellcheck", "SPELL_DEFAULTS"]
+__all__ = ["spellcheck", "wordbreak", "SPELL_DEFAULTS"]
 
 # solrconfig.xml:1119-1140 (DirectSolrSpellChecker block) + :933 count
 SPELL_DEFAULTS = {
@@ -120,3 +120,61 @@ def spellcheck(index: Index, query: str, **overrides) -> dict:
     if top:
         collation = " ".join(top.get(t, t) for t in tokens)
     return {"suggestions": suggestions, "collation": collation}
+
+
+def wordbreak(index: Index, query: str, *, min_part_len: int = 2) -> dict:
+    """WordBreakSolrSpellChecker twin (the reference's second registered
+    spellchecker, solrconfig.xml:1147-1155: combineWords=true,
+    breakWords=true). Two suggestion families:
+
+    - breaks: an OUT-OF-VOCABULARY query term split at every point where
+      BOTH halves (each >= ``min_part_len`` chars) are dictionary terms —
+      ``(left, right, min(df_left, df_right))``, ranked min-df desc then
+      split position asc (fewer/-balanced changes first is Lucene's order;
+      min-df is the deterministic frequency proxy);
+    - combines: an ADJACENT query-term pair whose concatenation is a
+      dictionary term — ``((a, b), combined, df)``.
+
+    Cost: pure term-dictionary point lookups (one ``isin`` scan over the
+    candidate strings — at most 2·len(term) halves + #adjacent pairs);
+    never touches postings or the corpus."""
+    tokens = analyze_text(query)
+    if not tokens:
+        return {"breaks": {}, "combines": []}
+    # one dictionary lookup for: the tokens themselves, every split half,
+    # and every adjacent concatenation
+    cand: set[str] = set(tokens)
+    halves: dict[str, list[tuple[str, str]]] = {}
+    for t in set(tokens):
+        halves[t] = []
+        for i in range(min_part_len, len(t) - min_part_len + 1):
+            halves[t].append((t[:i], t[i:]))
+            cand.add(t[:i])
+            cand.add(t[i:])
+    pairs = list(zip(tokens, tokens[1:]))
+    for a, b in pairs:
+        cand.add(a + b)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in index.termstats.filter(F.col("term").isin(sorted(cand)))
+        .select("term", "df")
+        .collect()
+    }
+    breaks: dict[str, list[tuple[str, str, int]]] = {}
+    for t in tokens:
+        if dfs.get(t):  # in-vocabulary terms are not broken
+            continue
+        found = [
+            (left, right, min(dfs[left], dfs[right]))
+            for left, right in halves[t]
+            if dfs.get(left) and dfs.get(right)
+        ]
+        if found:
+            found.sort(key=lambda x: (-x[2], x[0]))
+            breaks[t] = found
+    combines = [
+        ((a, b), a + b, dfs[a + b])
+        for a, b in pairs
+        if dfs.get(a + b)
+    ]
+    return {"breaks": breaks, "combines": combines}

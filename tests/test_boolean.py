@@ -371,6 +371,36 @@ def test_select_rejects_unknown_facet_field(bindex):
         select(bindex, "*:*", facet_field="nope")
 
 
+def test_default_op_and(bindex, qterms):
+    """q.op=AND: bare clauses become required (Solr defaultOperator)."""
+    t1, _, t3 = qterms
+    assert _rows(
+        boolean_search(
+            bindex, f"{t1} {t3}", k=10, default_op="AND", with_meta=False
+        )
+    ) == _rows(
+        boolean_search(bindex, f"{t1} AND {t3}", k=10, with_meta=False)
+    )
+    with pytest.raises(ValueError):
+        boolean_search(bindex, "a b", default_op="NOR")
+
+
+def test_select_sort_and_fl(bindex, qterms):
+    t1, _, _ = qterms
+    res = select(bindex, t1, rows=5, sort="turn_idx asc, score desc")
+    got = [
+        (r["turn_idx"], r["doc_id"]) for r in res["response"].collect()
+    ]
+    assert got == sorted(got, key=lambda x: x[0])[: len(got)] and got
+    # fl selects exactly the requested columns, in order
+    res = select(bindex, t1, rows=3, fl=["conv_id", "score"])
+    assert res["response"].columns == ["conv_id", "score"]
+    with pytest.raises(ValueError, match="sort"):
+        select(bindex, t1, sort="turn_idx sideways")
+    with pytest.raises(ValueError, match="fl"):
+        select(bindex, t1, fl=["nope"])
+
+
 def test_boolean_on_segments(spark, tmp_path_factory):
     """The boolean layer composes with the streaming merged view for free
     (MergedSegmentsView implements the Index API the clause pieces use):

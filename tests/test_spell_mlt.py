@@ -118,3 +118,44 @@ def test_mlt_interesting_terms_match(sindex, soracle):
 def test_mlt_missing_doc_raises(sindex):
     with pytest.raises(ValueError, match="not in the index"):
         more_like_this(sindex, 10**12)
+
+
+def test_wordbreak(spark, tmp_path):
+    """WordBreak spellchecker (the reference's second checker): breaks an
+    OOV concatenation into dictionary halves; combines an adjacent pair
+    whose concatenation is a dictionary term. Engine == oracle."""
+    from datetime import datetime
+
+    from parser_indexer_py_spark.index.spell import wordbreak
+
+    ts = datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "user", "alpha beta alphabeta", "", ts),
+        ("c1", 1, "user", "alpha beta gamma", "", ts),
+        ("c2", 0, "user", "alpha delta gamma", "", ts),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = str(tmp_path / "wbidx")
+    build_index(spark, df, out, n_chunks=1)
+    idx = load_index(spark, out)
+    o = BM25Oracle.from_pandas(
+        idx.docmap.select("doc_id", "text", "role").toPandas()
+    )
+
+    # break: betagamma is OOV; beta+gamma are both dictionary terms
+    wb = wordbreak(idx, "betagamma alpha")
+    assert wb["breaks"] == {"betagamma": [("beta", "gamma", 2)]}
+    assert wb == o.wordbreak("betagamma alpha")
+    # combine: alpha+beta == alphabeta (df 1); in-vocab terms not broken
+    wb = wordbreak(idx, "alpha beta")
+    assert wb["combines"] == [(("alpha", "beta"), "alphabeta", 1)]
+    assert "alphabeta" not in wb["breaks"]
+    assert wb == o.wordbreak("alpha beta")
+    # alphabeta itself is in-vocabulary -> never broken
+    wb = wordbreak(idx, "alphabeta")
+    assert wb["breaks"] == {} and wb["combines"] == []
+    assert wb == o.wordbreak("alphabeta")
