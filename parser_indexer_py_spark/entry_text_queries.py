@@ -970,22 +970,18 @@ def q_spellcheck(spark, sf_dir):
     recomputes the same candidates with its own levenshtein() over the
     token table (both sides: internal Levenshtein, similarity
     1 - d/min(len), accuracy 0.5, maxEdits 2, minPrefix 1)."""
-    from functools import reduce
-
     from .index.spell import spellcheck
 
     idx = _docs_pos_index(spark, sf_dir)
     res = spellcheck(idx, " ".join(SPELL_TYPOS))
-    parts = [
-        df.select(
-            F.lit(t).alias("term"),
-            "suggestion",
-            F.col("df").cast("long").alias("df"),
-            "similarity",
-        )
-        for t, df in sorted(res["suggestions"].items())
+    rows = [
+        (t, s, int(df), float(sim))
+        for t, lst in sorted(res["suggestions"].items())
+        for (s, df, sim) in lst
     ]
-    out = reduce(DataFrame.unionByName, parts)
+    out = spark.createDataFrame(
+        rows, "term string, suggestion string, df long, similarity double"
+    )
     return out.orderBy("term", F.desc("similarity"), F.desc("df"), "suggestion")
 
 
@@ -1031,7 +1027,12 @@ def q_more_like_this(spark, sf_dir):
     src = idx.docmap.filter(
         F.col("conv_id") == str(MLT_SRC_DOC)
     ).select("doc_id").collect()[0]["doc_id"]
-    hits = more_like_this(idx, int(src), count=10, with_meta=True)
+    # count large enough to cover the whole table: the 10-row cut happens
+    # HERE on the ROUNDED score with the numeric documents doc_id
+    # tiebreak — the same cut the oracle's LIMIT makes (module float
+    # policy: round before sort+limit; an unrounded engine-side cut could
+    # disagree with the oracle on a 6dp tie at rank 10/11)
+    hits = more_like_this(idx, int(src), count=1_000_000, with_meta=True)
     return (
         hits.select(
             F.col("conv_id").cast("long").alias("doc_id"),

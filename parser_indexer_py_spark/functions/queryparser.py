@@ -168,20 +168,32 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
 
     pending: str | None = None  # occur forced by +/-/NOT for next clause
     next_must = False  # set when the previous connective was AND
-    # AND promotes its immediate LEFT NEIGHBOR (when that neighbor is a
-    # SHOULD clause). These track the neighbor; any non-promotable clause
-    # (MUST/MUST_NOT/fielded/match-all) RESETS them, so 'a -b AND c' does
-    # not reach past '-b' and promote 'a'.
+    next_should = False  # set when the previous connective was OR
+    # AND promotes (OR demotes) its immediate LEFT NEIGHBOR. These track
+    # the neighbor; any non-adjustable clause (explicit MUST / MUST_NOT /
+    # fielded / match-all) RESETS them, so 'a -b AND c' does not reach
+    # past '-b' and promote 'a'. ``last_default`` records whether the
+    # neighbor's occur came from default_op — OR only demotes
+    # default-assigned MUST (an explicit '+' always wins, Lucene rule).
     last_positive: list | None = None  # clause list holding the neighbor
-    last_positive_val = None  # ... the SHOULD item itself
+    last_positive_val = None  # ... the item itself
+    last_default = False
 
     base_occur = MUST if default_op == "AND" else SHOULD
 
-    def occur_for_next() -> str:
-        nonlocal pending, next_must
-        occ = pending or (MUST if next_must else base_occur)
-        pending, next_must = None, False
-        return occ
+    def occur_for_next() -> tuple[str, bool]:
+        """(occur, came_from_default_op) for the next clause."""
+        nonlocal pending, next_must, next_should
+        if pending is not None:
+            occ, dflt = pending, False
+        elif next_must:
+            occ, dflt = MUST, False
+        elif next_should:
+            occ, dflt = SHOULD, False
+        else:
+            occ, dflt = base_occur, True
+        pending, next_must, next_should = None, False, False
+        return occ, dflt
 
     def promote_last() -> None:
         """AND promotes its LEFT neighbor from SHOULD to MUST."""
@@ -203,6 +215,32 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
             if prefixes[i].occur == SHOULD:
                 prefixes[i] = PrefixClause(
                     prefixes[i].prefix, MUST, prefixes[i].boost
+                )
+                last_positive_val = prefixes[i]
+
+    def demote_last() -> None:
+        """OR demotes its LEFT neighbor from default-assigned MUST to
+        SHOULD (q.op=AND surface; an explicit '+' is never demoted)."""
+        nonlocal last_positive, last_positive_val
+        if not last_default:
+            return
+        if last_positive is must and last_positive_val in must:
+            must.remove(last_positive_val)
+            should.append(last_positive_val)
+            last_positive = should
+        elif last_positive is phrases and last_positive_val in phrases:
+            i = phrases.index(last_positive_val)
+            if phrases[i].occur == MUST:
+                phrases[i] = PhraseClause(
+                    phrases[i].tokens, phrases[i].slop, SHOULD,
+                    phrases[i].boost,
+                )
+                last_positive_val = phrases[i]
+        elif last_positive is prefixes and last_positive_val in prefixes:
+            i = prefixes.index(last_positive_val)
+            if prefixes[i].occur == MUST:
+                prefixes[i] = PrefixClause(
+                    prefixes[i].prefix, SHOULD, prefixes[i].boost
                 )
                 last_positive_val = prefixes[i]
 
@@ -232,7 +270,7 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
         if m.group("range"):
             fld = m.group("rfield")
             rv = RangeValue(_coerce(m.group("lo")), _coerce(m.group("hi")))
-            occ = occur_for_next()
+            occ, _ = occur_for_next()
             if occ == MUST_NOT:
                 _add_filter(not_filters, fld, rv)
             else:
@@ -244,7 +282,7 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
             raw = m.group("fpv") if m.group("fphrase") else m.group("fval")
             if raw == "*":
                 raise ValueError(f"field existence query {fld}:* unsupported")
-            occ = occur_for_next()
+            occ, _ = occur_for_next()
             tgt = not_filters if occ == MUST_NOT else filters
             _add_filter(tgt, fld, _coerce(raw))
             last_positive = last_positive_val = None
@@ -253,7 +291,7 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
             toks = tuple(analyze_text(m.group("ph")))
             slop = int(m.group("slop") or 0)
             boost = float(m.group("qboost") or 1.0)
-            occ = occur_for_next()
+            occ, dflt = occur_for_next()
             if not toks:
                 continue
             if len(toks) == 1:  # single-token "phrase" degrades to a term
@@ -264,6 +302,10 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
                     boosts[toks[0]] = boost
                 if occ == SHOULD:
                     last_positive, last_positive_val = should, toks[0]
+                    last_default = dflt
+                elif occ == MUST and dflt:
+                    last_positive, last_positive_val = must, toks[0]
+                    last_default = True
                 else:
                     last_positive = last_positive_val = None
                 continue
@@ -271,13 +313,14 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
             phrases.append(pc)
             if occ != MUST_NOT:
                 last_positive, last_positive_val = phrases, pc
+                last_default = dflt
             else:
                 last_positive = last_positive_val = None
             continue
         if m.group("prefixq"):
             pfx_toks = analyze_text(m.group("pfx"))
             boost = float(m.group("pfxboost") or 1.0)
-            occ = occur_for_next()
+            occ, dflt = occur_for_next()
             if len(pfx_toks) != 1:
                 raise ValueError(
                     f"prefix {m.group('pfx')!r}* must analyze to one token"
@@ -286,6 +329,7 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
             prefixes.append(pc)
             if occ != MUST_NOT:
                 last_positive, last_positive_val = prefixes, pc
+                last_default = dflt
             else:
                 last_positive = last_positive_val = None
             continue
@@ -296,6 +340,8 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
             next_must = True
             continue
         if word in ("OR", "||"):
+            demote_last()
+            next_should = True
             continue
         if word == "NOT":
             pending = MUST_NOT
@@ -309,7 +355,7 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
                 f"wildcard/fuzzy term {word!r} unsupported (flat subset; "
                 "only TRAILING-wildcard prefixes like 'pre*' are queries)"
             )
-        occ = occur_for_next()
+        occ, dflt = occur_for_next()
         toks = analyze_text(word)
         if not toks:
             continue
@@ -320,6 +366,10 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
                 boosts[t] = boost
         if occ == SHOULD:
             last_positive, last_positive_val = should, toks[-1]
+            last_default = dflt
+        elif occ == MUST and dflt:
+            last_positive, last_positive_val = must, toks[-1]
+            last_default = True
         else:
             last_positive = last_positive_val = None
     if pos != len(q):

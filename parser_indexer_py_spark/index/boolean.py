@@ -352,14 +352,17 @@ def _empty_result(index: Index, with_meta: bool) -> DataFrame:
     )
 
 
-def _apply_fq(index: Index, out: DataFrame, fq) -> DataFrame:
+def _apply_fq(
+    index: Index, out: DataFrame, fq, default_op: str = "OR"
+) -> DataFrame:
     """Solr fq semantics: each fq string is itself a query; a doc must
     MATCH every fq (score-neutral semi-joins — statistics untouched).
     Accepts one string or a list (Solr allows repeated fq params;
     reference clients send both field fq (``fq=id:1249``) and TEXT fq
-    (``fq=Manganese``, mte-samplequeries.md:96))."""
+    (``fq=Manganese``, mte-samplequeries.md:96)). ``default_op`` applies
+    to fq strings exactly as q.op does in Solr's lucene parser."""
     for s in [fq] if isinstance(fq, str) else list(fq or []):
-        sub = _scored_docs(index, parse_query(s))
+        sub = _scored_docs(index, parse_query(s, default_op=default_op))
         if sub is None:
             raise ValueError(f"fq {s!r} parses to an empty query")
         out = out.join(sub.select("doc_id"), "doc_id", "left_semi")
@@ -442,7 +445,7 @@ def boolean_search(
     if out is None:
         return _empty_result(index, with_meta)
     if fq:
-        out = _apply_fq(index, out, fq)
+        out = _apply_fq(index, out, fq, default_op)
     topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_meta:
         meta = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
@@ -454,10 +457,14 @@ def boolean_search(
     return topk
 
 
+_UNSORTABLE = {"text", "dkey"}  # analyzed body / internal partition key
+
+
 def _parse_sort(index: Index, sort: str):
     """Solr sort syntax: 'field asc, field2 desc' (or 'score desc').
-    Returns the orderBy column list with the ascending-doc_id tiebreak."""
-    cols = []
+    Returns (orderBy columns incl. the ascending-doc_id tiebreak,
+    the docmap field names the sort needs)."""
+    cols, fields = [], []
     for part in sort.split(","):
         bits = part.split()
         if len(bits) != 2 or bits[1] not in ("asc", "desc"):
@@ -465,12 +472,16 @@ def _parse_sort(index: Index, sort: str):
                 f"sort clause {part.strip()!r} is not 'field asc|desc'"
             )
         fld, direction = bits
-        if fld != "score" and fld not in index.docmap.columns:
-            raise ValueError(f"unknown sort field {fld!r}")
+        if fld in _UNSORTABLE:
+            raise ValueError(f"field {fld!r} is not sortable")
+        if fld != "score":
+            if fld not in index.docmap.columns:
+                raise ValueError(f"unknown sort field {fld!r}")
+            fields.append(fld)
         c = F.col(fld)
         cols.append(c.asc() if direction == "asc" else c.desc())
     cols.append(F.asc("doc_id"))
-    return cols
+    return cols, fields
 
 
 def select(
@@ -510,14 +521,19 @@ def select(
     if scored is None:
         raise ValueError(f"q {q!r} parses to an empty query")
     if fq:
-        scored = _apply_fq(index, scored, fq)
+        scored = _apply_fq(index, scored, fq, q_op)
     resp = None
     if rows > 0:
-        meta = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
+        meta_cols = ["doc_id", "conv_id", "turn_idx", "role"]
         if sort:
-            order = _parse_sort(index, sort)
-            # field sorts need their columns before the top-k, so the
-            # meta join precedes the (still distributed-heap) orderBy+limit
+            order, sort_fields = _parse_sort(index, sort)
+            # the meta join carries any extra fields the sort needs (ts,
+            # tool, dl, ...) and precedes the (still distributed-heap)
+            # orderBy+limit so field sorts can see their columns
+            meta = index.docmap.select(
+                *meta_cols,
+                *[f for f in sort_fields if f not in meta_cols],
+            )
             resp = (
                 scored.join(meta, "doc_id", "left")
                 .orderBy(*order)
@@ -525,6 +541,7 @@ def select(
                 .offset(start)
             )
         else:
+            meta = index.docmap.select(*meta_cols)
             order = [F.desc("score"), F.asc("doc_id")]
             # relevance sort: page FIRST (k rows), then join metadata
             resp = (

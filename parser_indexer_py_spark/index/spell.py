@@ -48,8 +48,10 @@ SPELL_DEFAULTS = {
 }
 
 
-def _suggest_term(index: Index, term: str, cfg: dict) -> DataFrame:
-    """(suggestion, df, similarity) candidates for one checked term."""
+def _candidates(index: Index, term: str, cfg: dict) -> DataFrame:
+    """(checked, suggestion, df, similarity) candidate rows for one
+    checked term (unranked — ranking happens per-term in one windowed
+    pass over the union of all checked terms' candidates)."""
     prefix = term[: cfg["min_prefix"]]
     max_edits = int(cfg["max_edits"])
     cand = index.termstats.filter(
@@ -69,24 +71,43 @@ def _suggest_term(index: Index, term: str, cfg: dict) -> DataFrame:
             (dist <= max_edits) & (F.col("similarity") >= cfg["accuracy"])
         )
         .select(
+            F.lit(term).alias("checked"),
             F.col("term").alias("suggestion"),
             "df",
             F.round("similarity", 6).alias("similarity"),
         )
+    )
+
+
+def _suggest_term(index: Index, term: str, cfg: dict) -> DataFrame:
+    """Ranked top-``count`` suggestions for ONE term (kept for direct
+    callers and the plan audit; ``spellcheck`` batches all checked terms
+    into a single job instead)."""
+    return (
+        _candidates(index, term, cfg)
+        .drop("checked")
         .orderBy(F.desc("similarity"), F.desc("df"), F.asc("suggestion"))
         .limit(int(cfg["count"]))
     )
 
 
 def spellcheck(index: Index, query: str, **overrides) -> dict:
-    """Solr spellcheck response twin: ``{"suggestions": {term: DataFrame
-    (suggestion, df, similarity)}, "collation": str | None}``.
+    """Solr spellcheck response twin: ``{"suggestions": {term:
+    [(suggestion, df, similarity), ...]}, "collation": str | None}``.
 
     Only CHECKED terms (see module docstring) appear in ``suggestions``;
     a query whose terms are all frequent enough returns an empty dict and
     ``collation=None`` — the Solr behavior of not second-guessing good
-    queries. The collation swaps each checked term for its top suggestion
-    (top-1 row — the only driver materialization, k rows per term)."""
+    queries. The collation swaps each checked term for its top suggestion.
+
+    All checked terms run as ONE Spark job: the per-term candidate scans
+    union, a window ranks within each checked term, and a single collect
+    brings back <= count rows per term (the df point-lookup that decides
+    which terms are checked is the only other job)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
     cfg = {**SPELL_DEFAULTS, **overrides}
     tokens = analyze_text(query)
     checked: list[str] = []
@@ -106,16 +127,29 @@ def spellcheck(index: Index, query: str, **overrides) -> dict:
         .collect()
     }
     max_df = cfg["max_query_frequency"] * index.n_docs
-    suggestions: dict[str, DataFrame] = {}
-    top: dict[str, str] = {}
-    for t in checked:
-        if dfs.get(t, 0) > max_df:
-            continue  # frequent enough to be presumed correct
-        sugg = _suggest_term(index, t, cfg)
-        suggestions[t] = sugg
-        head = sugg.limit(1).collect()
-        if head:
-            top[t] = head[0]["suggestion"]
+    active = [t for t in checked if dfs.get(t, 0) <= max_df]
+    if not active:
+        return {"suggestions": {}, "collation": None}
+    un = reduce(
+        DataFrame.unionByName, [_candidates(index, t, cfg) for t in active]
+    )
+    w = Window.partitionBy("checked").orderBy(
+        F.desc("similarity"), F.desc("df"), F.asc("suggestion")
+    )
+    rows = (
+        un.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(cfg["count"]))
+        .orderBy("checked", "rn")
+        .collect()
+    )
+    suggestions: dict[str, list[tuple[str, int, float]]] = {
+        t: [] for t in active
+    }
+    for r in rows:
+        suggestions[r["checked"]].append(
+            (r["suggestion"], int(r["df"]), float(r["similarity"]))
+        )
+    top = {t: s[0][0] for t, s in suggestions.items() if s}
     collation = None
     if top:
         collation = " ".join(top.get(t, t) for t in tokens)

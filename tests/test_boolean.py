@@ -140,6 +140,22 @@ def test_parser_and_promotes_only_immediate_neighbor():
     assert pq.must_terms == ("gamma",)
 
 
+def test_parser_or_demotes_under_qop_and():
+    """With q.op=AND, an explicit OR makes both neighbors optional —
+    unless the left neighbor's MUST was explicit (+ always wins)."""
+    pq = parse_query("alpha OR beta", default_op="AND")
+    assert pq.should_terms == ("alpha", "beta") and not pq.must_terms
+    pq = parse_query("+alpha OR beta", default_op="AND")
+    assert pq.must_terms == ("alpha",) and pq.should_terms == ("beta",)
+    pq = parse_query("alpha OR beta gamma", default_op="AND")
+    assert pq.should_terms == ("alpha", "beta")
+    assert pq.must_terms == ("gamma",)
+    # an AND-promoted MUST is explicit — the following OR can't demote it
+    pq = parse_query("alpha AND beta OR gamma")
+    assert set(pq.must_terms) == {"alpha", "beta"}
+    assert pq.should_terms == ("gamma",)
+
+
 def test_parser_pending_occur_consumed_by_match_all():
     """A +/-/NOT aimed at *:* must not leak onto the next clause."""
     pq = parse_query("NOT *:* alpha")

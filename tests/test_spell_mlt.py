@@ -61,10 +61,7 @@ def test_spell_suggest_rank_identity(sindex, soracle, typo):
     bad, src = typo
     res = spellcheck(sindex, bad)
     assert bad in res["suggestions"]
-    eng = [
-        (r["suggestion"], r["df"], r["similarity"])
-        for r in res["suggestions"][bad].collect()
-    ]
+    eng = res["suggestions"][bad]
     assert eng == soracle.spell_suggest(bad)
     assert src in [s for s, _, _ in eng], "the source term should be suggested"
 
