@@ -496,6 +496,9 @@ def select(
     q_op: str = "OR",
     facet_field: str | None = None,
     facet_limit: int = 10,
+    facet_range: tuple | None = None,
+    group_field: str | None = None,
+    group_limit: int = 1,
     hl: bool = False,
 ) -> dict:
     """Solr ``/select`` twin — the request shape every reference sample
@@ -511,7 +514,12 @@ def select(
 
     ``sort`` is Solr sort syntax ('ts desc, turn_idx asc'; default
     relevance = 'score desc'); ``fl`` selects response columns; ``q_op``
-    is the default operator (see parse_query). Lazy like everything
+    is the default operator (see parse_query);
+    ``facet_range=(field, start, end, gap)`` adds ``"range_facets"``
+    (counts per [lo, lo+gap) bucket — the /browse facet.range shape,
+    solrconfig.xml:898-908); ``group_field``/``group_limit`` add
+    ``"groups"`` (Solr result grouping: top-N docs per field value by
+    relevance, `rank_in_group` column). Lazy like everything
     else: each value is an unevaluated DataFrame; no count job runs
     unless the caller asks (numFound is ``response_all.count()`` —
     deliberately not precomputed, a 100-TB match set's exact count is
@@ -572,4 +580,53 @@ def select(
             .orderBy(F.desc("n"), F.asc(facet_field))
             .limit(facet_limit)
         )
-    return {"response": resp, "facets": facets}
+    range_facets = None
+    if facet_range is not None:
+        # Solr facet.range (the reference's /browse wires it with explicit
+        # start/end/gap, solrconfig.xml:898-908): counts per [lo, lo+gap)
+        # bucket over the numeric field, buckets labeled by their lower
+        # bound, computed over the FULL match set like facet.field
+        fld, lo, hi, gap = facet_range
+        if fld not in index.docmap.columns:
+            raise ValueError(f"unknown facet.range field {fld!r}")
+        if gap <= 0 or hi <= lo:
+            raise ValueError("facet.range needs end > start and gap > 0")
+        v = F.col(fld)
+        bucket = (
+            F.floor((v - F.lit(lo)) / F.lit(gap)) * F.lit(gap) + F.lit(lo)
+        )
+        range_facets = (
+            scored.select("doc_id")
+            .join(index.docmap.select("doc_id", fld), "doc_id")
+            .filter((v >= lo) & (v < hi))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.asc("bucket"))
+        )
+    groups = None
+    if group_field is not None:
+        # Solr result grouping (group=true&group.field=...): top
+        # ``group_limit`` docs per field value by relevance — a window
+        # rank inside each group over the full match set
+        from pyspark.sql import Window
+
+        if group_field not in index.docmap.columns:
+            raise ValueError(f"unknown group field {group_field!r}")
+        w = Window.partitionBy(group_field).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        gcols = ["doc_id", "conv_id", "turn_idx", "role"]
+        if group_field not in gcols:
+            gcols.append(group_field)
+        groups = (
+            scored.join(index.docmap.select(*gcols), "doc_id")
+            .withColumn("rank_in_group", F.row_number().over(w))
+            .filter(F.col("rank_in_group") <= int(group_limit))
+            .orderBy(F.asc(group_field), F.asc("rank_in_group"))
+        )
+    return {
+        "response": resp,
+        "facets": facets,
+        "range_facets": range_facets,
+        "groups": groups,
+    }

@@ -452,6 +452,50 @@ def test_boolean_on_segments(spark, tmp_path_factory):
         assert eng == o.boolean_search(q, k=10), q
 
 
+def test_select_facet_range(bindex, boracle, qterms):
+    t1, _, _ = qterms
+    res = select(
+        bindex, t1, rows=0, facet_range=("turn_idx", 0, 40, 10)
+    )["range_facets"]
+    got = {int(r["bucket"]): r["n"] for r in res.collect()}
+    match = set(boracle.postings[t1])
+    meta = {
+        int(r["doc_id"]): int(r["turn_idx"])
+        for r in bindex.docmap.select("doc_id", "turn_idx").collect()
+    }
+    want: dict = {}
+    for d in match:
+        v = meta[d]
+        if 0 <= v < 40:
+            b = (v // 10) * 10
+            want[b] = want.get(b, 0) + 1
+    assert got == want and got
+    with pytest.raises(ValueError):
+        select(bindex, t1, facet_range=("turn_idx", 40, 0, 10))
+
+
+def test_select_grouping(bindex, boracle, qterms):
+    t1, _, _ = qterms
+    res = select(bindex, t1, rows=0, group_field="role", group_limit=2)
+    got = [
+        (r["role"], r["rank_in_group"], r["doc_id"], r["score"])
+        for r in res["groups"].collect()
+    ]
+    scores = dict(boracle.boolean_search(t1, k=10**6))
+    roles = {
+        int(r["doc_id"]): r["role"]
+        for r in bindex.docmap.select("doc_id", "role").collect()
+    }
+    want = []
+    by_role: dict = {}
+    for d, s in sorted(scores.items(), key=lambda x: (-x[1], x[0])):
+        by_role.setdefault(roles[d], []).append((d, s))
+    for role in sorted(by_role):
+        for i, (d, s) in enumerate(by_role[role][:2], 1):
+            want.append((role, i, d, s))
+    assert got == want
+
+
 def test_boolean_with_excerpt_smoke(bindex, qterms):
     t1, t2, _ = qterms
     rows = boolean_search(
