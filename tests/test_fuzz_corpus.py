@@ -128,3 +128,75 @@ def test_fuzz_engine_matches_oracle(spark, tmp_path_factory, seed):
             for r in search(idx, q, k=10, role="user", with_meta=False).collect()
         ]
         assert got_r == want_r, (seed, q, "role")
+
+
+def _rand_bool_query(rng, terms, roles) -> str:
+    """Random classic-syntax query over the corpus's analyzed vocabulary:
+    bare/boosted/required/prohibited terms, phrases (with slop and occur
+    prefixes), trailing-wildcard prefixes, role filters, AND/OR."""
+    parts = []
+    for _ in range(int(rng.integers(2, 6))):
+        r = rng.random()
+        t = terms[int(rng.integers(0, len(terms)))]
+        if r < 0.12:
+            parts.append(f"+{t}")
+        elif r < 0.24:
+            parts.append(f"-{t}")
+        elif r < 0.38:
+            t2 = terms[int(rng.integers(0, len(terms)))]
+            ph = f'"{t} {t2}"'
+            if rng.random() < 0.4:
+                ph += f"~{int(rng.integers(1, 4))}"
+            if rng.random() < 0.3:
+                ph = ("+" if rng.random() < 0.5 else "-") + ph
+            parts.append(ph)
+        elif r < 0.46 and len(t) >= 3 and t[:2].isalnum():
+            parts.append(t[:2] + "*")
+        elif r < 0.52:
+            parts.append(f"role:{roles[int(rng.integers(0, len(roles)))]}")
+        elif r < 0.60:
+            parts.append(f"{t}^{int(rng.integers(2, 5))}")
+        else:
+            parts.append(t)
+        c = rng.random()
+        if c < 0.12:
+            parts.append("AND")
+        elif c < 0.24:
+            parts.append("OR")
+    while parts and parts[-1] in ("AND", "OR"):
+        parts.pop()
+    return " ".join(parts)
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_fuzz_boolean_matches_oracle(spark, tmp_path_factory, seed):
+    """Randomized Lucene-syntax queries over a nasty corpus: the boolean
+    evaluator (every clause type, boosts, slop, prefixes, fielded
+    filters, mm) must match the pure-Python oracle bit-for-bit."""
+    from parser_indexer_py_spark.index.boolean import boolean_search
+
+    pdf = _random_corpus(seed, 120)
+    out = str(tmp_path_factory.mktemp(f"bfuzz{seed}"))
+    df = spark.createDataFrame(pdf)
+    build_index(spark, df, out, n_buckets=4, salt=2, n_chunks=1,
+                positions=True)
+    idx = load_index(spark, out)
+    oracle = BM25Oracle.from_pandas(
+        idx.docmap.select("doc_id", "text", "role").toPandas()
+    )
+    terms = sorted(oracle.postings)
+    rng = np.random.default_rng(seed * 1000 + 1)
+    n_nonempty = 0
+    for i in range(15):
+        q = _rand_bool_query(rng, terms, ROLES)
+        mm = int(rng.integers(0, 3))
+        got = [
+            (r["doc_id"], r["score"])
+            for r in boolean_search(
+                idx, q, k=10, min_should_match=mm, with_meta=False
+            ).collect()
+        ]
+        want = oracle.boolean_search(q, k=10, min_should_match=mm)
+        assert got == want, (seed, i, q, mm)
+        n_nonempty += bool(got)
+    assert n_nonempty >= 5  # the generator must produce real matches

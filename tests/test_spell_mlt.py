@@ -117,6 +117,56 @@ def test_mlt_missing_doc_raises(sindex):
         more_like_this(sindex, 10**12)
 
 
+def test_spell_and_mlt_on_segments(spark, tmp_path_factory):
+    """Spellcheck and MLT compose with the streaming merged view like
+    every other query surface (MergedSegmentsView implements the Index
+    API they use): results over 2 segments == a monolithic build of the
+    same corpus."""
+    from pyspark.sql import functions as F
+
+    from parser_indexer_py_spark.streaming.incremental import SegmentedIndex
+    from parser_indexer_py_spark.streaming.merged import MergedSegmentsView
+
+    src = generate_transcripts(spark, 60, partitions=2)
+    root = str(tmp_path_factory.mktemp("smseg"))
+    seg = SegmentedIndex(spark, root)
+    seg.append_batch(
+        src.filter(F.pmod(F.crc32(F.col("conv_id")), F.lit(2)) == 0), 0
+    )
+    seg.append_batch(
+        src.filter(F.pmod(F.crc32(F.col("conv_id")), F.lit(2)) == 1), 1
+    )
+    view = MergedSegmentsView(seg)
+    mono_dir = str(tmp_path_factory.mktemp("smmono"))
+    build_index(spark, src, mono_dir, n_chunks=1)
+    mono = load_index(spark, mono_dir)
+
+    o = BM25Oracle.from_pandas(
+        view.docmap.select("doc_id", "text", "role").toPandas()
+    )
+    bad = next(
+        t[:3] + "q" + t[4:]
+        for t in sorted(o.postings, key=lambda t: (-len(o.postings[t]), t))
+        if len(t) >= 5 and (t[:3] + "q" + t[4:]) not in o.postings
+    )
+    sv = spellcheck(view, bad)
+    sm = spellcheck(mono, bad)
+    assert sv["suggestions"] == sm["suggestions"] and sv["suggestions"][bad]
+    assert sv["collation"] == sm["collation"]
+
+    # MLT over the merged view == the pure-Python oracle built from the
+    # view's own docmap (exact doc_ids AND scores, the standard gate)
+    d_view = int(
+        view.docmap.orderBy("conv_id", "turn_idx").first()["doc_id"]
+    )
+    eng = [
+        (r["doc_id"], r["score"])
+        for r in more_like_this(view, d_view, with_meta=False).collect()
+    ]
+    assert eng == o.more_like_this(d_view)
+    assert len(eng) == 3
+
+
 def test_wordbreak(spark, tmp_path):
     """WordBreak spellchecker (the reference's second checker): breaks an
     OOV concatenation into dictionary halves; combines an adjacent pair
