@@ -55,6 +55,7 @@ from .search import (
     Index,
     _attach_excerpts,
     _blocks_for_terms,
+    _docs_with_any,
     _make_decoder,
     _payload_cols,
     _score_decoded,
@@ -101,48 +102,6 @@ def _expand_prefix(index: Index, prefix: str) -> list[str]:
             "(Lucene maxClauseCount); narrow the prefix"
         )
     return sorted(r["term"] for r in rows)
-
-
-def _make_docs_decoder():
-    """Docs-only block decoder for constant-score / exclusion doc sets:
-    decodes ONLY docs_bin (skips the tf/dl varint passes and the BM25
-    float work _make_decoder does — all of it would be discarded by the
-    .distinct() these callers apply)."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.varint import decode_deltas
-
-    def decode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            docs = [
-                decode_deltas(b, n) for b, n in zip(pdf["docs_bin"], pdf["n"])
-            ]
-            doc_arr = np.concatenate(docs).astype(np.int64)
-            if "base" in pdf.columns:
-                doc_arr += np.repeat(
-                    pdf["base"].to_numpy(dtype=np.int64),
-                    pdf["n"].to_numpy(),
-                )
-            yield pd.DataFrame({"doc_id": doc_arr})
-
-    return decode
-
-
-def _docs_with_any(index: Index, terms: list[str]) -> DataFrame:
-    """Distinct doc_ids containing >= 1 of ``terms`` (docs-only decode of
-    only those terms' blocks)."""
-    if not terms:
-        return index.spark.createDataFrame([], "doc_id long")
-    blocks = _blocks_for_terms(index, terms)
-    cols = ["n", "docs_bin"] + (["base"] if "base" in blocks.columns else [])
-    return (
-        blocks.select(*cols)
-        .mapInPandas(_make_docs_decoder(), "doc_id long")
-        .distinct()
-    )
 
 
 def _scored_docs(

@@ -134,14 +134,58 @@ def _make_decoder(avgdl: float):
     return decode
 
 
+def _make_docs_decoder():
+    """Docs-only block decoder for doc-SET consumers (phrase candidate
+    pruning, constant-score prefix queries, MUST_NOT exclusions): decodes
+    ONLY docs_bin — skips the tf/dl varint passes and the BM25 float work
+    ``_make_decoder`` does, all of which a ``.distinct()`` would discard."""
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            docs = [
+                decode_deltas(b, n) for b, n in zip(pdf["docs_bin"], pdf["n"])
+            ]
+            doc_arr = np.concatenate(docs).astype(np.int64)
+            if "base" in pdf.columns:
+                doc_arr += np.repeat(
+                    pdf["base"].to_numpy(dtype=np.int64),
+                    pdf["n"].to_numpy(),
+                )
+            yield pd.DataFrame({"doc_id": doc_arr})
+
+    return decode
+
+
+def _docs_with_any(index: "Index", terms: list[str]) -> DataFrame:
+    """Distinct doc_ids containing >= 1 of ``terms`` (docs-only decode of
+    only those terms' blocks)."""
+    if not terms:
+        return index.spark.createDataFrame([], "doc_id long")
+    blocks = _blocks_for_terms(index, terms)
+    cols = ["n", "docs_bin"] + (["base"] if "base" in blocks.columns else [])
+    return (
+        blocks.select(*cols)
+        .mapInPandas(_make_docs_decoder(), "doc_id long")
+        .distinct()
+    )
+
+
 _POS_DECODED_SCHEMA = "term string, doc_id long, dl long, positions array<int>"
 
 
-def _make_pos_decoder():
+def _make_pos_decoder(cand: "np.ndarray | None" = None):
     """mapInPandas block decoder for the PHRASE path: blocks (with
     positional payload) -> one row per posting entry carrying that entry's
     absolute token-position list. Optional ``base`` column (multi-segment
-    search) offsets docIDs exactly like :func:`_make_decoder`."""
+    search) offsets docIDs exactly like :func:`_make_decoder`.
+
+    ``cand`` (SORTED global doc ids) filters emitted entries to candidate
+    docs INSIDE the Arrow batch — a phrase doc must contain the rarest
+    term, so entries of other docs can never match and dropping them here
+    shrinks the positions-array shuffle (the expensive bytes) by the
+    candidate selectivity. Pure numpy membership; lossless."""
     from ..functions.varint import decode_deltas_resets
 
     def decode(batches):
@@ -164,10 +208,21 @@ def _make_pos_decoder():
                 pos = decode_deltas_resets(
                     row.pos_bin, int(tfs.sum()), occ_starts
                 ).astype(np.int32)
+                plists = np.split(pos, occ_starts[1:])
+                if cand is not None:
+                    i = np.searchsorted(cand, docs)
+                    keep = (i < len(cand)) & (cand[np.minimum(i, len(cand) - 1)] == docs)
+                    if not keep.any():
+                        continue
+                    docs, dls = docs[keep], dls[keep]
+                    plists = [p for p, k in zip(plists, keep) if k]
+                    n = int(keep.sum())
                 out_term.append(np.repeat(row.term, n))
                 out_doc.append(docs)
                 out_dl.append(dls)
-                out_pos.extend(np.split(pos, occ_starts[1:]))
+                out_pos.extend(plists)
+            if not out_doc:
+                continue
             yield pd.DataFrame(
                 {
                     "term": np.concatenate(out_term),
@@ -178,6 +233,20 @@ def _make_pos_decoder():
             )
 
     return decode
+
+
+# phrase candidate pruning engages only when the rarest phrase term has
+# at most this many postings (bounds the driver-collected doc-id list:
+# 200k longs ~ 1.6 MB, the same order as WAND's bounded candidate list)
+# AND the other terms are >= 2x bigger in aggregate
+PHRASE_PRUNE_CAND_CAP = 200_000
+# the per-candidate block-range semi-join (pre-IO block pruning) only
+# pays when candidates are FEW: it is a broadcast nested loop over block
+# metadata (O(cand x blocks)), and uniformly-spread candidates hit ~every
+# block anyway (measured at 6.5M docs: 149k uniform candidates pruned 4%
+# of blocks while the join cost 12s). Above this, the in-decoder
+# membership filter alone does the work.
+PHRASE_BLOCK_JOIN_CAP = 5_000
 
 
 def sloppy_phrase_freq(
@@ -216,6 +285,7 @@ def phrase_scores(
     tokens: list[str],
     *,
     slop: int = 0,
+    prune_cand_cap: int | None = None,
 ) -> DataFrame:
     """Per-doc phrase scores for EVERY matching doc — (doc_id, score,
     phrase_freq), unfiltered and un-limited. The composable core behind
@@ -252,12 +322,13 @@ def phrase_scores(
             "(build_index(..., positions=True))"
         )
     terms = sorted(set(tokens))
-    stats = {
-        r["term"]: float(r["idf"])
-        for r in index.termstats.filter(F.col("term").isin(terms))
-        .select("term", "idf")
+    srows = (
+        index.termstats.filter(F.col("term").isin(terms))
+        .select("term", "idf", "df")
         .collect()
-    }
+    )
+    stats = {r["term"]: float(r["idf"]) for r in srows}
+    dfs = {r["term"]: int(r["df"]) for r in srows}
     if any(t not in stats for t in terms):
         return empty  # a phrase token with df=0 can never match
     # one addend per token instance, query order (oracle mirrors this)
@@ -265,9 +336,59 @@ def phrase_scores(
     for t in tokens:
         idf_sum += stats[t]
     blocks = _blocks_for_terms(index, terms)
+    # candidate pruning (lossless): a phrase doc must contain EVERY term,
+    # so when the rarest term is much smaller than the rest, collect its
+    # docs-only list (cheap decode — no positions/tf/dl; bounded by the
+    # cap like WAND's driver candidate list) and drop other terms'
+    # entries for non-candidate docs INSIDE the positional decoder — the
+    # positions-array shuffle (the expensive bytes of the phrase path)
+    # shrinks by the candidate selectivity. When candidates are FEW, also
+    # prune whole blocks pre-IO via the [doc_min, doc_max] semi-join
+    # (WAND phase-3 style; doc_min/doc_max are GLOBAL in both index
+    # shapes — the merged view shifts them at construction, only the
+    # docs_bin deltas are segment-local). The nested-loop block join is
+    # gated on PHRASE_BLOCK_JOIN_CAP: measured at 6.5M docs, 149k
+    # uniformly-spread candidates pruned ~4% of blocks while the join
+    # cost 12s. Hot-term phrases skip all of this (no selectivity =>
+    # pure overhead).
+    cap = PHRASE_PRUNE_CAND_CAP if prune_cand_cap is None else prune_cand_cap
+    rare = min(terms, key=lambda t: dfs[t])
+    cand_arr = None
+    if (
+        len(terms) > 1
+        and dfs[rare] <= cap
+        and sum(dfs.values()) >= 3 * dfs[rare]
+    ):
+        cand_arr = np.sort(
+            np.array(
+                [
+                    r["doc_id"]
+                    for r in _docs_with_any(index, [rare]).collect()
+                ],
+                dtype=np.int64,
+            )
+        )
+        if cand_arr.size == 0:
+            return empty
+        others = blocks.filter(F.col("term") != rare).filter(
+            # coarse bounds: pushed to the block-metadata parquet scan
+            (F.col("doc_max") >= int(cand_arr[0]))
+            & (F.col("doc_min") <= int(cand_arr[-1]))
+        )
+        if cand_arr.size <= PHRASE_BLOCK_JOIN_CAP:
+            cand_df = spark.createDataFrame(
+                [(int(c),) for c in cand_arr], "cand long"
+            )
+            others = others.join(
+                F.broadcast(cand_df),
+                (F.col("cand") >= F.col("doc_min"))
+                & (F.col("cand") <= F.col("doc_max")),
+                "left_semi",
+            )
+        blocks = blocks.filter(F.col("term") == rare).unionByName(others)
     cols = [c for c in _payload_cols(blocks, "pos_bin") if c != "idf"]
     decoded = blocks.select(*cols).mapInPandas(
-        _make_pos_decoder(), _POS_DECODED_SCHEMA
+        _make_pos_decoder(cand_arr), _POS_DECODED_SCHEMA
     )
     per_doc = decoded.groupBy("doc_id").agg(
         F.map_from_entries(

@@ -188,3 +188,81 @@ def test_phrase_slop_monotone(pindex, bigrams):
 def test_slop_requires_phrase(pindex):
     with pytest.raises(ValueError, match="slop"):
         search(pindex, "a b", k=5, slop=2)
+
+
+def test_phrase_prune_equals_straight(spark, tmp_path_factory):
+    """Rare-term candidate pruning (block-range semi-join before the
+    positional decode) is lossless: pruned == unpruned == oracle, on a
+    monolithic index AND across a 2-segment merged view (where the stored
+    block ranges are segment-local and must be compared base-offset)."""
+    from datetime import datetime
+
+    from parser_indexer_py_spark.index.oracle import BM25Oracle
+    from parser_indexer_py_spark.index.search import phrase_scores
+    from parser_indexer_py_spark.streaming.incremental import SegmentedIndex
+    from parser_indexer_py_spark.streaming.merged import MergedSegmentsView
+
+    ts = datetime(2026, 1, 1)
+    rows = []
+    for i in range(60):  # hot background
+        rows.append((f"c{i:03d}", 0, "user", "hot hot cold hot", "", ts))
+    for i in (7, 23, 41):  # rare term adjacent (and one non-adjacent)
+        rows.append((f"r{i:03d}", 0, "user", "rare hot cold", "", ts))
+    rows.append(("r999", 0, "user", "hot rare", "", ts))  # "rare hot" absent
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = str(tmp_path_factory.mktemp("pprune"))
+    build_index(spark, df, out, n_chunks=1, positions=True)
+    idx = load_index(spark, out)
+    oracle = BM25Oracle.from_pandas(
+        idx.docmap.select("doc_id", "text", "role").toPandas()
+    )
+
+    def rows_of(res):
+        return sorted(
+            (r["doc_id"], r["score"], r["phrase_freq"]) for r in res.collect()
+        )
+
+    for q, slop in [("rare hot", 0), ("rare cold", 1), ("hot cold", 0)]:
+        toks = q.split()
+        pruned = rows_of(
+            phrase_scores(idx, toks, slop=slop, prune_cand_cap=10**9)
+        )
+        straight = rows_of(
+            phrase_scores(idx, toks, slop=slop, prune_cand_cap=0)
+        )
+        want = sorted(
+            (d, s, f)
+            for d, (s, f) in oracle._phrase_scores(toks, slop).items()
+        )
+        assert pruned == straight == want, (q, slop)
+
+    # merged view: same corpus over 2 segments (base-offset range branch)
+    from pyspark.sql import functions as F
+
+    seg = SegmentedIndex(
+        spark, str(tmp_path_factory.mktemp("ppruneseg")), positions=True
+    )
+    seg.append_batch(
+        df.filter(F.pmod(F.crc32(F.col("conv_id")), F.lit(2)) == 0), 0
+    )
+    seg.append_batch(
+        df.filter(F.pmod(F.crc32(F.col("conv_id")), F.lit(2)) == 1), 1
+    )
+    view = MergedSegmentsView(seg)
+    vo = BM25Oracle.from_pandas(
+        view.docmap.select("doc_id", "text", "role").toPandas()
+    )
+    for q, slop in [("rare hot", 0), ("rare cold", 1)]:
+        toks = q.split()
+        pruned = rows_of(
+            phrase_scores(view, toks, slop=slop, prune_cand_cap=10**9)
+        )
+        want = sorted(
+            (d, s, f)
+            for d, (s, f) in vo._phrase_scores(toks, slop).items()
+        )
+        assert pruned == want, (q, slop, "merged")
