@@ -237,9 +237,12 @@ def _make_pos_decoder(cand: "np.ndarray | None" = None):
 
 # phrase candidate pruning engages only when the rarest phrase term has
 # at most this many postings (bounds the driver-collected doc-id list:
-# 200k longs ~ 1.6 MB, the same order as WAND's bounded candidate list)
-# AND the other terms are >= 2x bigger in aggregate
-PHRASE_PRUNE_CAND_CAP = 200_000
+# 1M longs = 8 MB, shipped to executors once per stage via the broadcast
+# task binary) AND the other terms are >= 2x bigger in aggregate.
+# Measured at 6.5M docs: still a 1.8x win at 730k candidates
+# ("bace cedi" 37.9s -> 20.8s), so the cap is set by memory comfort,
+# not by where the win runs out.
+PHRASE_PRUNE_CAND_CAP = 1_000_000
 # the per-candidate block-range semi-join (pre-IO block pruning) only
 # pays when candidates are FEW: it is a broadcast nested loop over block
 # metadata (O(cand x blocks)), and uniformly-spread candidates hit ~every
