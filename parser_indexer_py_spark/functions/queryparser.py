@@ -195,54 +195,41 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
         pending, next_must, next_should = None, False, False
         return occ, dflt
 
-    def promote_last() -> None:
-        """AND promotes its LEFT neighbor from SHOULD to MUST."""
-        nonlocal last_positive, last_positive_val
-        if last_positive is should and last_positive_val in should:
-            should.remove(last_positive_val)
-            must.append(last_positive_val)
-            last_positive = must
-        elif last_positive is phrases and last_positive_val in phrases:
-            i = phrases.index(last_positive_val)
-            if phrases[i].occur == SHOULD:
-                phrases[i] = PhraseClause(
-                    phrases[i].tokens, phrases[i].slop, MUST,
-                    phrases[i].boost,
-                )
-                last_positive_val = phrases[i]
-        elif last_positive is prefixes and last_positive_val in prefixes:
-            i = prefixes.index(last_positive_val)
-            if prefixes[i].occur == SHOULD:
-                prefixes[i] = PrefixClause(
-                    prefixes[i].prefix, MUST, prefixes[i].boost
-                )
-                last_positive_val = prefixes[i]
-
-    def demote_last() -> None:
-        """OR demotes its LEFT neighbor from default-assigned MUST to
-        SHOULD (q.op=AND surface; an explicit '+' is never demoted)."""
-        nonlocal last_positive, last_positive_val
-        if not last_default:
+    def _flip_last(promote: bool) -> None:
+        """AND promotes (OR demotes) the immediate LEFT neighbor. One
+        parameterized implementation so the explicit-wins rule lives in
+        one place: OR never demotes an explicitly-required clause, and a
+        clause AND just promoted becomes explicit (a following OR cannot
+        undo it). Term clauses track ALL analyzed tokens of the source
+        word, so a multi-token word ('foo-bar') flips as one clause."""
+        nonlocal last_positive, last_positive_val, last_default
+        if not promote and not last_default:
             return
-        if last_positive is must and last_positive_val in must:
-            must.remove(last_positive_val)
-            should.append(last_positive_val)
-            last_positive = should
+        src, dst = (should, must) if promote else (must, should)
+        src_occ, dst_occ = (SHOULD, MUST) if promote else (MUST, SHOULD)
+        if last_positive is src and isinstance(last_positive_val, tuple):
+            if all(t in src for t in last_positive_val):
+                for t in last_positive_val:
+                    src.remove(t)
+                    dst.append(t)
+                last_positive = dst
         elif last_positive is phrases and last_positive_val in phrases:
             i = phrases.index(last_positive_val)
-            if phrases[i].occur == MUST:
+            if phrases[i].occur == src_occ:
                 phrases[i] = PhraseClause(
-                    phrases[i].tokens, phrases[i].slop, SHOULD,
+                    phrases[i].tokens, phrases[i].slop, dst_occ,
                     phrases[i].boost,
                 )
                 last_positive_val = phrases[i]
         elif last_positive is prefixes and last_positive_val in prefixes:
             i = prefixes.index(last_positive_val)
-            if prefixes[i].occur == MUST:
+            if prefixes[i].occur == src_occ:
                 prefixes[i] = PrefixClause(
-                    prefixes[i].prefix, SHOULD, prefixes[i].boost
+                    prefixes[i].prefix, dst_occ, prefixes[i].boost
                 )
                 last_positive_val = prefixes[i]
+        if promote:
+            last_default = False
 
     pos = 0
     for m in _LEX.finditer(q):
@@ -301,10 +288,10 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
                 if boost != 1.0:
                     boosts[toks[0]] = boost
                 if occ == SHOULD:
-                    last_positive, last_positive_val = should, toks[0]
+                    last_positive, last_positive_val = should, (toks[0],)
                     last_default = dflt
                 elif occ == MUST and dflt:
-                    last_positive, last_positive_val = must, toks[0]
+                    last_positive, last_positive_val = must, (toks[0],)
                     last_default = True
                 else:
                     last_positive = last_positive_val = None
@@ -336,11 +323,11 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
         # bare term (may be a connective keyword)
         word = m.group("term")
         if word in ("AND", "&&"):
-            promote_last()
+            _flip_last(promote=True)
             next_must = True
             continue
         if word in ("OR", "||"):
-            demote_last()
+            _flip_last(promote=False)
             next_should = True
             continue
         if word == "NOT":
@@ -365,10 +352,10 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
             for t in toks:  # last occurrence wins (module docstring)
                 boosts[t] = boost
         if occ == SHOULD:
-            last_positive, last_positive_val = should, toks[-1]
+            last_positive, last_positive_val = should, tuple(toks)
             last_default = dflt
         elif occ == MUST and dflt:
-            last_positive, last_positive_val = must, toks[-1]
+            last_positive, last_positive_val = must, tuple(toks)
             last_default = True
         else:
             last_positive = last_positive_val = None

@@ -436,7 +436,8 @@ def _parse_sort(index: Index, sort: str):
         if fld != "score":
             if fld not in index.docmap.columns:
                 raise ValueError(f"unknown sort field {fld!r}")
-            fields.append(fld)
+            if fld not in fields:
+                fields.append(fld)
         c = F.col(fld)
         cols.append(c.asc() if direction == "asc" else c.desc())
     cols.append(F.asc("doc_id"))

@@ -362,14 +362,12 @@ def phrase_scores(
         and dfs[rare] <= cap
         and sum(dfs.values()) >= 3 * dfs[rare]
     ):
+        # Arrow transfer (toPandas), not row-object collect: at the 1M
+        # cap this is an 8 MB int64 column, not a million Row objects
         cand_arr = np.sort(
-            np.array(
-                [
-                    r["doc_id"]
-                    for r in _docs_with_any(index, [rare]).collect()
-                ],
-                dtype=np.int64,
-            )
+            _docs_with_any(index, [rare])
+            .toPandas()["doc_id"]
+            .to_numpy(dtype=np.int64)
         )
         if cand_arr.size == 0:
             return empty

@@ -156,6 +156,19 @@ def test_parser_or_demotes_under_qop_and():
     assert pq.should_terms == ("gamma",)
 
 
+def test_parser_or_demotes_whole_multitoken_clause():
+    """A word that analyzes to several tokens flips as ONE clause
+    (review finding: 'foo-bar OR c' left 'foo' required)."""
+    pq = parse_query("foo-bar OR c", default_op="AND")
+    assert pq.should_terms == ("foo", "bar", "c") and not pq.must_terms
+
+
+def test_parser_and_promotion_is_explicit():
+    """An OR immediately after AND must not undo the promotion."""
+    pq = parse_query("alpha AND OR beta")
+    assert set(pq.must_terms) == {"alpha", "beta"} and not pq.should_terms
+
+
 def test_parser_pending_occur_consumed_by_match_all():
     """A +/-/NOT aimed at *:* must not leak onto the next clause."""
     pq = parse_query("NOT *:* alpha")
