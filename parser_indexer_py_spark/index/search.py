@@ -95,13 +95,18 @@ def load_index(spark: SparkSession, root: str) -> Index:
     )
 
 
-def _make_decoder(avgdl: float):
+def _make_decoder(avgdl: float, cand: "np.ndarray | None" = None):
     """mapInPandas block decoder: blocks -> (term, doc_id, tf, contrib).
     Contribs are computed HERE (numpy, canonical module) so they are
     bit-identical to the oracle's — no JVM float arithmetic on the path.
     If the input carries a ``base`` column (multi-segment search:
     streaming/incremental.py), it is added to the decoded docIDs so
-    segment-local ids become global ids inside the Arrow batch."""
+    segment-local ids become global ids inside the Arrow batch.
+
+    ``cand`` (SORTED global doc ids) drops non-candidate entries inside
+    the batch — used by conjunctive evaluation when the rarest term is
+    selective (a doc lacking it can never reach n_terms == |terms|), the
+    same lossless filter the phrase path applies."""
 
     def decode(batches):
         for pdf in batches:
@@ -121,6 +126,17 @@ def _make_decoder(avgdl: float):
                 )
             tf_arr = np.concatenate(tfs).astype(np.int64)
             dl_arr = np.concatenate(dls).astype(np.float64)
+            if cand is not None:
+                i = np.searchsorted(cand, doc_arr)
+                keep = (i < len(cand)) & (
+                    cand[np.minimum(i, len(cand) - 1)] == doc_arr
+                )
+                if not keep.any():
+                    continue
+                terms, idfs = terms[keep], idfs[keep]
+                doc_arr, tf_arr, dl_arr = (
+                    doc_arr[keep], tf_arr[keep], dl_arr[keep]
+                )
             contrib = bm25_contrib(tf_arr, dl_arr, 1.0, avgdl) * idfs
             yield pd.DataFrame(
                 {
@@ -680,8 +696,41 @@ def full_eval(
     original query token: a doc qualifies when it matches >= 1 term of
     every group (Solr SynonymQuery AND semantics)."""
     blocks = _blocks_for_terms(index, terms)
+    # conjunctive rare-term pruning (lossless, same rule as the phrase
+    # path): a doc lacking the rarest term can never reach
+    # n_terms == |terms|, so when that term is selective its docs-only
+    # list filters the other terms' entries inside the decoder — the
+    # groupBy(doc_id) shuffle shrinks by the candidate selectivity.
+    # groups (synonym-AND) are excluded: there the requirement is >= 1
+    # term PER GROUP, not every term.
+    cand_arr = None
+    if conjunctive and groups is None and len(terms) > 1:
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in index.termstats.filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        }
+        if len(dfs) == len(terms):  # every term exists (else no pruning;
+            rare = min(terms, key=lambda t: dfs[t])  # n_terms filter wins)
+            if (
+                dfs[rare] <= PHRASE_PRUNE_CAND_CAP
+                and sum(dfs.values()) >= 3 * dfs[rare]
+            ):
+                cand_arr = np.sort(
+                    _docs_with_any(index, [rare])
+                    .toPandas()["doc_id"]
+                    .to_numpy(dtype=np.int64)
+                )
+                if cand_arr.size:
+                    blocks = blocks.filter(
+                        (F.col("doc_max") >= int(cand_arr[0]))
+                        & (F.col("doc_min") <= int(cand_arr[-1]))
+                    )
+                else:
+                    cand_arr = None
     decoded = blocks.select(*_payload_cols(blocks)).mapInPandas(
-        _make_decoder(index.avgdl), _DECODED_SCHEMA
+        _make_decoder(index.avgdl, cand_arr), _DECODED_SCHEMA
     )
     use_groups = conjunctive and groups is not None
     scored = _score_decoded(decoded, keep_cs=use_groups)
