@@ -63,7 +63,7 @@ from .search import (
     phrase_scores,
 )
 
-__all__ = ["boolean_search", "select"]
+__all__ = ["boolean_search", "edismax_search", "select"]
 
 
 def _conv_filters(raw: dict) -> dict:
@@ -442,6 +442,57 @@ def _parse_sort(index: Index, sort: str):
         cols.append(c.asc() if direction == "asc" else c.desc())
     cols.append(F.asc("doc_id"))
     return cols, fields
+
+
+def _parse_mm(mm, n: int) -> int:
+    """Solr mm syntax subset: an int, or 'N%' of the optional clause
+    count rounded DOWN (the Solr spec's percentage rule)."""
+    if isinstance(mm, int):
+        return mm
+    s = str(mm).strip()
+    if s.endswith("%"):
+        return (n * int(s[:-1])) // 100
+    return int(s)
+
+
+def edismax_search(
+    index: Index, query: str, k: int = 10, *, mm="100%", pf: bool = True, **kw
+) -> DataFrame:
+    """edismax-lite: the parser the reference's /browse handler runs
+    (defType=edismax, mm=100%, conf/solr/docs/conf/solrconfig.xml:870-876;
+    qf field boosts collapse — this schema has ONE text field).
+
+    For a bare term query (the shape /browse users type):
+    - ``mm`` (int or 'N%', floor like Solr) sets how many terms must
+      match; the configured mm=100% makes every term required;
+    - ``pf=True`` adds the whole query as an implicit SHOULD phrase —
+      edismax's phrase-boost: docs containing the exact sequence rank
+      above equal bags of words. Applied at mm=100% (the reference's
+      configuration), where it cannot interact with the mm count; below
+      100% the phrase boost is skipped (Solr excludes pf from mm — our
+      mm counts every SHOULD clause, so appending it would change
+      matching).
+
+    A query carrying explicit operators falls through to
+    ``boolean_search`` unchanged (edismax accepts full Lucene syntax)."""
+    pq = parse_query(query)
+    bare = bool(pq.should_terms) and not (
+        pq.phrases or pq.prefixes or pq.must_terms or pq.must_not_terms
+        or pq.filters or pq.not_filters or pq.boosts or pq.match_all
+    )
+    if not bare:
+        return boolean_search(index, query, k, **kw)
+    toks = list(pq.should_terms)
+    n = len(set(toks))
+    mm_n = _parse_mm(mm, n)
+    if mm_n >= n:
+        q2 = " ".join("+" + t for t in dict.fromkeys(toks))
+        if pf and len(toks) >= 2:
+            q2 += ' "' + " ".join(toks) + '"'
+        return boolean_search(index, q2, k, **kw)
+    return boolean_search(
+        index, " ".join(toks), k, min_should_match=mm_n, **kw
+    )
 
 
 def select(

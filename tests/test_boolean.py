@@ -515,3 +515,30 @@ def test_boolean_with_excerpt_smoke(bindex, qterms):
         bindex, f'{t1} "{t1} {t2}"', k=3, with_excerpt=True
     ).collect()
     assert rows and all(r["excerpt"] for r in rows)
+
+
+def test_edismax(bindex, boracle, qterms):
+    """edismax-lite (the /browse parser shape): mm=100% requires every
+    term and pf adds the whole-query phrase boost — equivalent to the
+    composed classic query, gated against the oracle; percentage mm
+    floors like Solr; operator queries fall through unchanged."""
+    from parser_indexer_py_spark.index.boolean import edismax_search
+
+    t1, t2, t3 = qterms
+    q = f"{t1} {t2}"
+    # mm=100% + pf == '+t1 +t2 "t1 t2"'
+    eng = _rows(edismax_search(bindex, q, k=10, with_meta=False))
+    assert eng == boracle.boolean_search(f'+{t1} +{t2} "{t1} {t2}"', k=10)
+    # pf=False == conjunctive search
+    assert _rows(
+        edismax_search(bindex, q, k=10, pf=False, with_meta=False)
+    ) == _rows(search(bindex, q, k=10, conjunctive=True, with_meta=False))
+    # mm='34%' of 3 terms -> floor(1.02) = 1 -> plain disjunctive w/ mm=1
+    q3 = f"{t1} {t2} {t3}"
+    assert _rows(
+        edismax_search(bindex, q3, k=10, mm="34%", with_meta=False)
+    ) == boracle.boolean_search(q3, k=10, min_should_match=1)
+    # operator-bearing query falls through to the classic parser
+    assert _rows(
+        edismax_search(bindex, f"{t1} -{t2}", k=10, with_meta=False)
+    ) == boracle.boolean_search(f"{t1} -{t2}", k=10)
