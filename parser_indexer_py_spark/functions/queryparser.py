@@ -109,8 +109,8 @@ _LEX = re.compile(
     (?P<ws>\s+)
   | (?P<matchall>\*:\*)
   | (?P<lparen>\() | (?P<rparen>\))
-  | (?P<range>(?P<rfield>{_FIELD}):\[(?P<lo>[^\]\s]+)\s+TO\s+(?P<hi>[^\]\s]+)\])
-  | (?P<fphrase>(?P<pfield>{_FIELD}):"(?P<fpv>[^"]*)")
+  | (?P<range>(?P<rfield>{_FIELD}):\[(?P<lo>[^\]\s]+)\s+TO\s+(?P<hi>[^\]\s]+)\](?:\^\d+(?:\.\d+)?)?)
+  | (?P<fphrase>(?P<pfield>{_FIELD}):"(?P<fpv>[^"]*)"(?:\^\d+(?:\.\d+)?)?)
   | (?P<fielded>(?P<field>{_FIELD}):(?P<fval>[^\s()]+))
   | (?P<phrase>"(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<qboost>\d+(?:\.\d+)?))?)
   | (?P<plus>\+) | (?P<minus>-(?=\S)) | (?P<bang>!)
@@ -267,6 +267,14 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
         if m.group("fphrase") or m.group("fielded"):
             fld = m.group("pfield") or m.group("field")
             raw = m.group("fpv") if m.group("fphrase") else m.group("fval")
+            if m.group("fielded"):
+                # `field:value^2` is legal Lucene; our field clauses are
+                # score-neutral filters (module docstring), so the boost is
+                # accepted and DISCARDED — stripping beats the old silent
+                # misread where '^2' stayed inside the filter value
+                bm = _TERM_BOOST.match(raw)
+                if bm:
+                    raw = bm.group(1)
             if raw == "*":
                 raise ValueError(f"field existence query {fld}:* unsupported")
             occ, _ = occur_for_next()

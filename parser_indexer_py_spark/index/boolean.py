@@ -487,7 +487,11 @@ def edismax_search(
     mm_n = _parse_mm(mm, n)
     if mm_n >= n:
         q2 = " ".join("+" + t for t in dict.fromkeys(toks))
-        if pf and len(toks) >= 2:
+        # pf needs positional postings; like Solr's pf on a field without
+        # positions, the phrase boost degrades away rather than erroring —
+        # a default-built (positions=False) index must accept default
+        # edismax calls (round-3 ADVICE)
+        if pf and len(toks) >= 2 and getattr(index, "positions", False):
             q2 += ' "' + " ".join(toks) + '"'
         return boolean_search(index, q2, k, **kw)
     return boolean_search(

@@ -322,6 +322,7 @@ def index_stream(
     schema,
     max_files_per_trigger: int = 1,
     trigger: dict | None = None,
+    positions: bool | None = None,
 ):
     """Structured Streaming: parquet-directory source -> segment-per-batch
     sink. Returns the StreamingQuery. ``trigger`` passes through to
@@ -329,8 +330,23 @@ def index_stream(
     exists and STOPS (the test/batch-catchup mode); a continuously-running
     production ingest passes e.g. ``{"processingTime": "30 seconds"}``.
     The checkpoint dir doubles as the writer identity so a fresh
-    checkpoint cannot silently replay epoch ids into an old index_root."""
-    seg = SegmentedIndex(spark, index_root)
+    checkpoint cannot silently replay epoch ids into an old index_root.
+
+    ``positions``: store positional payloads in appended segments. The
+    default (None) INFERS the flag from the first committed segment's
+    globals.json, so resuming a stream into an existing positional root
+    keeps appending positional segments — mixed-flag segment sets would
+    disable phrase search on the merged view and make postings-level
+    merges raise (round-3 ADVICE). A fresh root defaults to False."""
+    seg0 = SegmentedIndex(spark, index_root)
+    if positions is None:
+        commits = seg0.commits()
+        if commits:
+            with open(os.path.join(commits[0]["dir"], "globals.json")) as f:
+                positions = bool(json.load(f).get("positions", False))
+        else:
+            positions = False
+    seg = SegmentedIndex(spark, index_root, positions=bool(positions))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -128,6 +128,21 @@ def test_parser_rejects_unsupported():
             parse_query(bad)
 
 
+def test_parser_fielded_boost_stripped():
+    """`field:value^2` is legal Lucene; field clauses are score-neutral
+    filters here, so the boost is accepted and discarded — never folded
+    into the filter value, never lexed as a stray term (round-3 ADVICE)."""
+    pq = parse_query('type:doc^2 role:"user"^3 turn_idx:[1 TO 5]^1.5')
+    assert pq.filters == {
+        "type": "doc",
+        "role": "user",
+        "turn_idx": RangeValue(1, 5),
+    }
+    assert not pq.should_terms and not pq.must_terms and not pq.boosts
+    pq = parse_query("-type:doc^2")
+    assert pq.not_filters == {"type": "doc"} and not pq.should_terms
+
+
 def test_parser_and_promotes_only_immediate_neighbor():
     """AND must not reach past an intervening non-SHOULD clause (review
     finding): 'a -b AND c' promotes only c; 'a role:user AND c' ditto."""
@@ -542,3 +557,23 @@ def test_edismax(bindex, boracle, qterms):
     assert _rows(
         edismax_search(bindex, f"{t1} -{t2}", k=10, with_meta=False)
     ) == boracle.boolean_search(f"{t1} -{t2}", k=10)
+
+
+def test_edismax_default_on_positionless_index(
+    spark, tmp_path_factory, qterms
+):
+    """pf degrades away (like Solr's pf on a positions-less field) instead
+    of raising on a default-built positions=False index (round-3 ADVICE):
+    default edismax == conjunctive search there."""
+    from parser_indexer_py_spark.index.boolean import edismax_search
+
+    out = str(tmp_path_factory.mktemp("np_idx"))
+    df = generate_transcripts(spark, 30, partitions=2)
+    build_index(spark, df, out, n_chunks=1)  # positions=False default
+    idx = load_index(spark, out)
+    t1, t2, _ = qterms
+    q = f"{t1} {t2}"
+    eng = _rows(edismax_search(idx, q, k=10, with_meta=False))
+    assert eng == _rows(
+        search(idx, q, k=10, conjunctive=True, with_meta=False)
+    )

@@ -248,3 +248,58 @@ def test_stateful_conversation_state(spark, tmp_path_factory):
         assert f["n_turns"] == row["n_turns"], cid
         assert f["n_tokens"] == row["n_tokens"], cid
         assert f["last_turn_idx"] == row["last_turn_idx"], cid
+
+
+def test_index_stream_infers_positions(spark, tmp_path_factory):
+    """Resuming a stream into a root whose segments are positional keeps
+    appending positional segments: index_stream infers the flag from the
+    first commit's globals.json (round-3 ADVICE — mixed flags would
+    disable phrase search on the merged view and break tiered merges)."""
+    import glob
+    import json
+    import os
+
+    from parser_indexer_py_spark.datagen import generate_transcripts_pandas
+    from parser_indexer_py_spark.streaming.incremental import search_segments_df
+
+    src = str(tmp_path_factory.mktemp("pos_src"))
+    idx = str(tmp_path_factory.mktemp("pos_idx"))
+    ckpt = str(tmp_path_factory.mktemp("pos_ckpt"))
+
+    pdf = generate_transcripts_pandas(30)
+    conv_num = pdf["conv_id"].str[5:].astype(int)
+    first, second = pdf[conv_num < 15], pdf[conv_num >= 15]
+
+    # seed the root with one POSITIONAL segment (a prior run)
+    seg = SegmentedIndex(spark, idx, positions=True)
+    seg.append_batch(
+        spark.createDataFrame(first, schema=TRANSCRIPT_SCHEMA), 999,
+        writer_id="seed",  # high epoch: the new stream's epoch 0 is fresh
+    )
+
+    spark.createDataFrame(second, schema=TRANSCRIPT_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{src}/chunk")
+    for i, f in enumerate(sorted(glob.glob(f"{src}/chunk/part-*.parquet"))):
+        os.rename(f, f"{src}/data{i}.parquet")
+
+    # no positions argument: must infer True from the existing commit
+    q = index_stream(
+        spark, f"{src}/data*.parquet", idx, ckpt, TRANSCRIPT_SCHEMA
+    )
+    q.awaitTermination(300)
+    seg = SegmentedIndex(spark, idx)
+    commits = seg.commits()
+    assert len(commits) >= 2
+    for c in commits:
+        with open(os.path.join(c["dir"], "globals.json")) as f:
+            assert json.load(f)["positions"] is True, c["dir"]
+    # phrase search works across the mixed-origin segments
+    row = seg.commits()[0]
+    txt = spark.read.parquet(os.path.join(row["dir"], "docmap")).limit(1)
+    from parser_indexer_py_spark.functions.analyzer import analyze_text
+
+    toks = analyze_text(txt.collect()[0]["text"])[:2]
+    if len(toks) == 2:
+        res = search_segments_df(seg, f"{toks[0]} {toks[1]}", 5, phrase=True)
+        res.collect()  # must not raise (positions available everywhere)
