@@ -13,7 +13,9 @@ the source document itself.
 Split of responsibilities: term SELECTION is driver-side pure Python over
 ONE document's tokens plus a |terms|-row termstats point lookup (shared
 with the oracle — selection is plumbing); result SCORING runs through the
-engine's ``full_eval`` and is gated by the dual-implementation oracle.
+engine's block-max pruned path (``wand.search_pruned``, whose completeness
+check guarantees rank identity with full evaluation) and is gated by the
+dual-implementation oracle.
 Selection scores are rounded to 6dp before ranking (ties then break on
 the term string) so the DuckDB driver oracle — whose ``ln`` is a
 different libm entry point than ``math.log`` — ranks identically.
@@ -28,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.analyzer import analyze_text
-from .search import Index, full_eval
+from .search import Index
 
 __all__ = ["more_like_this", "interesting_terms", "MLT_DEFAULTS"]
 
@@ -103,8 +105,9 @@ def more_like_this(
     index: Index, doc_id: int, *, with_meta: bool = True, **overrides
 ) -> DataFrame:
     """Top-``count`` documents most like ``doc_id`` (excluding itself):
-    disjunctive BM25 over the interesting terms through the ordinary
-    ``full_eval`` path (plan and float behavior identical to search())."""
+    disjunctive BM25 over the interesting terms through the block-max
+    pruned path (rank-identical to full evaluation by WAND's completeness
+    fallback; float behavior identical to search())."""
     cfg = {**MLT_DEFAULTS, **overrides}
     terms = [t for t, _ in interesting_terms(index, doc_id, **overrides)]
     if not terms:
@@ -113,7 +116,14 @@ def more_like_this(
             "role string" if with_meta else "doc_id long, score double"
         )
         return index.spark.createDataFrame([], schema)
-    top = full_eval(
+    # a ~25-term disjunction is exactly the shape block-max WAND prunes;
+    # the completeness check falls back to full evaluation when the bound
+    # fails, so results stay rank-identical to the full path (measured at
+    # 6.5M docs: 11.9s full -> the 2s class of the equivalent pure-term
+    # boolean delegation — round-3 verdict perf item 1)
+    from .wand import search_pruned
+
+    top = search_pruned(
         index, sorted(terms), k=int(cfg["count"]) + 1, with_meta=with_meta
     )
     return (
