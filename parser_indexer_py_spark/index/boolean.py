@@ -53,8 +53,10 @@ from .search import (
     _DECODED_SCHEMA,
     Between,
     Index,
+    _apply_boosts,
     _attach_excerpts,
     _blocks_for_terms,
+    _docs_with_all,
     _docs_with_any,
     _make_decoder,
     _payload_cols,
@@ -104,6 +106,38 @@ def _expand_prefix(index: Index, prefix: str) -> list[str]:
     return sorted(r["term"] for r in rows)
 
 
+def _exclusion_docs(
+    index: Index, pq: ParsedQuery, not_filters: dict
+) -> DataFrame | None:
+    """The union of every MUST_NOT clause's doc set (terms, phrases,
+    prefixes, fielded) as ONE DataFrame for the delegated WAND path's
+    anti-join — set-equivalent to the clause evaluator's per-clause anti
+    joins. Returns None when the query has no negative clauses."""
+    parts: list[DataFrame] = []
+    nt = sorted(set(pq.must_not_terms))
+    if nt:
+        parts.append(_docs_with_any(index, nt))
+    for pc in pq.phrases:
+        if pc.occur == MUST_NOT:
+            parts.append(
+                phrase_scores(index, list(pc.tokens), slop=pc.slop)
+                .select("doc_id")
+            )
+    for pc in pq.prefixes:
+        if pc.occur == MUST_NOT:
+            parts.append(
+                _docs_with_any(index, _expand_prefix(index, pc.prefix))
+            )
+    for f, v in not_filters.items():
+        parts.append(allowed_docs(index, None, {f: v}))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:  # anti-join semantics need no distinct/dedup
+        out = out.unionByName(p)
+    return out
+
+
 def _scored_docs(
     index: Index,
     pq: ParsedQuery,
@@ -146,19 +180,11 @@ def _scored_docs(
         decoded = blocks.select(*_payload_cols(blocks)).mapInPandas(
             _make_decoder(index.avgdl), _DECODED_SCHEMA
         )
-        if any(pq.boost_of(t) != 1.0 for t in pos_terms):
-            # clause boosts multiply the per-term contrib BEFORE the
-            # deterministic fold (oracle mirrors the same float op order)
-            bmap = F.create_map(
-                *[
-                    x
-                    for t in pos_terms
-                    for x in (F.lit(t), F.lit(pq.boost_of(t)))
-                ]
-            )
-            decoded = decoded.withColumn(
-                "contrib", F.col("contrib") * bmap[F.col("term")]
-            )
+        # clause boosts multiply the per-term contrib BEFORE the
+        # deterministic fold — the SHARED _apply_boosts expression, so
+        # this path, the WAND delegation, and the oracle use one float
+        # op order (no-boost queries skip the multiply inside it)
+        decoded = _apply_boosts(decoded, pos_terms, pq.boost_of)
         keep_cs = bool(pq.must_terms) or (
             min_should_match > 0 and bool(should_set)
         )
@@ -341,6 +367,8 @@ def boolean_search(
     default_op: str = "OR",
     with_meta: bool = True,
     with_excerpt: bool = False,
+    full_cutover: int | None = None,
+    pool_target: int | None = None,
 ) -> DataFrame:
     """Top-k for a Lucene classic-syntax query string (module docstring
     has the semantics). Returns (doc_id, score[, conv_id, turn_idx, role
@@ -353,26 +381,30 @@ def boolean_search(
     count toward it, and mm > #SHOULD-clauses matches nothing.
     ``default_op`` is Solr's q.op (``"AND"`` requires bare clauses).
 
-    PURE-TERM queries delegate to ``search()``: a query with only
-    SHOULD terms (or only MUST terms) and no phrase/prefix/negative/mm/
-    boost clauses is exactly a disjunctive (resp. conjunctive) BM25
-    query, so it runs the ordinary path — including ``mode='pruned'``
-    block-max WAND with its adaptive cutover, which the clause evaluator
-    cannot use (rank identity of both hand-offs is pytest-gated; at 6.5M
-    docs delegation is ~7x: 15.6s clause path vs 2.2s pruned). ``mode``
-    only applies to delegable queries; the clause evaluator is always a
-    full evaluation."""
+    WAND-COMPATIBLE queries delegate to ``search()``: any query whose
+    POSITIVE scoring clauses are bare terms (SHOULD and/or MUST, boosted
+    or not) runs the ordinary term-query engine — including
+    ``mode='pruned'`` block-max WAND with its adaptive cutover, which the
+    clause evaluator cannot use (rank identity of both hand-offs is
+    pytest-gated; at 6.5M docs delegation is ~7x: 15.6s clause path vs
+    2.2s pruned). Negative clauses of EVERY kind (``-term``,
+    ``-"phrase"``, ``-pre*``, ``-field:v``) are score-neutral for
+    surviving docs, so they compose as one excluded doc set (Lucene
+    evaluates ReqExcl with pruning the same way); mixed MUST+SHOULD
+    terms pass the MUST containment as a required doc set; per-term
+    boosts scale block upper bounds inside WAND. Positive phrase/prefix
+    clauses, mm, match-all, and fq stay on the clause evaluator (their
+    scoring genuinely precludes term upper bounds). ``mode`` only
+    applies to delegable queries; the clause evaluator is always a full
+    evaluation."""
     pq = parse_query(query, default_op=default_op)
     delegable = (
-        not pq.phrases
-        and not pq.prefixes
-        and not pq.must_not_terms
-        and not pq.not_filters
-        and not pq.boosts
+        all(p.occur == MUST_NOT for p in pq.phrases)
+        and all(p.occur == MUST_NOT for p in pq.prefixes)
         and not pq.match_all
         and not fq
         and min_should_match == 0
-        and bool(pq.should_terms) != bool(pq.must_terms)
+        and bool(pq.should_terms or pq.must_terms)
     )
     if delegable:
         from .search import search
@@ -382,20 +414,42 @@ def boolean_search(
             if f in merged:
                 raise ValueError(f"field {f!r} constrained twice (q and fq)")
             merged[f] = v
-        _validate_fields(index, merged)
-        terms = pq.should_terms or pq.must_terms
+        not_filters = _conv_filters(pq.not_filters)
+        _validate_fields(index, merged, not_filters)
+        should = sorted(set(pq.should_terms))
+        must = sorted(set(pq.must_terms))
+        terms = sorted(set(should) | set(must))
+        # MUST alongside SHOULD: containment of every MUST term as a
+        # score-neutral required doc set (scoring stays the disjunctive
+        # sum over ALL matched terms — Lucene BooleanQuery semantics)
+        require = _docs_with_all(index, must) if (must and should) else None
+        exclude = _exclusion_docs(index, pq, not_filters)
+        boosts = {
+            t: pq.boost_of(t) for t in terms if pq.boost_of(t) != 1.0
+        } or None
         # terms are already analyzed; the analyzer is idempotent on its
         # own output, so re-analysis inside search() is exact
         return search(
             index,
-            " ".join(sorted(set(terms))),
+            " ".join(terms),
             k,
-            conjunctive=bool(pq.must_terms),
+            conjunctive=bool(must) and not should,
             role=role,
             filters=merged or None,
             mode=mode,
             with_meta=with_meta,
             with_excerpt=with_excerpt,
+            boosts=boosts,
+            require=require,
+            exclude=exclude,
+            full_cutover=full_cutover,
+            pool_target=pool_target,
+        )
+    if full_cutover is not None or pool_target is not None:
+        # loud, not silent: the clause evaluator has no pruning knobs
+        raise ValueError(
+            "full_cutover/pool_target apply only to WAND-delegable "
+            "queries (this query runs the clause evaluator)"
         )
     out = _scored_docs(
         index, pq, role=role, extra_filters=filters,

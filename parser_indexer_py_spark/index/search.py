@@ -150,11 +150,13 @@ def _make_decoder(avgdl: float, cand: "np.ndarray | None" = None):
     return decode
 
 
-def _make_docs_decoder():
+def _make_docs_decoder(with_term: bool = False):
     """Docs-only block decoder for doc-SET consumers (phrase candidate
     pruning, constant-score prefix queries, MUST_NOT exclusions): decodes
     ONLY docs_bin — skips the tf/dl varint passes and the BM25 float work
-    ``_make_decoder`` does, all of which a ``.distinct()`` would discard."""
+    ``_make_decoder`` does, all of which a ``.distinct()`` would discard.
+    ``with_term`` carries the term alongside (``_docs_with_all`` counts
+    distinct terms per doc)."""
 
     def decode(batches):
         for pdf in batches:
@@ -169,7 +171,11 @@ def _make_docs_decoder():
                     pdf["base"].to_numpy(dtype=np.int64),
                     pdf["n"].to_numpy(),
                 )
-            yield pd.DataFrame({"doc_id": doc_arr})
+            if with_term:
+                terms = np.repeat(pdf["term"].to_numpy(), pdf["n"].to_numpy())
+                yield pd.DataFrame({"term": terms, "doc_id": doc_arr})
+            else:
+                yield pd.DataFrame({"doc_id": doc_arr})
 
     return decode
 
@@ -186,6 +192,45 @@ def _docs_with_any(index: "Index", terms: list[str]) -> DataFrame:
         .mapInPandas(_make_docs_decoder(), "doc_id long")
         .distinct()
     )
+
+
+def _docs_with_all(index: "Index", terms: list[str]) -> DataFrame:
+    """Distinct doc_ids containing EVERY term of ``terms`` — the doc-set
+    form of a conjunction (one docs-only decode + one narrow groupBy; no
+    scoring work). Used as the score-neutral MUST restriction when a
+    mixed MUST/SHOULD boolean query delegates to the WAND path."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        return index.spark.createDataFrame([], "doc_id long")
+    if len(uniq) == 1:
+        return _docs_with_any(index, uniq)
+    blocks = _blocks_for_terms(index, uniq)
+    cols = ["term", "n", "docs_bin"] + (
+        ["base"] if "base" in blocks.columns else []
+    )
+    return (
+        blocks.select(*cols)
+        .mapInPandas(_make_docs_decoder(with_term=True), "term string, doc_id long")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("_nt"))
+        .filter(F.col("_nt") == len(uniq))
+        .select("doc_id")
+    )
+
+
+def _apply_boosts(decoded: DataFrame, terms: list[str], boost_of) -> DataFrame:
+    """Per-term clause boosts: multiply each decoded contrib by its term's
+    boost BEFORE the deterministic fold. ONE shared implementation (the
+    boolean clause evaluator and the WAND delegation both call this) so
+    the float op order — and therefore bit-identity between the two paths
+    and the oracle — is fixed in a single place. No-boost queries skip the
+    multiply entirely (the oracle mirrors the same guard)."""
+    if not any(boost_of(t) != 1.0 for t in terms):
+        return decoded
+    bmap = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(float(boost_of(t))))]
+    )
+    return decoded.withColumn("contrib", F.col("contrib") * bmap[F.col("term")])
 
 
 _POS_DECODED_SCHEMA = "term string, doc_id long, dl long, positions array<int>"
@@ -593,6 +638,9 @@ def search(
     with_excerpt: bool = False,
     phrase: bool = False,
     slop: int = 0,
+    boosts: dict | None = None,
+    require: DataFrame | None = None,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k. Returns (doc_id, score[, conv_id, turn_idx, role
     [, excerpt]]). ``with_excerpt`` attaches an F11 sentence excerpt around
@@ -618,11 +666,22 @@ def search(
     inclusive range (e.g. ``{"tool": "search", "ts": Between(t0, t1)}``;
     a bare 2-tuple raises — ambiguous with IN). Like Solr, fq
     never changes scoring statistics — it is a semi-join on the docmap
-    applied after scoring."""
+    applied after scoring.
+
+    ``boosts``/``require``/``exclude`` are the delegated boolean-query
+    hooks (see full_eval) — per-term score multipliers plus score-neutral
+    required/excluded doc-set DataFrames; both evaluation modes honor
+    them (the pruned path's completeness check runs after the joins, so
+    rank identity with the full path is preserved)."""
     from ..functions.analyzer import synonym_groups
 
     if slop and not phrase:
         raise ValueError("slop only applies to phrase=True queries")
+    if phrase and (boosts or require is not None or exclude is not None):
+        raise ValueError(
+            "boosts/require/exclude are term-query hooks; phrase=True "
+            "queries compose them through index.boolean instead"
+        )
     if phrase:
         # quoted-phrase semantics: ordered token sequence, full evaluation
         # (positions are doc-local facts; block-max bounds don't apply to
@@ -664,11 +723,13 @@ def search(
             driver_meta_cap=(
                 DRIVER_META_ROW_CAP if driver_meta_cap is None else driver_meta_cap
             ),
+            boosts=boosts, require=require, exclude=exclude,
         )
     else:
         topk = full_eval(
             index, terms, k, conjunctive=conjunctive, groups=groups,
             role=role, filters=filters, with_meta=with_meta,
+            boosts=boosts, require=require, exclude=exclude,
         )
     if with_meta and with_excerpt:
         topk = _attach_excerpts(index, topk, terms)
@@ -685,6 +746,9 @@ def full_eval(
     role: str | None = None,
     filters: dict | None = None,
     with_meta: bool = True,
+    boosts: dict | None = None,
+    require: DataFrame | None = None,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Exhaustive evaluation over an ALREADY-ANALYZED term list — the
     single implementation behind search(mode='full'), the adaptive-cutover
@@ -694,7 +758,14 @@ def full_eval(
 
     ``groups`` (optional, with conjunctive) holds one expansion set per
     original query token: a doc qualifies when it matches >= 1 term of
-    every group (Solr SynonymQuery AND semantics)."""
+    every group (Solr SynonymQuery AND semantics).
+
+    ``boosts``/``require``/``exclude`` carry delegated boolean-query
+    semantics (index/boolean.py): per-term score multipliers (applied via
+    the shared ``_apply_boosts`` fold), a score-neutral required doc set
+    (semi-join — the doc-set form of MUST clauses when SHOULD clauses are
+    also present), and a score-neutral excluded doc set (anti-join — the
+    union of all MUST_NOT clauses' docs)."""
     blocks = _blocks_for_terms(index, terms)
     # conjunctive rare-term pruning (lossless, same rule as the phrase
     # path): a doc lacking the rarest term can never reach
@@ -732,6 +803,8 @@ def full_eval(
     decoded = blocks.select(*_payload_cols(blocks)).mapInPandas(
         _make_decoder(index.avgdl, cand_arr), _DECODED_SCHEMA
     )
+    if boosts:
+        decoded = _apply_boosts(decoded, terms, lambda t: boosts.get(t, 1.0))
     use_groups = conjunctive and groups is not None
     scored = _score_decoded(decoded, keep_cs=use_groups)
     if use_groups:
@@ -771,6 +844,10 @@ def full_eval(
     allowed = allowed_docs(index, role, filters)
     if allowed is not None:
         scored = scored.join(allowed, "doc_id", "left_semi")
+    if require is not None:
+        scored = scored.join(require, "doc_id", "left_semi")
+    if exclude is not None:
+        scored = scored.join(exclude, "doc_id", "left_anti")
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_meta:
         meta = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")

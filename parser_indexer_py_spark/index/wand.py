@@ -114,6 +114,9 @@ def search_pruned(
     pool_target: int | None = None,
     full_cutover: int | None = None,
     driver_meta_cap: int = DRIVER_META_ROW_CAP,
+    boosts: dict | None = None,
+    require: DataFrame | None = None,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """``pool_target`` overrides the candidate-pool size (tests use a tiny
     pool to force the completeness check to fail and exercise the
@@ -123,8 +126,22 @@ def search_pruned(
     synonym expansion sets: an EXPANDED conjunctive query needs per-group
     AND semantics, which phase 3's n_terms filter cannot express — such
     queries route to the group-aware full evaluation here, so the
-    invariant holds for direct callers too, not just search()."""
+    invariant holds for direct callers too, not just search().
+
+    ``boosts``/``require``/``exclude`` carry delegated boolean semantics
+    (index/boolean.py; Lucene evaluates ReqExcl with pruning too):
+
+    - ``boosts`` scales each term's contribs (shared ``_apply_boosts``
+      fold in phase 3) AND its block upper bounds in phase 1, so the
+      residual bound R stays a true bound on boosted scores;
+    - ``require`` (docs matching every MUST clause, when SHOULD clauses
+      also exist) and ``exclude`` (the union of MUST_NOT clauses' docs)
+      are score-neutral doc-set joins applied to the PHASE-2 candidate
+      set — docs failing them can never be results, so dropping them
+      before rescoring is lossless; the completeness check runs on the
+      post-join top-k, exactly as it already does for fq filters."""
     from .search import (  # cycle-free
+        _apply_boosts,
         _blocks_for_terms,
         _score_decoded,
         allowed_docs,
@@ -140,6 +157,7 @@ def search_pruned(
         return full_eval(
             index, terms, k, conjunctive=conjunctive, groups=groups,
             role=role, filters=filters, with_meta=with_meta,
+            boosts=boosts, require=require, exclude=exclude,
         )
 
     expanded = groups is not None and (
@@ -162,6 +180,23 @@ def search_pruned(
         return _fallback()
 
     blocks = _blocks_for_terms(index, terms)
+    boost_of = (
+        (lambda t: float(boosts.get(t, 1.0))) if boosts else (lambda t: 1.0)
+    )
+    boosted = bool(boosts) and any(boost_of(t) != 1.0 for t in terms)
+    if boosted:
+        # selection/bound side only: block upper bounds scale with the
+        # clause boost so tau ordering and R bound BOOSTED scores; the
+        # payload columns are untouched (phase 3 applies the same boost
+        # to exact contribs via the shared fold)
+        _bmap = F.create_map(
+            *[x for t in terms for x in (F.lit(t), F.lit(boost_of(t)))]
+        )
+        bound_blocks = blocks.withColumn(
+            "block_max_score", F.col("block_max_score") * _bmap[F.col("term")]
+        )
+    else:
+        bound_blocks = blocks
     if pool_target is None:
         # measured at 6.5M docs: the old max(8k, 4k|q|) pool left the
         # residual bound R above theta_k (R is the SUM over terms of the
@@ -179,7 +214,7 @@ def search_pruned(
 
     if est_meta_rows <= driver_meta_cap:
         # ---- phase 1a: exact block selection on the driver ------------------
-        meta = blocks.select(*key_cols, "n", "block_max_score").toPandas()
+        meta = bound_blocks.select(*key_cols, "n", "block_max_score").toPandas()
         if not len(meta):
             return spark.createDataFrame([], "doc_id long, score double")
         meta = meta.sort_values(
@@ -242,10 +277,10 @@ def search_pruned(
         # the volume guard below catches any remaining overshoot.
         frac = min(1.0, pool_target / float(total_postings))
         err = max(1e-6, min(0.01, frac / 2.0))
-        tau = blocks.stat.approxQuantile(
+        tau = bound_blocks.stat.approxQuantile(
             "block_max_score", [max(0.0, 1.0 - frac)], err
         )[0]
-        sel_blocks = blocks.filter(F.col("block_max_score") >= tau)
+        sel_blocks = bound_blocks.filter(F.col("block_max_score") >= tau)
         # volume guard: if ties at tau (or quantile error) still selected
         # far more than the pool target, pruning wouldn't pay — evaluate
         # fully rather than collect an oversized candidate set
@@ -253,7 +288,7 @@ def search_pruned(
         if int(sel_n) > max(50 * pool_target, 100_000):
             return _fallback()
         r_row = (
-            blocks.filter(F.col("block_max_score") < tau)
+            bound_blocks.filter(F.col("block_max_score") < tau)
             .groupBy("term")
             .agg(F.max("block_max_score").alias("m"))
             .agg(F.sum("m").alias("R"))
@@ -264,14 +299,22 @@ def search_pruned(
     # ---- phase 2: candidate docIDs from selected blocks ---------------------
     from .search import _payload_cols
 
-    cand_rows = (
+    cand_set = (
         sel_blocks
         .select(*_payload_cols(sel_blocks))
         .mapInPandas(_make_filtered_decoder(index.avgdl, None), _DECODED_SCHEMA)
         .select("doc_id")
         .distinct()
-        .collect()
     )
+    # delegated boolean doc-set semantics shrink the candidate set HERE,
+    # before any rescoring: a doc failing `require` or hitting `exclude`
+    # can never be a result, so the joins are lossless and phase 3 decodes
+    # strictly fewer candidates
+    if require is not None:
+        cand_set = cand_set.join(require, "doc_id", "left_semi")
+    if exclude is not None:
+        cand_set = cand_set.join(exclude, "doc_id", "left_anti")
+    cand_rows = cand_set.collect()
     candidates = np.array([r["doc_id"] for r in cand_rows], dtype=np.int64)
     if candidates.size == 0:
         return _fallback()
@@ -301,6 +344,8 @@ def search_pruned(
     decoded = blocks3.select(*_payload_cols(blocks3)).mapInPandas(
         _make_filtered_decoder(index.avgdl, candidates), _DECODED_SCHEMA
     )
+    if boosted:
+        decoded = _apply_boosts(decoded, terms, boost_of)
     scored = _score_decoded(decoded)
     if conjunctive:
         scored = scored.filter(F.col("n_terms") == len(terms))

@@ -329,6 +329,40 @@ def test_boolean_delegation_pruned_identity(bindex, boracle, qterms):
         assert eng == boracle.boolean_search(q, k=10), q
 
 
+def test_boolean_wand_delegation_negation_boost(bindex, boracle, qterms):
+    """Round-4: negation / boost / mixed MUST+SHOULD queries delegate to
+    the WAND path too (negatives = one excluded doc set, MUST containment
+    = required doc set, boosts scale block bounds). Identity with the
+    oracle AND between full/pruned modes, with the pruning machinery
+    FORCED on (full_cutover=0) so the bound/candidate logic actually
+    runs on this small corpus."""
+    t1, t2, t3 = qterms
+    for q in [
+        f"{t1} -{t2}",                      # SHOULD + negative term
+        f"{t1}^2 {t3}",                     # boosted SHOULD
+        f"+{t1} {t3}",                      # mixed MUST+SHOULD
+        f"{t1} {t3} -{t2}",
+        f"+{t3} {t1}^1.5 -role:tool",       # mixed + boost + neg field
+        f'{t1} {t3} -"{t1} {t2}"',          # negative phrase clause
+        f"+{t1} +{t3} -{t2}",               # pure-MUST + negative
+    ]:
+        full = _rows(boolean_search(bindex, q, k=10, with_meta=False))
+        assert full == boracle.boolean_search(q, k=10), q
+        pr = _rows(
+            boolean_search(
+                bindex, q, k=10, mode="pruned", full_cutover=0,
+                with_meta=False,
+            )
+        )
+        assert pr == full, q
+
+
+def test_boolean_pruning_knobs_rejected_on_clause_path(bindex, qterms):
+    t1, t2, _ = qterms
+    with pytest.raises(ValueError, match="WAND-delegable"):
+        boolean_search(bindex, f'"{t1} {t2}" {t1}', k=5, full_cutover=0)
+
+
 def test_boolean_match_all(bindex, boracle):
     eng = _rows(boolean_search(bindex, "*:*", k=7, with_meta=False))
     assert eng == boracle.boolean_search("*:*", k=7)
