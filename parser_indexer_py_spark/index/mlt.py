@@ -40,6 +40,12 @@ MLT_DEFAULTS = {
     "max_query_terms": 25,
     "min_term_freq": 2,
     "min_doc_freq": 5,
+    # Lucene MoreLikeThis.setMaxDocFreqPct: interesting terms with
+    # df/N above this fraction are too common to be discriminative and
+    # are skipped. Lucene's default is unbounded (None here); setting it
+    # caps the query's postings volume, which is what lets WAND actually
+    # prune on corpora whose mid-frequency terms dominate selection.
+    "max_doc_freq_pct": None,
 }
 
 
@@ -51,17 +57,23 @@ def select_interesting(
     max_query_terms: int = 25,
     min_term_freq: int = 2,
     min_doc_freq: int = 5,
+    max_doc_freq_pct: float | None = None,
 ) -> list[tuple[str, float]]:
     """The MLT term-selection core, shared by engine and oracle (pure
     function of the source doc's tokens and a df lookup). Returns
     [(term, rounded_score)] ranked score desc, term asc."""
     tf = Counter(tokens)
+    max_df = (
+        None if max_doc_freq_pct is None else max_doc_freq_pct * n_docs
+    )
     scored = []
     for t, f in tf.items():
         if f < min_term_freq:
             continue
         df = int(df_of(t) or 0)
         if df < min_doc_freq:
+            continue
+        if max_df is not None and df > max_df:
             continue
         s = round(f * (math.log(n_docs / (df + 1.0)) + 1.0), 6)
         scored.append((t, s))
@@ -98,6 +110,7 @@ def interesting_terms(
         max_query_terms=cfg["max_query_terms"],
         min_term_freq=cfg["min_term_freq"],
         min_doc_freq=cfg["min_doc_freq"],
+        max_doc_freq_pct=cfg["max_doc_freq_pct"],
     )
 
 

@@ -388,6 +388,7 @@ class BM25Oracle:
         max_query_terms: int = 25,
         min_term_freq: int = 2,
         min_doc_freq: int = 5,
+        max_doc_freq_pct: float | None = None,
     ) -> list[tuple[int, float]]:
         """MLT twin: SHARED term selection (mlt.select_interesting — pure
         plumbing), INDEPENDENT BM25 scoring via this oracle's search."""
@@ -400,6 +401,7 @@ class BM25Oracle:
             max_query_terms=max_query_terms,
             min_term_freq=min_term_freq,
             min_doc_freq=min_doc_freq,
+            max_doc_freq_pct=max_doc_freq_pct,
         )
         if not sel:
             return []

@@ -112,6 +112,26 @@ def test_mlt_interesting_terms_match(sindex, soracle):
     assert eng == ora
 
 
+def test_mlt_max_doc_freq_pct(sindex, soracle):
+    """Lucene's setMaxDocFreqPct: too-common terms drop out of the
+    interesting set; engine and oracle twin agree (and a tiny cap that
+    excludes everything yields an empty result, not an error)."""
+    d = sorted(soracle.docs)[10]
+    capped = interesting_terms(sindex, d, max_doc_freq_pct=0.5)
+    dfs = {t: len(soracle.postings.get(t, {})) for t, _ in capped}
+    assert all(v <= 0.5 * soracle.n_docs for v in dfs.values())
+    eng = [
+        (r["doc_id"], r["score"])
+        for r in more_like_this(
+            sindex, d, with_meta=False, max_doc_freq_pct=0.5
+        ).collect()
+    ]
+    assert eng == soracle.more_like_this(d, max_doc_freq_pct=0.5)
+    assert more_like_this(
+        sindex, d, with_meta=False, max_doc_freq_pct=1e-9
+    ).count() == 0
+
+
 def test_mlt_missing_doc_raises(sindex):
     with pytest.raises(ValueError, match="not in the index"):
         more_like_this(sindex, 10**12)
