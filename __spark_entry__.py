@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": TQ.q_phrase_search,
         "phrase_search_slop": TQ.q_phrase_search_slop,
         "lucene_query": TQ.q_lucene_query,
+        "lucene_query_grouped": TQ.q_lucene_grouped,
         "spellcheck": TQ.q_spellcheck,
         "more_like_this": TQ.q_more_like_this,
         # text analysis (training-data pipeline)
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": TQ.SQL_PHRASE,
         "phrase_search_slop": TQ.SQL_PHRASE_SLOP,
         "lucene_query": TQ.SQL_LUCENE,
+        "lucene_query_grouped": TQ.SQL_LUCENE_GROUPED,
         "spellcheck": TQ.SQL_SPELLCHECK,
         "more_like_this": TQ.SQL_MLT,
         "token_counts": TQ.SQL_TOKEN_COUNTS,

@@ -957,6 +957,76 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# round-4 grouped/fuzzy surface: parenthesized group, MUST term,
+# negative term, and a fuzzy typo of 'window' (edit distance 1)
+LUCENE_GROUPED = "(merge OR sort) +window -stream windoq~1"
+
+
+def q_lucene_grouped(spark, sf_dir):
+    """Nested-boolean + fuzzy query THROUGH THE ENGINE's classic parser
+    (round-4 grammar: parenthesized groups and ``term~N`` fuzzy clauses,
+    matching the full parser surface the reference fronts at
+    conf/solr/docs/conf/solrconfig.xml:841-848): docs must contain
+    ``window``, must not contain ``stream``; score = BM25(window)
+    + 1.0 constant if the doc matches the edit-distance-1 expansion of
+    ``windoq`` + the (merge OR sort) group's BM25 sum. The DuckDB oracle
+    reassembles each piece from the token table — the fuzzy expansion
+    via its own levenshtein() over the distinct vocabulary."""
+    from .index.boolean import boolean_search
+
+    idx = _docs_pos_index(spark, sf_dir)
+    hits = boolean_search(idx, LUCENE_GROUPED, k=1_000_000, with_meta=True)
+    return (
+        hits.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_LUCENE_GROUPED = SQL_TOK + """
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+wtf AS (SELECT doc_id, COUNT(*) AS tf FROM tok WHERE w = 'window'
+        GROUP BY doc_id),
+wdf AS (SELECT COUNT(*) AS df FROM wtf),
+wscore AS (
+  SELECT wtf.doc_id,
+         ln(1.0 + (g.n - wdf.df + 0.5) / (wdf.df + 0.5))
+         * (wtf.tf * 2.2)
+         / (wtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS s
+  FROM wtf JOIN dl USING (doc_id), wdf, g),
+gtf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+        WHERE w IN ('merge', 'sort') GROUP BY doc_id, w),
+gdfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM gtf GROUP BY w),
+gscored AS (
+  SELECT gtf.doc_id,
+         ln(1.0 + (g.n - gdfs.df + 0.5) / (gdfs.df + 0.5))
+         * (gtf.tf * 2.2)
+         / (gtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS contrib
+  FROM gtf JOIN gdfs USING (w) JOIN dl ON dl.doc_id = gtf.doc_id, g),
+gsum AS (SELECT doc_id, SUM(contrib) AS sg FROM gscored GROUP BY doc_id),
+fterms AS (SELECT w FROM (SELECT DISTINCT w FROM tok)
+           WHERE abs(length(w) - 6) <= 1
+             AND levenshtein(w, 'windoq') <= 1),
+fdocs AS (SELECT DISTINCT doc_id FROM tok
+          WHERE w IN (SELECT w FROM fterms))
+SELECT ws.doc_id,
+       ROUND(ws.s
+             + (CASE WHEN f.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+             + COALESCE(gs.sg, 0.0), 6) AS score
+FROM wscore ws
+LEFT JOIN fdocs f USING (doc_id)
+LEFT JOIN gsum gs USING (doc_id)
+WHERE ws.doc_id NOT IN (SELECT doc_id FROM tok WHERE w = 'stream')
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # out-of-vocabulary misspellings of known documents-table terms
 SPELL_TYPOS = ("windoq", "streap", "merje")
 

@@ -1,12 +1,13 @@
-"""Lucene classic-syntax query parser (the flat subset the reference's
-clients actually send).
+"""Lucene classic-syntax query parser.
 
 The reference fronts Solr's default ``lucene`` query parser
-(conf/solr/docs/conf/solrconfig.xml:841-848) and every sample query in
+(conf/solr/docs/conf/solrconfig.xml:841-848). Every sample query in
 docs/mte-samplequeries.md is a flat clause list in that syntax —
 ``q=type:doc``, ``q=_depth:1 AND source:corenlp``, ``fq=id:1249``,
-quoted sub-queries like ``"source:corenlp AND type:target"`` — never a
-parenthesized boolean tree. This module parses exactly that surface into a
+quoted sub-queries like ``"source:corenlp AND type:target"`` — but the
+parser Solr wires accepts the full classic grammar, so this module
+implements the grammar a power user actually types: flat clause lists
+PLUS parenthesized boolean groups and fuzzy terms. It produces a
 :class:`ParsedQuery` the engine (index/boolean.py) and the pure-Python
 oracle share, so both sides interpret a query string identically.
 
@@ -22,13 +23,22 @@ Supported grammar (documented subset of the Lucene classic parser):
   (ordered proximity, see index.search.sloppy_phrase_freq). A quoted
   string that analyzes to ONE token degrades to a term clause (Lucene
   does the same). Phrases accept the +/-/NOT prefixes.
+- ``(a b)`` / ``-(a AND b)`` / ``(a (b OR c))^2`` — parenthesized
+  groups: a nested BooleanQuery with its own clause list (recursion is
+  unbounded), its own occur flag, and an optional boost that multiplies
+  the whole group's score. Scoring is Lucene's coord-free BooleanQuery:
+  a matching group contributes the sum of its matching subclauses'
+  scores x boost, and a MUST_NOT group excludes every doc the group
+  matches. ``field:(a b)`` field-grouping is NOT supported (raises).
 - ``field:value`` / ``field:"two words"`` / ``field:[lo TO hi]`` — fielded
   clauses over docmap metadata fields. These are treated as SCORE-NEUTRAL
   filters (Solr ``fq`` semantics) rather than scoring clauses: in every
   reference sample query field clauses select (``type:doc``) rather than
   rank, and fq-style filtering keeps BM25 statistics untouched. The same
   field repeated with positive occur folds to IN semantics (``role:user
-  role:tool`` means either). ``-field:value`` excludes.
+  role:tool`` means either). ``-field:value`` excludes. A trailing boost
+  (``type:doc^2``, legal Lucene) is accepted and DISCARDED — field
+  clauses are score-neutral here, and stripping beats a silent misread.
 - ``*:*`` — match-all (used by the reference for facet-only queries,
   mte-samplequeries.md:54 with ``rows=0``).
 - ``term^2`` / ``"a phrase"^1.5`` / ``pre*^3`` — per-clause boosts
@@ -40,11 +50,19 @@ Supported grammar (documented subset of the Lucene classic parser):
   scores boost × 1.0; term frequencies don't rank constant-score
   multi-term queries) and Lucene's safety valve: expansion beyond
   ``MAX_PREFIX_EXPANSIONS`` (1024, = BooleanQuery.maxClauseCount) raises.
+- ``term~`` / ``term~1`` / ``term~2`` — fuzzy terms (Lucene FuzzyQuery,
+  maxEdits defaults to 2 = LevenshteinAutomata's maximum; ``~0`` matches
+  the exact term only). Evaluated like prefixes with the CONSTANT_SCORE
+  multi-term rewrite (a legal Lucene rewrite; the classic parser's
+  default blended-frequency rewrite is a documented deviation), with
+  the same ``MAX_PREFIX_EXPANSIONS`` cap. Legacy fractional similarity
+  (``term~0.8``) raises — it has been removed from Lucene itself.
 
 NOT supported (raises ValueError, so silent misreads are impossible):
-parenthesized grouping, non-trailing wildcards (``te?t``, ``*te``),
-fuzzy (``test~``), and child-doc transformers — the engine exposes
-block joins through its own operators instead.
+field-grouping (``field:(a b)``), non-trailing wildcards (``te?t``,
+``*te``), fractional fuzzy similarity, maxEdits > 2, and child-doc
+transformers — the engine exposes block joins through its own operators
+instead.
 """
 
 from __future__ import annotations
@@ -54,12 +72,20 @@ from dataclasses import dataclass, field
 
 from .analyzer import analyze_text
 
-__all__ = ["PhraseClause", "ParsedQuery", "parse_query"]
+__all__ = [
+    "PhraseClause",
+    "PrefixClause",
+    "FuzzyClause",
+    "GroupClause",
+    "ParsedQuery",
+    "parse_query",
+]
 
 SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
 
 
 MAX_PREFIX_EXPANSIONS = 1024  # Lucene BooleanQuery.maxClauseCount
+MAX_FUZZY_EDITS = 2  # Lucene LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE
 
 
 @dataclass(frozen=True)
@@ -73,6 +99,16 @@ class PhraseClause:
 @dataclass(frozen=True)
 class PrefixClause:
     prefix: str
+    occur: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyClause:
+    """``term~N`` — constant-score edit-distance expansion."""
+
+    term: str
+    max_edits: int
     occur: str
     boost: float = 1.0
 
@@ -92,15 +128,27 @@ class ParsedQuery:
     must_not_terms: tuple[str, ...] = ()
     phrases: tuple[PhraseClause, ...] = ()
     prefixes: tuple[PrefixClause, ...] = ()
+    fuzzies: tuple[FuzzyClause, ...] = ()
+    subs: tuple["GroupClause", ...] = ()
     filters: dict = field(default_factory=dict)
     not_filters: dict = field(default_factory=dict)
-    # term -> boost for term clauses (absent == 1.0); phrase/prefix boosts
-    # live on their clause objects
+    # term -> boost for term clauses (absent == 1.0); phrase/prefix/fuzzy/
+    # group boosts live on their clause objects
     boosts: dict = field(default_factory=dict)
     match_all: bool = False
 
     def boost_of(self, term: str) -> float:
         return float(self.boosts.get(term, 1.0))
+
+
+@dataclass
+class GroupClause:
+    """``( ... )`` — a nested BooleanQuery clause. ``sub`` is the group's
+    own :class:`ParsedQuery` (recursion is unbounded)."""
+
+    sub: ParsedQuery
+    occur: str
+    boost: float = 1.0
 
 
 _FIELD = r"[A-Za-z_][A-Za-z0-9_.]*"
@@ -115,14 +163,16 @@ _LEX = re.compile(
   | (?P<phrase>"(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<qboost>\d+(?:\.\d+)?))?)
   | (?P<plus>\+) | (?P<minus>-(?=\S)) | (?P<bang>!)
   | (?P<prefixq>(?P<pfx>[^\s()*^]+)\*(?:\^(?P<pfxboost>\d+(?:\.\d+)?))?(?=\s|\)|$))
+  | (?P<fuzzy>(?P<fterm>[^\s()~^]+)~(?P<edits>[\d.]+)?(?:\^(?P<fzboost>\d+(?:\.\d+)?))?(?=\s|\)|$))
   | (?P<term>[^\s()]+)
     """,
     re.X,
 )
 
 _TERM_BOOST = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
-# wildcard anywhere / fuzzy suffix (incl. legacy float similarity ~0.8)
+# wildcard anywhere / stray fuzzy suffix that the fuzzy rule didn't take
 _UNSUPPORTED = re.compile(r"[*?]|~[\d.]*$")
+_GROUP_BOOST = re.compile(r"^\^(\d+(?:\.\d+)?)$")
 
 
 def _coerce(v: str):
@@ -149,18 +199,48 @@ def _add_filter(filters: dict, fld: str, value) -> None:
     filters[fld] = cur + [value]
 
 
+def _tokenize(q: str) -> list:
+    """Lex ``q`` into contiguous match objects (whitespace dropped);
+    raises on any unlexable span, so nothing is silently skipped."""
+    toks, pos = [], 0
+    for m in _LEX.finditer(q):
+        if m.start() != pos:
+            raise ValueError(f"unparseable query near {q[pos:]!r}")
+        pos = m.end()
+        if m.lastgroup != "ws":
+            toks.append(m)
+    if pos != len(q):
+        raise ValueError(f"unparseable query near {q[pos:]!r}")
+    return toks
+
+
 def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
     """Parse a Lucene classic-syntax string into a :class:`ParsedQuery`.
 
     ``default_op`` is Solr's ``q.op``: with ``"AND"``, clauses without an
     explicit occur are required instead of optional (solrconfig's
-    defaultOperator surface). Raises ValueError on the unsupported
-    constructs listed in the module docstring rather than guessing."""
+    defaultOperator surface; it applies inside parenthesized groups too,
+    like Solr's). Raises ValueError on the unsupported constructs listed
+    in the module docstring rather than guessing."""
     if default_op not in ("OR", "AND"):
         raise ValueError(f"default_op must be OR or AND, got {default_op!r}")
+    toks = _tokenize(q)
+    pq, i = _parse_level(toks, 0, default_op, depth=0)
+    assert i == len(toks)  # _parse_level consumes everything at depth 0
+    return pq
+
+
+def _parse_level(
+    toks: list, i: int, default_op: str, depth: int
+) -> tuple[ParsedQuery, int]:
+    """Parse one nesting level starting at token ``i``. Returns the
+    level's ParsedQuery and the index JUST PAST the level's final token
+    (past the closing rparen for depth > 0)."""
     should, must, must_not = [], [], []
     phrases: list[PhraseClause] = []
     prefixes: list[PrefixClause] = []
+    fuzzies: list[FuzzyClause] = []
+    subs: list[GroupClause] = []
     filters: dict = {}
     not_filters: dict = {}
     boosts: dict = {}
@@ -214,35 +294,66 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
                     dst.append(t)
                 last_positive = dst
         elif last_positive is phrases and last_positive_val in phrases:
-            i = phrases.index(last_positive_val)
-            if phrases[i].occur == src_occ:
-                phrases[i] = PhraseClause(
-                    phrases[i].tokens, phrases[i].slop, dst_occ,
-                    phrases[i].boost,
+            idx = phrases.index(last_positive_val)
+            if phrases[idx].occur == src_occ:
+                phrases[idx] = PhraseClause(
+                    phrases[idx].tokens, phrases[idx].slop, dst_occ,
+                    phrases[idx].boost,
                 )
-                last_positive_val = phrases[i]
+                last_positive_val = phrases[idx]
         elif last_positive is prefixes and last_positive_val in prefixes:
-            i = prefixes.index(last_positive_val)
-            if prefixes[i].occur == src_occ:
-                prefixes[i] = PrefixClause(
-                    prefixes[i].prefix, dst_occ, prefixes[i].boost
+            idx = prefixes.index(last_positive_val)
+            if prefixes[idx].occur == src_occ:
+                prefixes[idx] = PrefixClause(
+                    prefixes[idx].prefix, dst_occ, prefixes[idx].boost
                 )
-                last_positive_val = prefixes[i]
+                last_positive_val = prefixes[idx]
+        elif last_positive is fuzzies and last_positive_val in fuzzies:
+            idx = fuzzies.index(last_positive_val)
+            if fuzzies[idx].occur == src_occ:
+                fuzzies[idx] = FuzzyClause(
+                    fuzzies[idx].term, fuzzies[idx].max_edits, dst_occ,
+                    fuzzies[idx].boost,
+                )
+                last_positive_val = fuzzies[idx]
+        elif last_positive is subs and last_positive_val in subs:
+            idx = subs.index(last_positive_val)
+            if subs[idx].occur == src_occ:
+                subs[idx].occur = dst_occ
+                last_positive_val = subs[idx]
         if promote:
             last_default = False
 
-    pos = 0
-    for m in _LEX.finditer(q):
-        if m.start() != pos:
-            raise ValueError(f"unparseable query near {q[pos:]!r}")
-        pos = m.end()
-        if m.lastgroup == "ws":
+    while i < len(toks):
+        m = toks[i]
+        i += 1
+        if m.group("rparen"):
+            if depth == 0:
+                raise ValueError("unbalanced ')' in query")
+            return _finish(
+                should, must, must_not, phrases, prefixes, fuzzies, subs,
+                filters, not_filters, boosts, match_all,
+            ), i
+        if m.group("lparen"):
+            occ, dflt = occur_for_next()
+            sub, i = _parse_level(toks, i, default_op, depth + 1)
+            # toks[i-1] is the rparen; an ADJACENT ^boost token follows it
+            boost = 1.0
+            if i < len(toks) and toks[i].lastgroup == "term":
+                gb = _GROUP_BOOST.match(toks[i].group("term"))
+                if gb and toks[i].start() == toks[i - 1].end():
+                    boost = float(gb.group(1))
+                    i += 1
+            if _is_empty(sub):
+                continue  # Lucene drops empty groups; occur consumed
+            gc = GroupClause(sub, occ, boost)
+            subs.append(gc)
+            if occ != MUST_NOT:
+                last_positive, last_positive_val = subs, gc
+                last_default = dflt
+            else:
+                last_positive = last_positive_val = None
             continue
-        if m.group("lparen") or m.group("rparen"):
-            raise ValueError(
-                "parenthesized grouping is outside the flat classic-parser "
-                "subset this engine implements (see queryparser docstring)"
-            )
         if m.group("matchall"):
             match_all = True
             occur_for_next()  # consume a stray +/-/NOT aimed at *:* so it
@@ -269,9 +380,9 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
             raw = m.group("fpv") if m.group("fphrase") else m.group("fval")
             if m.group("fielded"):
                 # `field:value^2` is legal Lucene; our field clauses are
-                # score-neutral filters (module docstring), so the boost is
-                # accepted and DISCARDED — stripping beats the old silent
-                # misread where '^2' stayed inside the filter value
+                # score-neutral filters (module docstring), so the boost
+                # is accepted and DISCARDED — stripping beats the old
+                # silent misread where '^2' stayed inside the filter value
                 bm = _TERM_BOOST.match(raw)
                 if bm:
                     raw = bm.group(1)
@@ -283,28 +394,28 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
             last_positive = last_positive_val = None
             continue
         if m.group("phrase"):
-            toks = tuple(analyze_text(m.group("ph")))
+            ptoks = tuple(analyze_text(m.group("ph")))
             slop = int(m.group("slop") or 0)
             boost = float(m.group("qboost") or 1.0)
             occ, dflt = occur_for_next()
-            if not toks:
+            if not ptoks:
                 continue
-            if len(toks) == 1:  # single-token "phrase" degrades to a term
+            if len(ptoks) == 1:  # single-token "phrase" degrades to a term
                 {SHOULD: should, MUST: must, MUST_NOT: must_not}[occ].append(
-                    toks[0]
+                    ptoks[0]
                 )
                 if boost != 1.0:
-                    boosts[toks[0]] = boost
+                    boosts[ptoks[0]] = boost
                 if occ == SHOULD:
-                    last_positive, last_positive_val = should, (toks[0],)
+                    last_positive, last_positive_val = should, (ptoks[0],)
                     last_default = dflt
                 elif occ == MUST and dflt:
-                    last_positive, last_positive_val = must, (toks[0],)
+                    last_positive, last_positive_val = must, (ptoks[0],)
                     last_default = True
                 else:
                     last_positive = last_positive_val = None
                 continue
-            pc = PhraseClause(toks, slop, occ, boost)
+            pc = PhraseClause(ptoks, slop, occ, boost)
             phrases.append(pc)
             if occ != MUST_NOT:
                 last_positive, last_positive_val = phrases, pc
@@ -328,6 +439,38 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
             else:
                 last_positive = last_positive_val = None
             continue
+        if m.group("fuzzy"):
+            raw_edits = m.group("edits")
+            if raw_edits is None:
+                edits = MAX_FUZZY_EDITS  # Lucene FuzzyQuery default
+            else:
+                if "." in raw_edits:
+                    raise ValueError(
+                        f"fractional fuzzy similarity ~{raw_edits} was "
+                        "removed from Lucene; use ~0, ~1 or ~2 edits"
+                    )
+                edits = int(raw_edits)
+                if edits > MAX_FUZZY_EDITS:
+                    raise ValueError(
+                        f"fuzzy ~{edits} exceeds Lucene's maximum "
+                        f"supported edit distance ({MAX_FUZZY_EDITS})"
+                    )
+            f_toks = analyze_text(m.group("fterm"))
+            boost = float(m.group("fzboost") or 1.0)
+            occ, dflt = occur_for_next()
+            if len(f_toks) != 1:
+                raise ValueError(
+                    f"fuzzy term {m.group('fterm')!r}~ must analyze to "
+                    "one token"
+                )
+            fc = FuzzyClause(f_toks[0], edits, occ, boost)
+            fuzzies.append(fc)
+            if occ != MUST_NOT:
+                last_positive, last_positive_val = fuzzies, fc
+                last_default = dflt
+            else:
+                last_positive = last_positive_val = None
+            continue
         # bare term (may be a connective keyword)
         word = m.group("term")
         if word in ("AND", "&&"):
@@ -341,41 +484,67 @@ def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
         if word == "NOT":
             pending = MUST_NOT
             continue
+        if word.endswith(":"):
+            raise ValueError(
+                f"field-grouping {word}(...) is unsupported (write the "
+                "group without the field, or one field:value per clause)"
+            )
         boost = 1.0
         bm = _TERM_BOOST.match(word)
         if bm:
             word, boost = bm.group(1), float(bm.group(2))
         if _UNSUPPORTED.search(word):
             raise ValueError(
-                f"wildcard/fuzzy term {word!r} unsupported (flat subset; "
-                "only TRAILING-wildcard prefixes like 'pre*' are queries)"
+                f"wildcard term {word!r} unsupported (only TRAILING-"
+                "wildcard prefixes like 'pre*' are queries)"
             )
         occ, dflt = occur_for_next()
-        toks = analyze_text(word)
-        if not toks:
+        wtoks = analyze_text(word)
+        if not wtoks:
             continue
         bucket = {SHOULD: should, MUST: must, MUST_NOT: must_not}[occ]
-        bucket.extend(toks)
+        bucket.extend(wtoks)
         if boost != 1.0:
-            for t in toks:  # last occurrence wins (module docstring)
+            for t in wtoks:  # last occurrence wins (module docstring)
                 boosts[t] = boost
         if occ == SHOULD:
-            last_positive, last_positive_val = should, tuple(toks)
+            last_positive, last_positive_val = should, tuple(wtoks)
             last_default = dflt
         elif occ == MUST and dflt:
-            last_positive, last_positive_val = must, tuple(toks)
+            last_positive, last_positive_val = must, tuple(wtoks)
             last_default = True
         else:
             last_positive = last_positive_val = None
-    if pos != len(q):
-        raise ValueError(f"unparseable query near {q[pos:]!r}")
+    if depth > 0:
+        raise ValueError("unbalanced '(' in query")
+    return _finish(
+        should, must, must_not, phrases, prefixes, fuzzies, subs,
+        filters, not_filters, boosts, match_all,
+    ), i
 
+
+def _is_empty(pq: ParsedQuery) -> bool:
+    """No clauses at all (e.g. '()' or an all-stopword group) — Lucene
+    drops such groups from the enclosing query."""
+    return not (
+        pq.should_terms or pq.must_terms or pq.must_not_terms
+        or pq.phrases or pq.prefixes or pq.fuzzies or pq.subs
+        or pq.filters or pq.not_filters or pq.match_all
+    )
+
+
+def _finish(
+    should, must, must_not, phrases, prefixes, fuzzies, subs,
+    filters, not_filters, boosts, match_all,
+) -> ParsedQuery:
     return ParsedQuery(
         should_terms=tuple(should),
         must_terms=tuple(must),
         must_not_terms=tuple(must_not),
         phrases=tuple(phrases),
         prefixes=tuple(prefixes),
+        fuzzies=tuple(fuzzies),
+        subs=tuple(subs),
         filters=filters,
         not_filters=not_filters,
         boosts=boosts,

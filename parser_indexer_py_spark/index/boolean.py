@@ -22,11 +22,22 @@ Scoring (Lucene BooleanQuery, coord-free since Lucene 6):
   (inner joins). With no MUST clause, a doc must match >= 1 SHOULD
   clause (full outer union of the optional pieces).
 - MUST_NOT clauses exclude (anti joins), each independently.
+- parenthesized groups are nested BooleanQueries: ``_scored_docs``
+  recurses into the group's own ParsedQuery; a matching group
+  contributes its subclause-sum x boost as one piece of this level's
+  fold, a MUST_NOT group excludes its match set.
+- fuzzy terms (``term~N``) use the constant-score multi-term rewrite
+  like prefixes (queryparser docstring documents the deviation from
+  Lucene's blended-frequency rewrite).
 - field clauses are score-neutral filters (Solr fq semantics — see the
   queryparser docstring for why this matches reference usage).
 - a PURE-NEGATIVE or pure-filter query behaves like Solr's top-level
   rewrite (``*:*`` minus exclusions) with constant score 1.0 — the
   reference's own ``q=type:doc&rows=0`` facet queries are this shape.
+  This rewrite applies INSIDE groups too (a positive ``(-a)`` group
+  scores 1.0 for docs lacking ``a``) — a documented deviation from
+  Lucene's nested match-nothing semantics, kept for consistency with
+  the top level; the oracle twin implements the same rule.
 
 Scale shape: every join here is on ``doc_id`` over already-decoded,
 query-term-sized subsets (never the corpus); the per-clause pieces reuse
@@ -106,6 +117,33 @@ def _expand_prefix(index: Index, prefix: str) -> list[str]:
     return sorted(r["term"] for r in rows)
 
 
+def _expand_fuzzy(index: Index, term: str, max_edits: int) -> list[str]:
+    """Lucene FuzzyQuery rewrite step: the dictionary terms within
+    ``max_edits`` Levenshtein distance (prefixLength=0, Lucene's default,
+    so the scan covers the whole term dictionary — vocabulary-sized, with
+    the |len(a)-len(b)| <= maxEdits window pushed to the parquet term
+    column stats). Capped at MAX_PREFIX_EXPANSIONS like every multi-term
+    rewrite. ``max_edits == 0`` matches the exact term only."""
+    if max_edits == 0:
+        return [term]
+    dist = F.levenshtein(F.col("term"), F.lit(term))
+    rows = (
+        index.termstats.filter(
+            F.abs(F.length("term") - F.lit(len(term))) <= max_edits
+        )
+        .filter(dist <= max_edits)
+        .select("term")
+        .limit(MAX_PREFIX_EXPANSIONS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_PREFIX_EXPANSIONS:
+        raise ValueError(
+            f"fuzzy {term!r}~{max_edits} expands past "
+            f"{MAX_PREFIX_EXPANSIONS} terms (Lucene maxClauseCount)"
+        )
+    return sorted(r["term"] for r in rows)
+
+
 def _exclusion_docs(
     index: Index, pq: ParsedQuery, not_filters: dict
 ) -> DataFrame | None:
@@ -127,6 +165,13 @@ def _exclusion_docs(
         if pc.occur == MUST_NOT:
             parts.append(
                 _docs_with_any(index, _expand_prefix(index, pc.prefix))
+            )
+    for fc in pq.fuzzies:
+        if fc.occur == MUST_NOT:
+            parts.append(
+                _docs_with_any(
+                    index, _expand_fuzzy(index, fc.term, fc.max_edits)
+                )
             )
     for f, v in not_filters.items():
         parts.append(allowed_docs(index, None, {f: v}))
@@ -166,11 +211,15 @@ def _scored_docs(
         len(should_set)
         + sum(1 for p in pq.phrases if p.occur == SHOULD)
         + sum(1 for p in pq.prefixes if p.occur == SHOULD)
+        + sum(1 for p in pq.fuzzies if p.occur == SHOULD)
+        + sum(1 for g in pq.subs if g.occur == SHOULD)
     )
     if min_should_match > n_should_clauses:
         return None
 
-    # positive pieces, in clause order: terms, phrases, prefixes.
+    # positive pieces, in clause order: terms, phrases, prefixes,
+    # fuzzies, then parenthesized groups (the float fold follows this
+    # piece order; the oracle mirrors it exactly).
     # Each entry: (required, df(doc_id, score), counts_toward_mm)
     pieces: list[tuple[bool, DataFrame, bool]] = []
     pos_terms = sorted(set(pq.should_terms) | set(pq.must_terms))
@@ -237,13 +286,48 @@ def _scored_docs(
                 pc.occur == SHOULD,
             )
         )
+    for fc in pq.fuzzies:
+        if fc.occur == MUST_NOT:
+            continue
+        # constant-score multi-term rewrite, like prefixes (queryparser
+        # docstring documents the deviation from Lucene's blended rewrite)
+        docs = _docs_with_any(
+            index, _expand_fuzzy(index, fc.term, fc.max_edits)
+        )
+        pieces.append(
+            (
+                fc.occur == MUST,
+                docs.withColumn("score", F.lit(1.0 * fc.boost)),
+                fc.occur == SHOULD,
+            )
+        )
+    for gc in pq.subs:
+        if gc.occur == MUST_NOT:
+            continue
+        # nested BooleanQuery: recurse — the group's own clause algebra
+        # (incl. its fielded filters and negatives) runs in the sub-call;
+        # its per-doc score feeds this level's fold, x the group boost
+        sub = _scored_docs(index, gc.sub)
+        if sub is None:
+            continue  # empty-by-construction subquery matches nothing
+        if gc.boost != 1.0:
+            sub = sub.select(
+                "doc_id",
+                (F.col("score") * F.lit(float(gc.boost))).alias("score"),
+            )
+        pieces.append(
+            (gc.occur == MUST, sub.select("doc_id", "score"),
+             gc.occur == SHOULD)
+        )
 
     allowed = allowed_docs(index, role, filters)
     if not pieces:
         # pure-filter / match-all / pure-negative query (Solr top-level
         # rewrite). Constant score like MatchAllDocsQuery.
         has_neg = bool(pq.must_not_terms or not_filters) or any(
-            p.occur == MUST_NOT for p in list(pq.phrases) + list(pq.prefixes)
+            p.occur == MUST_NOT
+            for p in list(pq.phrases) + list(pq.prefixes)
+            + list(pq.fuzzies) + list(pq.subs)
         )
         if allowed is None and not (pq.match_all or has_neg):
             return None  # genuinely empty query ("" or all-stopword)
@@ -308,6 +392,20 @@ def _scored_docs(
                 "doc_id",
                 "left_anti",
             )
+    for fc in pq.fuzzies:
+        if fc.occur == MUST_NOT:
+            out = out.join(
+                _docs_with_any(
+                    index, _expand_fuzzy(index, fc.term, fc.max_edits)
+                ),
+                "doc_id",
+                "left_anti",
+            )
+    for gc in pq.subs:
+        if gc.occur == MUST_NOT:
+            sub = _scored_docs(index, gc.sub)
+            if sub is not None:
+                out = out.join(sub.select("doc_id"), "doc_id", "left_anti")
     for f, v in not_filters.items():
         ex = allowed_docs(index, None, {f: v})
         out = out.join(ex, "doc_id", "left_anti")
@@ -316,12 +414,17 @@ def _scored_docs(
 
 def _hl_terms(pq: ParsedQuery) -> list[str]:
     """Highlightable terms of a query: bare/required terms plus positive
-    phrase tokens (prefix expansions are index-dependent and excluded)."""
-    return sorted(
+    phrase tokens, recursively through positive groups (prefix/fuzzy
+    expansions are index-dependent and excluded)."""
+    terms = (
         set(pq.should_terms)
         | set(pq.must_terms)
         | {t for p in pq.phrases if p.occur != MUST_NOT for t in p.tokens}
     )
+    for gc in pq.subs:
+        if gc.occur != MUST_NOT:
+            terms |= set(_hl_terms(gc.sub))
+    return sorted(terms)
 
 
 _META_SCHEMA = (
@@ -401,6 +504,8 @@ def boolean_search(
     delegable = (
         all(p.occur == MUST_NOT for p in pq.phrases)
         and all(p.occur == MUST_NOT for p in pq.prefixes)
+        and all(p.occur == MUST_NOT for p in pq.fuzzies)
+        and not pq.subs  # groups need the recursive clause algebra
         and not pq.match_all
         and not fq
         and min_should_match == 0
@@ -531,7 +636,8 @@ def edismax_search(
     ``boolean_search`` unchanged (edismax accepts full Lucene syntax)."""
     pq = parse_query(query)
     bare = bool(pq.should_terms) and not (
-        pq.phrases or pq.prefixes or pq.must_terms or pq.must_not_terms
+        pq.phrases or pq.prefixes or pq.fuzzies or pq.subs
+        or pq.must_terms or pq.must_not_terms
         or pq.filters or pq.not_filters or pq.boosts or pq.match_all
     )
     if not bare:

@@ -160,6 +160,26 @@ class BM25Oracle:
             )
         return terms
 
+    def _fuzzy_terms(self, term: str, max_edits: int) -> list[str]:
+        """Twin of index.boolean._expand_fuzzy (prefixLength=0 dictionary
+        scan, length-window + Levenshtein, maxClauseCount cap)."""
+        from ..functions.queryparser import MAX_PREFIX_EXPANSIONS
+
+        if max_edits == 0:
+            return [term]
+        out = sorted(
+            t
+            for t in self.postings
+            if abs(len(t) - len(term)) <= max_edits
+            and _levenshtein(t, term) <= max_edits
+        )
+        if len(out) > MAX_PREFIX_EXPANSIONS:
+            raise ValueError(
+                f"fuzzy {term!r}~{max_edits} expands past "
+                f"{MAX_PREFIX_EXPANSIONS} terms (Lucene maxClauseCount)"
+            )
+        return out
+
     def boolean_search(
         self,
         query: str,
@@ -173,15 +193,42 @@ class BM25Oracle:
         (functions.queryparser, shared on purpose: the parse is plumbing,
         the EVALUATION is the dual implementation), independent set
         algebra, and the identical float fold order: the term piece sums
-        contribs in ascending term order, then each positive phrase
-        clause's score adds in clause order — exactly the engine's
-        ``coalesce(s0)+coalesce(s1)+...`` expression.
+        contribs in ascending term order, then each positive phrase /
+        prefix / fuzzy / group clause's score adds in clause order —
+        exactly the engine's ``coalesce(s0)+coalesce(s1)+...``
+        expression. Parenthesized groups recurse through
+        :meth:`_pq_scores` like the engine's ``_scored_docs`` recursion.
 
         Field clauses: the oracle's only metadata field is ``role``;
         other fields raise (engine-only surface)."""
-        from ..functions.queryparser import MUST, MUST_NOT, parse_query
+        from ..functions.queryparser import parse_query
 
         pq = parse_query(query)
+        scores = self._pq_scores(
+            pq,
+            min_should_match=min_should_match,
+            match_all_score=match_all_score,
+        )
+        if scores is None:
+            return []
+        cands = [
+            (d, s)
+            for d, s in scores.items()
+            if role is None or self.roles.get(d) == role
+        ]
+        return sorted(cands, key=lambda x: (-x[1], x[0]))[:k]
+
+    def _pq_scores(
+        self,
+        pq,
+        *,
+        min_should_match: int = 0,
+        match_all_score: float = 1.0,
+    ) -> dict[int, float] | None:
+        """doc -> score for every doc matching ``pq`` (the recursive core
+        behind boolean_search; None == matches nothing by construction)."""
+        from ..functions.queryparser import MUST, MUST_NOT, parse_query  # noqa: F401
+
         for f in set(pq.filters) | set(pq.not_filters):
             if f != "role":
                 raise ValueError(f"oracle supports only role filters, got {f!r}")
@@ -193,12 +240,14 @@ class BM25Oracle:
             len(should_set)
             + sum(1 for p in pq.phrases if p.occur == "SHOULD")
             + sum(1 for p in pq.prefixes if p.occur == "SHOULD")
+            + sum(1 for p in pq.fuzzies if p.occur == "SHOULD")
+            + sum(1 for g in pq.subs if g.occur == "SHOULD")
         )
         if min_should_match > n_should_clauses:
-            return []
+            return {}
 
-        # pieces in ENGINE clause order (terms, phrases, prefixes);
-        # each: (required, doc->score, counts_toward_mm)
+        # pieces in ENGINE clause order (terms, phrases, prefixes,
+        # fuzzies, groups); each: (required, doc->score, counts_toward_mm)
         pieces: list[tuple[bool, dict[int, float], bool]] = []
         pos_terms = sorted(set(pq.should_terms) | set(pq.must_terms))
         boosted = any(pq.boost_of(t) != 1.0 for t in pos_terms)
@@ -248,14 +297,37 @@ class BM25Oracle:
                     pc.occur == "SHOULD",
                 )
             )
+        for fc in pq.fuzzies:
+            if fc.occur == MUST_NOT:
+                continue
+            docs_f: set[int] = set()
+            for t in self._fuzzy_terms(fc.term, fc.max_edits):
+                docs_f |= set(self.postings.get(t, {}))
+            pieces.append(
+                (
+                    fc.occur == MUST,
+                    {d: 1.0 * fc.boost for d in docs_f},
+                    fc.occur == "SHOULD",
+                )
+            )
+        for gc in pq.subs:
+            if gc.occur == MUST_NOT:
+                continue
+            sub = self._pq_scores(gc.sub)
+            if sub is None:
+                continue
+            if gc.boost != 1.0:  # engine guard: unboosted groups skip
+                sub = {d: s * float(gc.boost) for d, s in sub.items()}
+            pieces.append((gc.occur == MUST, sub, gc.occur == "SHOULD"))
 
         if not pieces:
             has_neg = bool(pq.must_not_terms or not_role) or any(
                 p.occur == MUST_NOT
                 for p in list(pq.phrases) + list(pq.prefixes)
+                + list(pq.fuzzies) + list(pq.subs)
             )
-            if role_f is None and role is None and not (pq.match_all or has_neg):
-                return []
+            if role_f is None and not (pq.match_all or has_neg):
+                return None
             scores = {d: float(match_all_score) for d in self.dl}
         else:
             req = [p for r, p, _ in pieces if r]
@@ -308,11 +380,18 @@ class BM25Oracle:
             if pc.occur == MUST_NOT:
                 for t in self._prefix_terms(pc.prefix):
                     excluded |= set(self.postings[t])
+        for fc in pq.fuzzies:
+            if fc.occur == MUST_NOT:
+                for t in self._fuzzy_terms(fc.term, fc.max_edits):
+                    excluded |= set(self.postings.get(t, {}))
+        for gc in pq.subs:
+            if gc.occur == MUST_NOT:
+                sub = self._pq_scores(gc.sub)
+                if sub is not None:
+                    excluded |= set(sub)
 
         def keep(d: int) -> bool:
             if d in excluded:
-                return False
-            if role is not None and self.roles.get(d) != role:
                 return False
             if role_f is not None:
                 rf = role_f if isinstance(role_f, list) else [role_f]
@@ -324,8 +403,7 @@ class BM25Oracle:
                     return False
             return True
 
-        cands = [(d, s) for d, s in scores.items() if keep(d)]
-        return sorted(cands, key=lambda x: (-x[1], x[0]))[:k]
+        return {d: s for d, s in scores.items() if keep(d)}
 
     def spell_suggest(
         self,

@@ -121,11 +121,55 @@ def test_parser_prefix():
 
 def test_parser_rejects_unsupported():
     for bad in [
-        "(a OR b) AND c", "te?t", "te*t", "*te", "fuzzy~", "fuzzy~0.8",
-        "fuzzy~2", "role:*",
+        "te?t", "te*t", "*te", "fuzzy~0.8", "fuzzy~3", "role:*",
+        "(a b", "a b)", "field:(a b)",
     ]:
         with pytest.raises(ValueError):
             parse_query(bad)
+
+
+def test_parser_groups():
+    """Round-4: parenthesized boolean groups — nested BooleanQuery
+    clauses with occur flags, boosts, AND-promotion, and Lucene's
+    empty-group drop."""
+    pq = parse_query("(alpha OR beta) AND gamma")
+    assert len(pq.subs) == 1 and pq.subs[0].occur == MUST
+    assert pq.subs[0].sub.should_terms == ("alpha", "beta")
+    assert pq.must_terms == ("gamma",)
+
+    pq = parse_query("-(alpha beta) gamma")
+    assert pq.subs[0].occur == MUST_NOT
+    assert pq.should_terms == ("gamma",)
+
+    pq = parse_query("(alpha (beta OR delta))^2")
+    assert pq.subs[0].boost == 2.0
+    inner = pq.subs[0].sub
+    assert inner.should_terms == ("alpha",)
+    assert inner.subs[0].sub.should_terms == ("beta", "delta")
+
+    pq = parse_query("() alpha")  # empty group dropped like Lucene
+    assert not pq.subs and pq.should_terms == ("alpha",)
+
+    pq = parse_query("(role:user alpha)")  # fielded clauses scope to group
+    assert pq.subs[0].sub.filters == {"role": "user"}
+    assert not pq.filters
+
+    pq = parse_query("(a b) OR c", default_op="AND")  # q.op inside parens
+    assert pq.subs[0].sub.must_terms == ("a", "b")
+    assert pq.subs[0].occur == SHOULD  # OR demoted the group
+    assert pq.should_terms == ("c",)
+
+
+def test_parser_fuzzy():
+    """Round-4: fuzzy terms — term~ (maxEdits 2 default), term~N,
+    boosts, occur prefixes; fractional similarity and >2 edits raise."""
+    pq = parse_query("fuzzy~ exact~0 one~1^3 -bad~2")
+    assert pq.fuzzies[0].term == "fuzzy" and pq.fuzzies[0].max_edits == 2
+    assert pq.fuzzies[1].max_edits == 0
+    assert pq.fuzzies[2].max_edits == 1 and pq.fuzzies[2].boost == 3.0
+    assert pq.fuzzies[3].occur == MUST_NOT
+    pq = parse_query("a~1 AND b")  # AND promotes the fuzzy neighbor
+    assert pq.fuzzies[0].occur == MUST and pq.must_terms == ("b",)
 
 
 def test_parser_fielded_boost_stripped():
@@ -355,6 +399,77 @@ def test_boolean_wand_delegation_negation_boost(bindex, boracle, qterms):
             )
         )
         assert pr == full, q
+
+
+def test_boolean_groups_vs_oracle(bindex, boracle, qterms):
+    """Round-4: parenthesized groups evaluate as nested BooleanQueries —
+    engine == oracle bit-for-bit across occur/boost/nesting shapes, and
+    a distributivity sanity check holds on matching doc sets."""
+    t1, t2, t3 = qterms
+    for q in [
+        f"({t1} OR {t2}) AND {t3}",
+        f"({t1} {t2}) {t3}",
+        f"-({t1} {t2}) {t3}",
+        f"({t1} +{t2})^2 {t3}",
+        f"(({t1} OR {t2}) +{t3})",
+        f'({t1} "{t1} {t2}") AND {t3}',
+        f"({t1} role:user) {t3}",
+        f"+({t1} {t2}) +{t3}",
+    ]:
+        eng = _rows(boolean_search(bindex, q, k=10, with_meta=False))
+        assert eng == boracle.boolean_search(q, k=10), q
+    # (a OR b) AND c matches exactly the docs of (a AND c) OR (b AND c)
+    lhs = {
+        d
+        for d, _ in _rows(
+            boolean_search(
+                bindex, f"({t1} OR {t2}) AND {t3}", k=10**6, with_meta=False
+            )
+        )
+    }
+    rhs = {
+        d
+        for d, _ in _rows(
+            boolean_search(
+                bindex,
+                f"({t1} AND {t3}) OR ({t2} AND {t3})",
+                k=10**6,
+                with_meta=False,
+            )
+        )
+    }
+    assert lhs == rhs and lhs
+
+
+def test_boolean_fuzzy_vs_oracle(bindex, boracle, qterms):
+    """Round-4: fuzzy terms (constant-score edit-distance expansion) —
+    engine == oracle, a typo'd hot term matches docs containing the
+    original, and ~0 means exact-only."""
+    t1, _, t3 = qterms
+    typo = t1[:-1] + ("x" if t1[-1] != "x" else "y")
+    for q in [
+        f"{typo}~ {t3}",
+        f"{typo}~1",
+        f"+{t1} {typo}~2^3",
+        f"{t1} -{typo}~1",
+        f"({typo}~ {t3}) AND {t1}",
+    ]:
+        eng = _rows(boolean_search(bindex, q, k=10, with_meta=False))
+        assert eng == boracle.boolean_search(q, k=10), q
+    # the typo'd expansion really reaches t1's docs
+    hits = {
+        d for d, _ in _rows(
+            boolean_search(bindex, f"{typo}~1", k=10**6, with_meta=False)
+        )
+    }
+    assert set(boracle.postings[t1]) <= hits
+    # ~0 is exact-only: equals the plain term's doc set (constant score)
+    exact = {
+        d for d, _ in _rows(
+            boolean_search(bindex, f"{t1}~0", k=10**6, with_meta=False)
+        )
+    }
+    assert exact == set(boracle.postings[t1])
 
 
 def test_boolean_pruning_knobs_rejected_on_clause_path(bindex, qterms):

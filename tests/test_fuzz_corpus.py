@@ -130,19 +130,20 @@ def test_fuzz_engine_matches_oracle(spark, tmp_path_factory, seed):
         assert got_r == want_r, (seed, q, "role")
 
 
-def _rand_bool_query(rng, terms, roles) -> str:
+def _rand_bool_query(rng, terms, roles, depth: int = 0) -> str:
     """Random classic-syntax query over the corpus's analyzed vocabulary:
     bare/boosted/required/prohibited terms, phrases (with slop and occur
-    prefixes), trailing-wildcard prefixes, role filters, AND/OR."""
+    prefixes), trailing-wildcard prefixes, fuzzy terms, role filters,
+    AND/OR, and (round-4) parenthesized groups up to 2 levels deep."""
     parts = []
     for _ in range(int(rng.integers(2, 6))):
         r = rng.random()
         t = terms[int(rng.integers(0, len(terms)))]
         if r < 0.12:
             parts.append(f"+{t}")
-        elif r < 0.24:
+        elif r < 0.22:
             parts.append(f"-{t}")
-        elif r < 0.38:
+        elif r < 0.34:
             t2 = terms[int(rng.integers(0, len(terms)))]
             ph = f'"{t} {t2}"'
             if rng.random() < 0.4:
@@ -150,12 +151,27 @@ def _rand_bool_query(rng, terms, roles) -> str:
             if rng.random() < 0.3:
                 ph = ("+" if rng.random() < 0.5 else "-") + ph
             parts.append(ph)
-        elif r < 0.46 and len(t) >= 3 and t[:2].isalnum():
+        elif r < 0.42 and len(t) >= 3 and t[:2].isalnum():
             parts.append(t[:2] + "*")
-        elif r < 0.52:
+        elif r < 0.48:
             parts.append(f"role:{roles[int(rng.integers(0, len(roles)))]}")
-        elif r < 0.60:
+        elif r < 0.54:
             parts.append(f"{t}^{int(rng.integers(2, 5))}")
+        elif r < 0.62 and len(t) >= 4:
+            fz = t if rng.random() < 0.5 else t[:-1] + "q"  # maybe a typo
+            suffix = ["~", "~0", "~1", "~2"][int(rng.integers(0, 4))]
+            if rng.random() < 0.3:
+                suffix += f"^{int(rng.integers(2, 4))}"
+            parts.append(fz + suffix)
+        elif r < 0.74 and depth < 2:
+            grp = _rand_bool_query(rng, terms, roles, depth + 1)
+            if grp:
+                g = f"({grp})"
+                if rng.random() < 0.3:
+                    g += f"^{int(rng.integers(2, 4))}"
+                if rng.random() < 0.3:
+                    g = ("+" if rng.random() < 0.5 else "-") + g
+                parts.append(g)
         else:
             parts.append(t)
         c = rng.random()
