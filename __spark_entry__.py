@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_slop": TQ.q_phrase_search_slop,
         "lucene_query": TQ.q_lucene_query,
         "lucene_query_grouped": TQ.q_lucene_grouped,
+        "edismax_qf": TQ.q_edismax_qf,
         "spellcheck": TQ.q_spellcheck,
         "more_like_this": TQ.q_more_like_this,
         # text analysis (training-data pipeline)
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search_slop": TQ.SQL_PHRASE_SLOP,
         "lucene_query": TQ.SQL_LUCENE,
         "lucene_query_grouped": TQ.SQL_LUCENE_GROUPED,
+        "edismax_qf": TQ.SQL_EDISMAX_QF,
         "spellcheck": TQ.SQL_SPELLCHECK,
         "more_like_this": TQ.SQL_MLT,
         "token_counts": TQ.SQL_TOKEN_COUNTS,

@@ -1027,6 +1027,112 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def _docs_title_index(spark, sf_dir):
+    """Second-field index for edismax qf: 'title' = the first 3 words of
+    each document (derived identically in the DuckDB oracle via pos <= 3),
+    built from the SAME rows as the text index so the stable docID
+    assignment aligns the two docmaps row-for-row."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .index.build import build_index
+    from .index.search import load_index
+    from .shipping import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("text"),
+        F.lit("").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"pi_docs_tidx_{key}")
+    build_index(spark, src, out, n_buckets=8, salt=4, n_chunks=1)
+    return load_index(spark, out)
+
+
+QF_QUERY = "merge window"
+QF_BOOSTS = {"text": 0.5, "title": 10.0}
+QF_TIE = 0.1
+
+
+def q_edismax_qf(spark, sf_dir):
+    """Multi-field edismax THROUGH THE ENGINE (round-4: the reference
+    /browse handler's real qf shape, ``qf=title^10.0 ... text^0.5`` at
+    conf/solr/docs/conf/solrconfig.xml:870-876): per-field BM25 with each
+    field's own df/dl/avgdl statistics, DisjunctionMax per query term
+    (max + tie * rest, tie=0.1 to exercise Solr's tie parameter),
+    mm=100%. The 'title' field is the documents' first 3 words — derived
+    identically on both sides — so title hits really outrank body hits
+    by the boost ratio. The DuckDB oracle recomputes both fields' pieces
+    from the token table and combines them with the same max-plus-tie."""
+    from .index.boolean import edismax_qf
+
+    idxs = {
+        "text": _docs_pos_index(spark, sf_dir),
+        "title": _docs_title_index(spark, sf_dir),
+    }
+    hits = edismax_qf(
+        idxs, QF_QUERY, QF_BOOSTS, k=1_000_000, tie=QF_TIE, mm="100%"
+    )
+    return (
+        hits.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_EDISMAX_QF = SQL_TOK + f"""
+, ttok AS (SELECT doc_id, w FROM tok WHERE pos <= 3),
+xdl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+tdl AS (SELECT doc_id, COUNT(*) AS dl FROM ttok GROUP BY doc_id),
+xg AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM xdl),
+tg AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM tdl),
+xtf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+        WHERE w IN ('merge', 'window') GROUP BY doc_id, w),
+ttf AS (SELECT doc_id, w, COUNT(*) AS tf FROM ttok
+        WHERE w IN ('merge', 'window') GROUP BY doc_id, w),
+xdfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM xtf GROUP BY w),
+tdfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM ttf GROUP BY w),
+xsc AS (
+  SELECT xtf.doc_id, xtf.w,
+         ln(1.0 + (xg.n - xdfs.df + 0.5) / (xdfs.df + 0.5))
+         * (xtf.tf * 2.2)
+         / (xtf.tf + 1.2 * (0.25 + 0.75 * xdl.dl / (xg.sdl * 1.0 / xg.n)))
+         * {QF_BOOSTS['text']} AS c
+  FROM xtf JOIN xdfs USING (w) JOIN xdl ON xdl.doc_id = xtf.doc_id, xg),
+tsc AS (
+  SELECT ttf.doc_id, ttf.w,
+         ln(1.0 + (tg.n - tdfs.df + 0.5) / (tdfs.df + 0.5))
+         * (ttf.tf * 2.2)
+         / (ttf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / (tg.sdl * 1.0 / tg.n)))
+         * {QF_BOOSTS['title']} AS c
+  FROM ttf JOIN tdfs USING (w) JOIN tdl ON tdl.doc_id = ttf.doc_id, tg),
+td AS (
+  SELECT COALESCE(x.doc_id, t.doc_id) AS doc_id,
+         COALESCE(x.w, t.w) AS w,
+         GREATEST(COALESCE(x.c, t.c), COALESCE(t.c, x.c)) AS mx,
+         COALESCE(x.c, 0.0) + COALESCE(t.c, 0.0) AS sm
+  FROM xsc x FULL OUTER JOIN tsc t
+    ON x.doc_id = t.doc_id AND x.w = t.w),
+per_term AS (SELECT doc_id, w, mx + {QF_TIE} * (sm - mx) AS s FROM td)
+SELECT doc_id, ROUND(SUM(s), 6) AS score
+FROM per_term GROUP BY doc_id
+HAVING COUNT(*) = 2
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # out-of-vocabulary misspellings of known documents-table terms
 SPELL_TYPOS = ("windoq", "streap", "merje")
 

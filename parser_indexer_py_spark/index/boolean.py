@@ -76,7 +76,7 @@ from .search import (
     phrase_scores,
 )
 
-__all__ = ["boolean_search", "edismax_search", "select"]
+__all__ = ["boolean_search", "edismax_search", "edismax_qf", "select"]
 
 
 def _conv_filters(raw: dict) -> dict:
@@ -657,6 +657,128 @@ def edismax_search(
     return boolean_search(
         index, " ".join(toks), k, min_should_match=mm_n, **kw
     )
+
+
+def edismax_qf(
+    indexes: dict[str, Index],
+    query: str,
+    qf: dict[str, float],
+    k: int = 10,
+    *,
+    tie: float = 0.0,
+    mm="100%",
+    with_meta: bool = True,
+) -> DataFrame:
+    """Multi-field edismax (the reference /browse handler's real shape:
+    ``qf=title^10.0 author^2.0 text^0.5 ...``, mm=100%, NO tie param =>
+    Solr's default tie=0.0, conf/solr/docs/conf/solrconfig.xml:870-876).
+
+    ``indexes`` maps field name -> that field's own :class:`Index`; all
+    must be built from the SAME source rows, so the shuffle-free stable
+    docID assignment (build.py W4 — a pure function of the
+    (conv_id, turn_idx) order) gives every row the same doc_id in every
+    field index; n_docs is asserted equal. Each field keeps its OWN
+    df/avgdl/dl statistics, exactly like Lucene per-field similarities.
+
+    Scoring (Lucene DisjunctionMaxQuery per query term):
+
+        score_t(doc) = max_f(qf_f * bm25_f(t, doc))
+                       + tie * (sum_f(...) - max_f(...))
+        score(doc)   = sum over matched terms, ascending-term fold
+
+    deterministic end to end: the per-term field scores fold in FIELD
+    order (sorted names), the per-doc term scores in ascending term
+    order — the pure-Python twin (oracle.dismax_search) mirrors both
+    folds. ``mm`` counts terms matched in ANY field (int or 'N%',
+    floored like Solr). Bare-term queries only — operator syntax is the
+    single-field ``edismax_search``/``boolean_search`` surface."""
+    if not indexes or set(qf) - set(indexes):
+        raise ValueError(
+            f"qf fields {sorted(set(qf) - set(indexes))} have no index"
+        )
+    if any(b <= 0 for b in qf.values()):
+        raise ValueError("qf boosts must be positive")
+    sizes = {f: indexes[f].n_docs for f in qf}
+    if len(set(sizes.values())) != 1:
+        raise ValueError(
+            f"field indexes disagree on n_docs ({sizes}) — they must be "
+            "built from the same source rows"
+        )
+    pq = parse_query(query)
+    bare = bool(pq.should_terms) and not (
+        pq.phrases or pq.prefixes or pq.fuzzies or pq.subs
+        or pq.must_terms or pq.must_not_terms
+        or pq.filters or pq.not_filters or pq.boosts or pq.match_all
+    )
+    if not bare:
+        raise ValueError(
+            "edismax_qf scores bare term queries; operator syntax goes "
+            "through the single-field edismax_search/boolean_search"
+        )
+    terms = sorted(set(pq.should_terms))
+    fields = sorted(qf)
+    meta_index = indexes.get("text") or indexes[fields[0]]
+    spark = meta_index.spark
+    mm_n = _parse_mm(mm, len(terms))
+    if mm_n > len(terms):
+        return _empty_result(meta_index, with_meta)
+
+    per_field = []
+    for f in fields:
+        idx = indexes[f]
+        blocks = _blocks_for_terms(idx, terms)
+        dec = blocks.select(*_payload_cols(blocks)).mapInPandas(
+            _make_decoder(idx.avgdl), _DECODED_SCHEMA
+        )
+        per_field.append(
+            dec.select(
+                F.lit(f).alias("field"),
+                "term",
+                "doc_id",
+                (F.col("contrib") * F.lit(float(qf[f]))).alias("fc"),
+            )
+        )
+    un = per_field[0]
+    for p in per_field[1:]:
+        un = un.unionByName(p)
+    per_td = un.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("field", "fc"))).alias("fs")
+    )
+    mx = F.array_max(F.transform("fs", lambda x: x["fc"]))
+    if tie == 0.0:
+        # pure DisjunctionMax: skip the tie arithmetic entirely so the
+        # single-field degenerate case is bit-identical to plain BM25
+        score_td = mx
+    else:
+        sm = F.aggregate("fs", F.lit(0.0), lambda a, x: a + x["fc"])
+        score_td = mx + F.lit(float(tie)) * (sm - mx)
+    scored = (
+        per_td.select("term", "doc_id", score_td.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "s"))).alias("ts"),
+            F.count("*").alias("n_terms"),
+        )
+        .withColumn(
+            "score",
+            F.aggregate("ts", F.lit(0.0), lambda a, x: a + x["s"]),
+        )
+    )
+    if mm_n > 0:
+        scored = scored.filter(F.col("n_terms") >= mm_n)
+    topk = (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    if with_meta:
+        meta = meta_index.docmap.select(
+            "doc_id", "conv_id", "turn_idx", "role"
+        )
+        topk = topk.join(meta, "doc_id", "left").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+    return topk
 
 
 def select(

@@ -487,6 +487,53 @@ class BM25Oracle:
         return [(d, s) for d, s in res if d != doc_id][:count]
 
 
+def dismax_search(
+    oracles: dict[str, "BM25Oracle"],
+    query: str,
+    qf: dict[str, float],
+    k: int = 10,
+    *,
+    tie: float = 0.0,
+    mm_n: int = 0,
+) -> list[tuple[int, float]]:
+    """Pure-Python twin of index.boolean.edismax_qf: per-term
+    DisjunctionMax across field oracles (each field keeps its own
+    df/avgdl/dl), tie-broken sum in FIELD order, per-doc fold in
+    ascending TERM order — the engine's exact float op sequence."""
+    terms = sorted(set(analyze_text(query)))
+    fields = sorted(qf)
+    per_doc: dict[int, float] = {}
+    n_match: dict[int, int] = {}
+    for t in terms:  # ascending == engine's per-doc ts fold
+        td: dict[int, list[float]] = {}
+        for f in fields:  # sorted == engine's fs field-order fold
+            o = oracles[f]
+            pl = o.postings.get(t)
+            if not pl:
+                continue
+            idf = bm25_idf(len(pl), o.n_docs)
+            for d, tf in pl.items():
+                c = bm25_contrib(
+                    float(tf), float(o.dl[d]), idf, o.avgdl
+                ) * float(qf[f])
+                td.setdefault(d, []).append(c)
+        for d, cs in td.items():
+            mx = max(cs)
+            if tie == 0.0:
+                s = mx
+            else:
+                sm = 0.0
+                for c in cs:
+                    sm += c
+                s = mx + float(tie) * (sm - mx)
+            per_doc[d] = per_doc.get(d, 0.0) + s
+            n_match[d] = n_match.get(d, 0) + 1
+    cands = [
+        (d, s) for d, s in per_doc.items() if n_match[d] >= mm_n
+    ]
+    return sorted(cands, key=lambda x: (-x[1], x[0]))[:k]
+
+
 def _levenshtein(a: str, b: str) -> int:
     """Plain DP Levenshtein (the 'internal' distance both Lucene's
     DirectSpellChecker and Spark's/DuckDB's levenshtein() compute)."""

@@ -708,6 +708,76 @@ def test_edismax(bindex, boracle, qterms):
     ) == boracle.boolean_search(f"{t1} -{t2}", k=10)
 
 
+def test_edismax_qf_multifield_vs_oracle(spark, tmp_path_factory):
+    """Round-4: multi-field qf edismax (the /browse handler's real
+    qf=title^10 ... shape). Two field indexes built from the same rows
+    (stable docIDs align), per-field BM25 statistics, DisjunctionMax
+    per term with tie, mm over any-field matches — bit-identical to the
+    pure-Python dismax twin; the single-field degenerate case equals
+    plain BM25 search."""
+    import pyspark.sql.functions as F
+
+    from parser_indexer_py_spark.index.boolean import edismax_qf
+    from parser_indexer_py_spark.index.oracle import dismax_search
+
+    base = generate_transcripts(spark, 60, partitions=3)
+    title = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ")
+    idxs = {}
+    for fname, df in [
+        ("text", base), ("title", base.withColumn("text", title)),
+    ]:
+        out = str(tmp_path_factory.mktemp(f"qf_{fname}"))
+        build_index(spark, df, out, n_chunks=1)
+        idxs[fname] = load_index(spark, out)
+    # stable docID assignment aligns the two docmaps row-for-row
+    a = idxs["text"].docmap.select(
+        "doc_id", "conv_id", "turn_idx"
+    ).orderBy("doc_id").toPandas()
+    b = idxs["title"].docmap.select(
+        "doc_id", "conv_id", "turn_idx"
+    ).orderBy("doc_id").toPandas()
+    assert a.equals(b)
+
+    oracles = {
+        f: BM25Oracle.from_pandas(
+            idxs[f].docmap.select("doc_id", "text", "role").toPandas()
+        )
+        for f in idxs
+    }
+    ttop = max(
+        oracles["title"].postings,
+        key=lambda t: len(oracles["title"].postings[t]),
+    )
+    xtop = max(
+        (t for t in oracles["text"].postings if t != ttop),
+        key=lambda t: len(oracles["text"].postings[t]),
+    )
+    q = f"{ttop} {xtop}"
+    qf = {"text": 0.5, "title": 10.0}
+    for tie, mm, mm_n in [(0.0, "100%", 2), (0.1, 1, 1), (0.25, 0, 0)]:
+        eng = _rows(
+            edismax_qf(idxs, q, qf, k=10, tie=tie, mm=mm, with_meta=False)
+        )
+        want = dismax_search(oracles, q, qf, k=10, tie=tie, mm_n=mm_n)
+        assert eng == want, (tie, mm)
+        assert eng  # non-vacuous
+    # single-field degenerate case == plain BM25 (bit-identical)
+    single = _rows(
+        edismax_qf(
+            {"text": idxs["text"]}, q, {"text": 1.0}, k=10, mm=0,
+            with_meta=False,
+        )
+    )
+    assert single == _rows(
+        search(idxs["text"], q, k=10, with_meta=False)
+    )
+    # operator syntax refuses loudly; mismatched qf field too
+    with pytest.raises(ValueError, match="bare term"):
+        edismax_qf(idxs, f"+{ttop}", qf, k=5)
+    with pytest.raises(ValueError, match="no index"):
+        edismax_qf(idxs, q, {"nope": 1.0}, k=5)
+
+
 def test_edismax_default_on_positionless_index(
     spark, tmp_path_factory, qterms
 ):
