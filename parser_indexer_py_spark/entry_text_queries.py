@@ -1248,18 +1248,28 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Multimodal plumbing demo (rows-only check: the decode is a
-    deterministic fake — no codec libs in this environment; see
-    operators/multimodal.py). Returns per-media feature norms + frame
-    counts over a deterministic synthetic blob table."""
+    """Multimodal decode (rows-only check). Round-4: half the table is
+    REAL uncompressed media (PPM/BMP images, PCM WAV audio) decoded by
+    the pure-numpy ``numpy_decoder`` — actual pixels/samples, no codec
+    libraries; the other half stays the deterministic fake standing in
+    for compressed formats (operators/multimodal.py). Returns per-media
+    feature norms + frame counts."""
     from .operators.multimodal import (
         decode_media,
         fake_decoder,
         generate_fake_media,
+        generate_real_media,
+        numpy_decoder,
     )
 
-    media = generate_fake_media(spark, 90)
-    out = decode_media(media, decoder=fake_decoder)
+    real = decode_media(generate_real_media(spark, 45), decoder=numpy_decoder)
+    fake = decode_media(
+        generate_fake_media(spark, 45).withColumn(
+            "media_id", F.col("media_id") + 1000
+        ),
+        decoder=fake_decoder,
+    )
+    out = real.unionByName(fake)
     return out.select(
         "media_id",
         "kind",
