@@ -634,6 +634,7 @@ def search(
     pool_target: int | None = None,
     full_cutover: int | None = None,
     driver_meta_cap: int | None = None,
+    driver_cand_cap: int | None = None,
     synonyms: dict[str, list[str]] | None = None,
     with_excerpt: bool = False,
     phrase: bool = False,
@@ -713,7 +714,7 @@ def search(
     expanded = any(len(g) > 1 for g in groups) or len(terms) != len(groups)
     groups = groups if expanded else None
     if mode == "pruned":
-        from .wand import DRIVER_META_ROW_CAP, search_pruned
+        from .wand import DRIVER_CAND_CAP, DRIVER_META_ROW_CAP, search_pruned
 
         topk = search_pruned(
             index, terms, k, conjunctive=conjunctive, groups=groups,
@@ -722,6 +723,9 @@ def search(
             full_cutover=full_cutover,
             driver_meta_cap=(
                 DRIVER_META_ROW_CAP if driver_meta_cap is None else driver_meta_cap
+            ),
+            driver_cand_cap=(
+                DRIVER_CAND_CAP if driver_cand_cap is None else driver_cand_cap
             ),
             boosts=boosts, require=require, exclude=exclude,
         )

@@ -100,6 +100,15 @@ FULL_CUTOVER_POSTINGS = 500_000
 # block selection moves into Spark (quantile-approximated tau).
 DRIVER_META_ROW_CAP = 100_000
 
+# Phase-2 candidate budget for the DRIVER handoff (sorted int64 numpy
+# array shipped into the phase-3 Arrow decoder — the fastest shape for
+# the in-decoder searchsorted membership filter; 1M ids = 8 MB, same
+# comfort bound as search.PHRASE_PRUNE_CAND_CAP). Beyond it the
+# candidate set STAYS A DATAFRAME end to end (round-3 verdict nit #3):
+# phase 3 then prunes blocks with the coarse [min, max] bound and
+# semi-joins candidates after decode, before the groupBy shuffle.
+DRIVER_CAND_CAP = 1_000_000
+
 
 def search_pruned(
     index,
@@ -114,6 +123,7 @@ def search_pruned(
     pool_target: int | None = None,
     full_cutover: int | None = None,
     driver_meta_cap: int = DRIVER_META_ROW_CAP,
+    driver_cand_cap: int = DRIVER_CAND_CAP,
     boosts: dict | None = None,
     require: DataFrame | None = None,
     exclude: DataFrame | None = None,
@@ -314,51 +324,86 @@ def search_pruned(
         cand_set = cand_set.join(require, "doc_id", "left_semi")
     if exclude is not None:
         cand_set = cand_set.join(exclude, "doc_id", "left_anti")
-    cand_rows = cand_set.collect()
-    candidates = np.array([r["doc_id"] for r in cand_rows], dtype=np.int64)
-    if candidates.size == 0:
-        return _fallback()
+    # one materialization serves the count/bounds agg AND the phase-3
+    # consumers (re-running the phase-2 decode per consumer would triple it)
+    cand_set = cand_set.persist()
+    try:
+        cstats = cand_set.agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        ).collect()[0]
+        n_cand = int(cstats["n"] or 0)
+        if n_cand == 0:
+            return _fallback()
+        lo, hi = int(cstats["lo"]), int(cstats["hi"])
 
-    # ---- phase 3: exact rescore of candidates ------------------------------
-    # decode ONLY blocks whose [doc_min, doc_max] range can contain a
-    # candidate (every posting of a candidate doc lives in such a block, so
-    # this prunes no needed data). The broadcast side is the O(k*|q|)
-    # candidate list; the non-equi semi-join runs as a BroadcastNestedLoop
-    # over block METADATA rows, before any payload is transferred/decoded —
-    # this is what makes pruned evaluation decode strictly less than full
-    # evaluation (round-2 scale-up measured phase 3 decoding everything and
-    # losing to the full path at 6.5M docs).
-    cand_df = spark.createDataFrame(
-        [(int(c),) for c in candidates], "cand long"
-    )
-    # coarse PUSHED bounds first (row-group min/max skipping on the scan),
-    # then the exact per-candidate range semi-join on the survivors
-    blocks3 = blocks.filter(
-        (F.col("doc_max") >= int(candidates.min()))
-        & (F.col("doc_min") <= int(candidates.max()))
-    ).join(
-        F.broadcast(cand_df),
-        (F.col("cand") >= F.col("doc_min")) & (F.col("cand") <= F.col("doc_max")),
-        "left_semi",
-    )
-    decoded = blocks3.select(*_payload_cols(blocks3)).mapInPandas(
-        _make_filtered_decoder(index.avgdl, candidates), _DECODED_SCHEMA
-    )
-    if boosted:
-        decoded = _apply_boosts(decoded, terms, boost_of)
-    scored = _score_decoded(decoded)
-    if conjunctive:
-        scored = scored.filter(F.col("n_terms") == len(terms))
-    scored = scored.drop("n_terms")
-    allowed = allowed_docs(index, role, filters)
-    if allowed is not None:
-        scored = scored.join(allowed, "doc_id", "left_semi")
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        # ---- phase 3: exact rescore of candidates --------------------------
+        # decode ONLY blocks whose [doc_min, doc_max] range can contain a
+        # candidate (every posting of a candidate doc lives in such a
+        # block, so this prunes no needed data); coarse PUSHED bounds first
+        # (row-group min/max skipping on the scan).
+        blocks3 = blocks.filter(
+            (F.col("doc_max") >= lo) & (F.col("doc_min") <= hi)
+        )
+        if n_cand <= driver_cand_cap:
+            # DRIVER handoff: bounded sorted ids -> exact per-candidate
+            # block-range semi-join (BroadcastNestedLoop over block
+            # METADATA rows, before any payload transfer — round-2 scale-up
+            # measured phase 3 decoding everything and losing to full
+            # evaluation) + the in-decoder searchsorted membership filter
+            candidates = np.sort(
+                cand_set.toPandas()["doc_id"].to_numpy(dtype=np.int64)
+            )
+            cand_df = spark.createDataFrame(
+                [(int(c),) for c in candidates], "cand long"
+            )
+            blocks3 = blocks3.join(
+                F.broadcast(cand_df),
+                (F.col("cand") >= F.col("doc_min"))
+                & (F.col("cand") <= F.col("doc_max")),
+                "left_semi",
+            )
+            decoded = blocks3.select(*_payload_cols(blocks3)).mapInPandas(
+                _make_filtered_decoder(index.avgdl, candidates),
+                _DECODED_SCHEMA,
+            )
+        else:
+            # DISTRIBUTED handoff (no driver candidate array, no collect
+            # between phases): the nested-loop range join would cost
+            # O(meta_rows x n_cand), and huge candidate sets hit ~every
+            # block anyway (same measurement as the phrase path's
+            # PHRASE_BLOCK_JOIN_CAP), so keep only the coarse bound and
+            # semi-join candidates AFTER decode, BEFORE the groupBy
+            # shuffle — the shuffle (the scale bottleneck) still shrinks
+            # to candidate volume.
+            decoded = (
+                blocks3.select(*_payload_cols(blocks3))
+                .mapInPandas(
+                    _make_filtered_decoder(index.avgdl, None),
+                    _DECODED_SCHEMA,
+                )
+                .join(F.broadcast(cand_set), "doc_id", "left_semi")
+            )
+        if boosted:
+            decoded = _apply_boosts(decoded, terms, boost_of)
+        scored = _score_decoded(decoded)
+        if conjunctive:
+            scored = scored.filter(F.col("n_terms") == len(terms))
+        scored = scored.drop("n_terms")
+        allowed = allowed_docs(index, role, filters)
+        if allowed is not None:
+            scored = scored.join(allowed, "doc_id", "left_semi")
+        top = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        )
 
-    # ---- completeness check -> fallback -------------------------------------
-    complete = R == 0.0 or (len(top) == k and top[-1]["score"] > R)
-    if not complete:
-        return _fallback()
+        # ---- completeness check -> fallback ---------------------------------
+        complete = R == 0.0 or (len(top) == k and top[-1]["score"] > R)
+        if not complete:
+            return _fallback()
+    finally:
+        cand_set.unpersist()
 
     out = spark.createDataFrame(
         [(r["doc_id"], r["score"]) for r in top] or [],

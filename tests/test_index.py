@@ -246,6 +246,24 @@ def test_pruned_distributed_selection_rank_identical(index, oracle):
         assert got == want, f"{name} ({q!r})"
 
 
+def test_pruned_distributed_candidates_rank_identical(index, oracle):
+    """Round-4: driver_cand_cap=0 forces the DISTRIBUTED phase-2 -> 3
+    candidate handoff (the candidate set stays a DataFrame; no collect
+    between phases — round-3 verdict nit #3): results must still match
+    the oracle exactly, with and without role filters."""
+    for name, q in _queries(oracle).items():
+        for role in (None, "user"):
+            want = oracle.search(q, k=10, role=role)
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search(
+                    index, q, k=10, mode="pruned", full_cutover=0,
+                    driver_cand_cap=0, role=role,
+                ).collect()
+            ]
+            assert got == want, f"{name} ({q!r}) role={role}"
+
+
 def test_pruned_adaptive_cutover_routes_small_to_full(index, oracle):
     """With the default cutover, this tiny corpus must take the FULL path
     (plan fact: distributed MapInPandas decode instead of the pruned
