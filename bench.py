@@ -131,7 +131,42 @@ def main() -> None:
             pidx, 'cedi +bace -rikizudi "bace cedi"', k=10
         ).collect(),
     )
+    # round-4: negation/boost queries delegate to the WAND pruned path
+    run(
+        "search_boolean_neg_pruned",
+        lambda: boolean_search(
+            pidx, "cedi +bace -rikizudi wedi", k=10, mode="pruned"
+        ).collect(),
+    )
+    # round-4: parenthesized group + fuzzy term through the classic parser
+    run(
+        "search_lucene_grouped",
+        lambda: boolean_search(
+            pidx, "(bace OR cedi) AND wedi bacq~1", k=10
+        ).collect(),
+    )
+    from parser_indexer_py_spark.index.boolean import edismax_search, select
+
+    # round-4: edismax mm=100% + pf phrase boost (positions available here)
+    run(
+        "edismax_mm_pf",
+        lambda: edismax_search(pidx, "bace cedi", k=10).collect(),
+    )
     pidx.uncache()
+    # round-4: /select facet.range buckets + result grouping over the full
+    # match set of a hot term
+    run(
+        "select_facet_range",
+        lambda: select(
+            idx, q="bace", rows=0, facet_range=("turn_idx", 0, 40, 10)
+        )["range_facets"].collect(),
+    )
+    run(
+        "select_grouping",
+        lambda: select(idx, q="bace", rows=0, group_field="role")[
+            "groups"
+        ].count(),
+    )
 
     # ---- streaming segment search (distributed multi-segment BM25) ---------
     from parser_indexer_py_spark.streaming.incremental import (
