@@ -501,14 +501,19 @@ def boolean_search(
     applies to delegable queries; the clause evaluator is always a full
     evaluation."""
     pq = parse_query(query, default_op=default_op)
+    # mm delegates only for pure-SHOULD term queries (there n_terms ==
+    # matched SHOULD count; MUST/boost shapes would need the clause
+    # evaluator's per-piece indicators)
+    mm_delegable = min_should_match == 0 or (
+        bool(pq.should_terms) and not pq.must_terms
+    )
     delegable = (
         all(p.occur == MUST_NOT for p in pq.phrases)
         and all(p.occur == MUST_NOT for p in pq.prefixes)
         and all(p.occur == MUST_NOT for p in pq.fuzzies)
         and not pq.subs  # groups need the recursive clause algebra
         and not pq.match_all
-        and not fq
-        and min_should_match == 0
+        and mm_delegable
         and bool(pq.should_terms or pq.must_terms)
     )
     if delegable:
@@ -524,10 +529,24 @@ def boolean_search(
         should = sorted(set(pq.should_terms))
         must = sorted(set(pq.must_terms))
         terms = sorted(set(should) | set(must))
+        if min_should_match > len(should):
+            return _empty_result(index, with_meta)
         # MUST alongside SHOULD: containment of every MUST term as a
         # score-neutral required doc set (scoring stays the disjunctive
         # sum over ALL matched terms — Lucene BooleanQuery semantics)
         require = _docs_with_all(index, must) if (must and should) else None
+        # fq strings are score-neutral match-set restrictions (Solr fq)
+        # — each one's doc set chains into the same required semi-join
+        for s in [fq] if isinstance(fq, str) else list(fq or []):
+            sub = _scored_docs(index, parse_query(s, default_op=default_op))
+            if sub is None:
+                raise ValueError(f"fq {s!r} parses to an empty query")
+            sub_ids = sub.select("doc_id")
+            require = (
+                sub_ids
+                if require is None
+                else require.join(sub_ids, "doc_id", "left_semi")
+            )
         exclude = _exclusion_docs(index, pq, not_filters)
         boosts = {
             t: pq.boost_of(t) for t in terms if pq.boost_of(t) != 1.0
@@ -547,6 +566,7 @@ def boolean_search(
             boosts=boosts,
             require=require,
             exclude=exclude,
+            min_match=min_should_match,
             full_cutover=full_cutover,
             pool_target=pool_target,
         )

@@ -642,6 +642,7 @@ def search(
     boosts: dict | None = None,
     require: DataFrame | None = None,
     exclude: DataFrame | None = None,
+    min_match: int = 0,
 ) -> DataFrame:
     """BM25 top-k. Returns (doc_id, score[, conv_id, turn_idx, role
     [, excerpt]]). ``with_excerpt`` attaches an F11 sentence excerpt around
@@ -678,6 +679,12 @@ def search(
 
     if slop and not phrase:
         raise ValueError("slop only applies to phrase=True queries")
+    if min_match and (conjunctive or synonyms):
+        raise ValueError(
+            "min_match applies to plain disjunctive queries only "
+            "(conjunctive already requires every term; synonym expansion "
+            "changes what a matched-term count means)"
+        )
     if phrase and (boosts or require is not None or exclude is not None):
         raise ValueError(
             "boosts/require/exclude are term-query hooks; phrase=True "
@@ -728,12 +735,14 @@ def search(
                 DRIVER_CAND_CAP if driver_cand_cap is None else driver_cand_cap
             ),
             boosts=boosts, require=require, exclude=exclude,
+            min_match=min_match,
         )
     else:
         topk = full_eval(
             index, terms, k, conjunctive=conjunctive, groups=groups,
             role=role, filters=filters, with_meta=with_meta,
             boosts=boosts, require=require, exclude=exclude,
+            min_match=min_match,
         )
     if with_meta and with_excerpt:
         topk = _attach_excerpts(index, topk, terms)
@@ -753,6 +762,7 @@ def full_eval(
     boosts: dict | None = None,
     require: DataFrame | None = None,
     exclude: DataFrame | None = None,
+    min_match: int = 0,
 ) -> DataFrame:
     """Exhaustive evaluation over an ALREADY-ANALYZED term list — the
     single implementation behind search(mode='full'), the adaptive-cutover
@@ -769,7 +779,10 @@ def full_eval(
     the shared ``_apply_boosts`` fold), a score-neutral required doc set
     (semi-join — the doc-set form of MUST clauses when SHOULD clauses are
     also present), and a score-neutral excluded doc set (anti-join — the
-    union of all MUST_NOT clauses' docs)."""
+    union of all MUST_NOT clauses' docs). ``min_match`` (exclusive with
+    ``conjunctive``) is delegated minimumNumberShouldMatch over a pure
+    disjunction: keep docs matching >= that many of ``terms`` — the same
+    n_terms count the conjunctive filter uses."""
     blocks = _blocks_for_terms(index, terms)
     # conjunctive rare-term pruning (lossless, same rule as the phrase
     # path): a doc lacking the rarest term can never reach
@@ -844,6 +857,8 @@ def full_eval(
         )
     elif conjunctive:
         scored = scored.filter(F.col("n_terms") == len(terms))
+    elif min_match > 0:
+        scored = scored.filter(F.col("n_terms") >= int(min_match))
     scored = scored.drop("n_terms")
     allowed = allowed_docs(index, role, filters)
     if allowed is not None:

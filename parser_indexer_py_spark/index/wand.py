@@ -127,6 +127,7 @@ def search_pruned(
     boosts: dict | None = None,
     require: DataFrame | None = None,
     exclude: DataFrame | None = None,
+    min_match: int = 0,
 ) -> DataFrame:
     """``pool_target`` overrides the candidate-pool size (tests use a tiny
     pool to force the completeness check to fail and exercise the
@@ -168,6 +169,7 @@ def search_pruned(
             index, terms, k, conjunctive=conjunctive, groups=groups,
             role=role, filters=filters, with_meta=with_meta,
             boosts=boosts, require=require, exclude=exclude,
+            min_match=min_match,
         )
 
     expanded = groups is not None and (
@@ -390,6 +392,10 @@ def search_pruned(
         scored = _score_decoded(decoded)
         if conjunctive:
             scored = scored.filter(F.col("n_terms") == len(terms))
+        elif min_match > 0:
+            # delegated minimumNumberShouldMatch (score-neutral doc
+            # filter like fq — the completeness check runs after it)
+            scored = scored.filter(F.col("n_terms") >= int(min_match))
         scored = scored.drop("n_terms")
         allowed = allowed_docs(index, role, filters)
         if allowed is not None:

@@ -472,6 +472,48 @@ def test_boolean_fuzzy_vs_oracle(bindex, boracle, qterms):
     assert exact == set(boracle.postings[t1])
 
 
+def test_boolean_wand_delegation_fq_and_mm(bindex, boracle, qterms):
+    """Round-4b: fq strings (score-neutral match-set restrictions) chain
+    into the delegated require semi-join, and pure-SHOULD mm delegates
+    as an n_terms filter — identity with the oracle and across modes
+    with pruning forced on."""
+    t1, t2, t3 = qterms
+    # fq composes with delegation: equals the clause-path fq behavior
+    for q, fqs in [
+        (f"{t1} {t3}", t2),                     # text fq
+        (f"{t1} {t3}", ["role:user", t2]),      # repeated fq params
+        (f"+{t1} {t3} -{t2}", "role:assistant"),
+    ]:
+        full = _rows(
+            boolean_search(bindex, q, k=10, fq=fqs, with_meta=False)
+        )
+        pr = _rows(
+            boolean_search(
+                bindex, q, k=10, fq=fqs, mode="pruned", full_cutover=0,
+                with_meta=False,
+            )
+        )
+        assert pr == full, (q, fqs)
+    # mm over pure-SHOULD terms delegates; identity with the oracle
+    q3 = f"{t1} {t2} {t3}"
+    for mm in (1, 2, 3):
+        want = boracle.boolean_search(q3, k=10, min_should_match=mm)
+        got = _rows(
+            boolean_search(
+                bindex, q3, k=10, min_should_match=mm, mode="pruned",
+                full_cutover=0, with_meta=False,
+            )
+        )
+        assert got == want, mm
+    assert (
+        boolean_search(
+            bindex, q3, k=10, min_should_match=4, mode="pruned",
+            full_cutover=0, with_meta=False,
+        ).count()
+        == 0
+    )
+
+
 def test_boolean_pruning_knobs_rejected_on_clause_path(bindex, qterms):
     t1, t2, _ = qterms
     with pytest.raises(ValueError, match="WAND-delegable"):

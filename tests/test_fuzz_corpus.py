@@ -214,21 +214,20 @@ def test_fuzz_boolean_matches_oracle(spark, tmp_path_factory, seed):
         ]
         want = oracle.boolean_search(q, k=10, min_should_match=mm)
         assert got == want, (seed, i, q, mm)
-        if mm == 0:
-            # WAND-delegable shapes (term-only positives, any negatives/
-            # boosts) must stay identical with the pruning machinery
-            # forced on; clause-path queries reject the knob loudly
-            try:
-                got_p = [
-                    (r["doc_id"], r["score"])
-                    for r in boolean_search(
-                        idx, q, k=10, mode="pruned", full_cutover=0,
-                        with_meta=False,
-                    ).collect()
-                ]
-            except ValueError:
-                pass
-            else:
-                assert got_p == want, (seed, i, q, "pruned")
+        # WAND-delegable shapes (term-only positives, any negatives/
+        # boosts, pure-SHOULD mm) must stay identical with the pruning
+        # machinery forced on; clause-path queries reject the knob loudly
+        try:
+            got_p = [
+                (r["doc_id"], r["score"])
+                for r in boolean_search(
+                    idx, q, k=10, min_should_match=mm, mode="pruned",
+                    full_cutover=0, with_meta=False,
+                ).collect()
+            ]
+        except ValueError:
+            pass
+        else:
+            assert got_p == want, (seed, i, q, mm, "pruned")
         n_nonempty += bool(got)
     assert n_nonempty >= 5  # the generator must produce real matches
