@@ -727,6 +727,32 @@ def build_index(
     return paths
 
 
+def build_fielded_indexes(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_root: str,
+    fields: dict,
+    **build_kw,
+) -> dict:
+    """One index per searchable FIELD for multi-field edismax qf
+    (index.boolean.edismax_qf): ``fields`` maps field name -> the column
+    (name or Column expression) holding that field's text. Every field
+    index is built from the SAME rows, so the shuffle-free stable docID
+    assignment — a pure function of the (conv_id, turn_idx) order —
+    gives each row the same doc_id in every index (asserted by
+    tests/test_boolean.py::test_edismax_qf_multifield_vs_oracle).
+    Returns {field: index_dir}; load each with ``load_index``."""
+    out = {}
+    for name, expr in fields.items():
+        col = F.col(expr) if isinstance(expr, str) else expr
+        path = os.path.join(out_root, f"field={name}")
+        build_index(
+            spark, transcripts.withColumn("text", col), path, **build_kw
+        )
+        out[name] = path
+    return out
+
+
 def _write_termstats(spark: SparkSession, paths: IndexPaths) -> None:
     ts = (
         spark.read.parquet(paths.postings)

@@ -838,3 +838,32 @@ def test_edismax_default_on_positionless_index(
     assert eng == _rows(
         search(idx, q, k=10, conjunctive=True, with_meta=False)
     )
+
+
+def test_build_fielded_indexes_helper(spark, tmp_path_factory):
+    """build_fielded_indexes produces aligned per-field indexes usable by
+    edismax_qf directly."""
+    import pyspark.sql.functions as F
+
+    from parser_indexer_py_spark.index.boolean import edismax_qf
+    from parser_indexer_py_spark.index.build import build_fielded_indexes
+
+    base = generate_transcripts(spark, 30, partitions=2)
+    root = str(tmp_path_factory.mktemp("fielded"))
+    dirs = build_fielded_indexes(
+        spark, base, root,
+        {
+            "text": "text",
+            "title": F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 2), " "
+            ),
+        },
+        n_chunks=1,
+    )
+    idxs = {f: load_index(spark, d) for f, d in dirs.items()}
+    assert idxs["text"].n_docs == idxs["title"].n_docs
+    rows = edismax_qf(
+        idxs, "the", {"text": 1.0, "title": 5.0}, k=5, mm=0,
+        with_meta=False,
+    )
+    rows.collect()  # runs end-to-end on the helper's output
