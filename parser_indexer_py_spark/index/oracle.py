@@ -210,7 +210,13 @@ class BM25Oracle:
             match_all_score=match_all_score,
         )
         if scores is None:
-            return []
+            if role is None:
+                return []
+            # a role filter makes an otherwise-empty query the filtered
+            # match-all rewrite — same rule as the engine, where the
+            # role/filters params feed allowed_docs and _scored_docs then
+            # takes the constant-score branch
+            scores = {d: float(match_all_score) for d in self.dl}
         cands = [
             (d, s)
             for d, s in scores.items()

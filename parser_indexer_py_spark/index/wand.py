@@ -150,7 +150,10 @@ def search_pruned(
       are score-neutral doc-set joins applied to the PHASE-2 candidate
       set — docs failing them can never be results, so dropping them
       before rescoring is lossless; the completeness check runs on the
-      post-join top-k, exactly as it already does for fq filters."""
+      post-join top-k, exactly as it already does for fq filters;
+    - ``min_match`` (pure-SHOULD minimumNumberShouldMatch) filters
+      phase-3 scores on the same n_terms count the conjunctive filter
+      uses, again ahead of the completeness check."""
     from .search import (  # cycle-free
         _apply_boosts,
         _blocks_for_terms,

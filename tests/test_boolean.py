@@ -867,3 +867,16 @@ def test_build_fielded_indexes_helper(spark, tmp_path_factory):
         with_meta=False,
     )
     rows.collect()  # runs end-to-end on the helper's output
+
+
+def test_boolean_empty_query_with_role_is_filtered_match_all(
+    bindex, boracle
+):
+    """An empty q plus a role param behaves like the filtered match-all
+    rewrite (the role/filters params feed allowed_docs) — engine and
+    oracle agree (restored in the round-4 oracle refactor)."""
+    eng = _rows(
+        boolean_search(bindex, "", k=5, role="user", with_meta=False)
+    )
+    assert eng == boracle.boolean_search("", k=5, role="user")
+    assert eng and all(s == 1.0 for _, s in eng)
