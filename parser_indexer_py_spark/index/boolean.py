@@ -817,6 +817,7 @@ def select(
     group_field: str | None = None,
     group_limit: int = 1,
     hl: bool = False,
+    mode: str = "full",
 ) -> dict:
     """Solr ``/select`` twin — the request shape every reference sample
     query uses (docs/mte-samplequeries.md; handler defaults rows=10 at
@@ -840,8 +841,44 @@ def select(
     else: each value is an unevaluated DataFrame; no count job runs
     unless the caller asks (numFound is ``response_all.count()`` —
     deliberately not precomputed, a 100-TB match set's exact count is
-    its own job)."""
+    its own job).
+
+    ``mode`` passes through to the page-only fast path below: a
+    relevance-sorted request with NO full-match-set component (no
+    facets, no range facets, no grouping, no field sort) needs only the
+    top start+rows docs, so it rides ``boolean_search`` — identical
+    scoring and ordering (pytest-gated equality with the match-set
+    path), and WAND-delegable ``q`` shapes get block-max pruning with
+    ``mode='pruned'``. Anything needing the whole match set evaluates
+    it once and derives every response section from it."""
     pq = parse_query(q, default_op=q_op)
+    needs_match_set = (
+        facet_field is not None
+        or facet_range is not None
+        or group_field is not None
+        or sort is not None
+    )
+    if not needs_match_set and rows > 0:
+        from ..functions.queryparser import _is_empty
+
+        if _is_empty(pq):
+            raise ValueError(f"q {q!r} parses to an empty query")
+        resp = boolean_search(
+            index, q, k=start + rows, fq=fq, default_op=q_op, mode=mode,
+            with_meta=True, with_excerpt=hl,
+        ).offset(start)
+        if fl:
+            avail = set(resp.columns)
+            bad = [c for c in fl if c not in avail]
+            if bad:
+                raise ValueError(f"fl columns {bad} not in {sorted(avail)}")
+            resp = resp.select(*fl)
+        return {
+            "response": resp,
+            "facets": None,
+            "range_facets": None,
+            "groups": None,
+        }
     scored = _scored_docs(index, pq)
     if scored is None:
         raise ValueError(f"q {q!r} parses to an empty query")

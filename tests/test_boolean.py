@@ -880,3 +880,37 @@ def test_boolean_empty_query_with_role_is_filtered_match_all(
     )
     assert eng == boracle.boolean_search("", k=5, role="user")
     assert eng and all(s == 1.0 for _, s in eng)
+
+
+def test_select_fast_path_equals_match_set_path(bindex, qterms):
+    """Round-4: a facet-less relevance-paged select rides boolean_search
+    (and WAND delegation under mode='pruned'); rows must equal the
+    match-set path bit-for-bit (forced here by requesting a facet)."""
+    t1, t2, _ = qterms
+
+    def page_rows(resp):
+        return [
+            (r["doc_id"], r["score"], r["conv_id"], r["turn_idx"])
+            for r in resp.select(
+                "doc_id", "score", "conv_id", "turn_idx"
+            ).collect()
+        ]
+
+    for q in [t1, f"{t1} -{t2}", f"+{t1} {t2}", "*:*"]:
+        fast = select(bindex, q=q, rows=5, start=2)["response"]
+        slow = select(bindex, q=q, rows=5, start=2, facet_field="role")[
+            "response"
+        ]
+        assert page_rows(fast) == page_rows(slow), q
+        pruned = select(bindex, q=q, rows=5, start=2, mode="pruned")[
+            "response"
+        ]
+        assert page_rows(pruned) == page_rows(fast), q
+    # empty q still raises loudly on the fast path
+    with pytest.raises(ValueError, match="empty query"):
+        select(bindex, q="", rows=5)
+    # fl + hl compose on the fast path
+    resp = select(bindex, q=t1, rows=3, hl=True, fl=["conv_id", "excerpt"])[
+        "response"
+    ]
+    assert resp.columns == ["conv_id", "excerpt"] and resp.count() == 3
