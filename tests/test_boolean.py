@@ -660,15 +660,24 @@ def test_boolean_on_segments(spark, tmp_path_factory):
         view.docmap.select("doc_id", "text", "role").toPandas()
     )
     t1, t2, t3 = _pick_terms(o)
+    typo = t1[:-1] + ("x" if t1[-1] != "x" else "y")
     for q in [
         f"{t1} {t3}",
         f"{t3} +{t1} -{t2}",
         f'{t3} "{t1} {t2}"',
         f'"{t1} {t2}"~2 AND {t3}',
         f"{t1} role:user",
+        f"({t1} OR {t2}) AND {t3}",   # round-4: groups over segments
+        f"{t3} {typo}~1",             # round-4: fuzzy over segments
+        f"{t1}^2 {t3} -{t2}",         # round-4: delegated boost+negation
     ]:
         eng = _rows(boolean_search(view, q, k=10, with_meta=False))
         assert eng == o.boolean_search(q, k=10), q
+        # the delegated WAND path over the merged view agrees too
+        pr = _rows(
+            boolean_search(view, q, k=10, mode="pruned", with_meta=False)
+        )
+        assert pr == eng, (q, "pruned")
 
 
 def test_select_facet_range(bindex, boracle, qterms):
