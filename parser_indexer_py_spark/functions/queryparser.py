@@ -79,6 +79,7 @@ __all__ = [
     "GroupClause",
     "ParsedQuery",
     "parse_query",
+    "flatten_query",
 ]
 
 SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
@@ -136,6 +137,11 @@ class ParsedQuery:
     # group boosts live on their clause objects
     boosts: dict = field(default_factory=dict)
     match_all: bool = False
+    # disjunctive containment constraints produced by flatten_query: each
+    # entry is the term set of a flattened MUST group — a doc must contain
+    # >= 1 term of EVERY entry (score-neutral; the terms themselves score
+    # as ordinary SHOULD clauses). parse_query never sets this directly.
+    must_any: tuple[tuple[str, ...], ...] = ()
 
     def boost_of(self, term: str) -> float:
         return float(self.boosts.get(term, 1.0))
@@ -521,6 +527,90 @@ def _parse_level(
         should, must, must_not, phrases, prefixes, fuzzies, subs,
         filters, not_filters, boosts, match_all,
     ), i
+
+
+def flatten_query(pq: ParsedQuery) -> ParsedQuery:
+    """Lucene's BooleanQuery rewrite stage, as a shared pure function:
+    SIMPLE nested groups — groups that (after recursively flattening
+    their own subqueries) contain ONLY optional term clauses — fold into
+    the enclosing level, because coord-free scoring makes the nesting
+    semantically transparent:
+
+    - a SHOULD group's terms become top-level SHOULD terms (a matching
+      group contributed the sum of its matching terms' scores — exactly
+      what the flat terms contribute), with per-term boost =
+      group boost x inner boost;
+    - a MUST group additionally records its term set in ``must_any``
+      (the doc must match >= 1 of them — score-neutral containment, the
+      doc-set form of the group's matching requirement);
+    - a MUST_NOT group's terms become top-level MUST_NOT terms (the
+      group excluded its match set = docs containing any of them).
+
+    A group whose terms collide with terms already present at the parent
+    level (or in another flattened group) under a DIFFERENT effective
+    boost is left intact — folding it would have to merge boosts. Both
+    the engine (index/boolean.py) and the pure-Python oracle flatten
+    with this same function before evaluating, so the documented float
+    fold (one ascending-term sum) applies identically on both sides.
+    Callers only flatten when min_should_match == 0: flattening changes
+    the SHOULD-clause count that mm is measured against."""
+    subs = []
+    should = list(pq.should_terms)
+    must_not = list(pq.must_not_terms)
+    boosts = dict(pq.boosts)
+    must_any = [tuple(g) for g in pq.must_any]
+    for gc in pq.subs:
+        sub = flatten_query(gc.sub)
+        simple = (
+            sub.should_terms
+            and not (
+                sub.must_terms or sub.must_not_terms or sub.phrases
+                or sub.prefixes or sub.fuzzies or sub.subs or sub.filters
+                or sub.not_filters or sub.match_all or sub.must_any
+            )
+        )
+        if not simple:
+            subs.append(GroupClause(sub, gc.occur, gc.boost))
+            continue
+        if gc.occur == MUST_NOT:
+            must_not.extend(sub.should_terms)
+            continue
+        eff = {
+            t: float(gc.boost) * sub.boost_of(t)
+            for t in set(sub.should_terms)
+        }
+        # a duplicate term would change scoring under the flat set-dedup
+        # (`alpha (alpha beta)` scores alpha twice today); a pre-existing
+        # different boost can't be merged — keep such groups nested
+        conflict = any(
+            t in should
+            or t in pq.must_terms
+            or (t in boosts and boosts[t] != eff[t])
+            for t in eff
+        )
+        if conflict:
+            subs.append(GroupClause(sub, gc.occur, gc.boost))
+            continue
+        should.extend(sub.should_terms)
+        for t, b in eff.items():
+            if b != 1.0:
+                boosts[t] = b
+        if gc.occur == MUST:
+            must_any.append(tuple(sorted(set(sub.should_terms))))
+    return ParsedQuery(
+        should_terms=tuple(should),
+        must_terms=pq.must_terms,
+        must_not_terms=tuple(must_not),
+        phrases=pq.phrases,
+        prefixes=pq.prefixes,
+        fuzzies=pq.fuzzies,
+        subs=tuple(subs),
+        filters=pq.filters,
+        not_filters=pq.not_filters,
+        boosts=boosts,
+        match_all=pq.match_all,
+        must_any=tuple(must_any),
+    )
 
 
 def _is_empty(pq: ParsedQuery) -> bool:

@@ -58,6 +58,7 @@ from ..functions.queryparser import (
     SHOULD,
     ParsedQuery,
     RangeValue,
+    flatten_query,
     parse_query,
 )
 from .search import (
@@ -67,7 +68,6 @@ from .search import (
     _apply_boosts,
     _attach_excerpts,
     _blocks_for_terms,
-    _docs_with_all,
     _docs_with_any,
     _make_decoder,
     _payload_cols,
@@ -372,6 +372,13 @@ def _scored_docs(
         out = acc.select("doc_id", score.alias("score"))
         if allowed is not None:
             out = out.join(allowed, "doc_id", "left_semi")
+        for grp in pq.must_any:
+            # flattened MUST group: score-neutral >=1-of containment
+            out = out.join(
+                _docs_with_any(index, sorted(set(grp))),
+                "doc_id",
+                "left_semi",
+            )
 
     # MUST_NOT exclusions — each clause excludes independently (anti joins)
     nt = sorted(set(pq.must_not_terms))
@@ -501,6 +508,13 @@ def boolean_search(
     applies to delegable queries; the clause evaluator is always a full
     evaluation."""
     pq = parse_query(query, default_op=default_op)
+    if min_should_match == 0:
+        # Lucene's BooleanQuery rewrite: simple nested groups fold into
+        # this level (shared flatten_query — the oracle applies the same
+        # rewrite), making shapes like '(a OR b) AND c' WAND-delegable.
+        # mm queries skip it: flattening changes the SHOULD-clause count
+        # mm is measured against.
+        pq = flatten_query(pq)
     # mm delegates only for pure-SHOULD term queries (there n_terms ==
     # matched SHOULD count; MUST/boost shapes would need the clause
     # evaluator's per-piece indicators)
@@ -531,10 +545,15 @@ def boolean_search(
         terms = sorted(set(should) | set(must))
         if min_should_match > len(should):
             return _empty_result(index, with_meta)
-        # MUST alongside SHOULD: containment of every MUST term as a
-        # score-neutral required doc set (scoring stays the disjunctive
-        # sum over ALL matched terms — Lucene BooleanQuery semantics)
-        require = _docs_with_all(index, must) if (must and should) else None
+        # MUST alongside SHOULD terms and flattened MUST groups are
+        # TERM-containment constraints: they ride the scoring
+        # aggregation's collected structs (search._containment_filter —
+        # the clause evaluator's own exists mechanism) instead of
+        # separate doc-set decodes, which for hot terms would cost a
+        # full docs-only scan + join before pruning even starts
+        contain_all = must if (must and should) else None
+        contain_any = [tuple(g) for g in pq.must_any] or None
+        require = None
         # fq strings are score-neutral match-set restrictions (Solr fq)
         # — each one's doc set chains into the same required semi-join
         for s in [fq] if isinstance(fq, str) else list(fq or []):
@@ -567,6 +586,8 @@ def boolean_search(
             require=require,
             exclude=exclude,
             min_match=min_should_match,
+            contain_all=contain_all,
+            contain_any=contain_any,
             full_cutover=full_cutover,
             pool_target=pool_target,
         )
@@ -851,7 +872,7 @@ def select(
     path), and WAND-delegable ``q`` shapes get block-max pruning with
     ``mode='pruned'``. Anything needing the whole match set evaluates
     it once and derives every response section from it."""
-    pq = parse_query(q, default_op=q_op)
+    pq = flatten_query(parse_query(q, default_op=q_op))
     needs_match_set = (
         facet_field is not None
         or facet_range is not None

@@ -201,9 +201,12 @@ class BM25Oracle:
 
         Field clauses: the oracle's only metadata field is ``role``;
         other fields raise (engine-only surface)."""
-        from ..functions.queryparser import parse_query
+        from ..functions.queryparser import flatten_query, parse_query
 
         pq = parse_query(query)
+        if min_should_match == 0:
+            # the same Lucene-rewrite flattening the engine applies
+            pq = flatten_query(pq)
         scores = self._pq_scores(
             pq,
             min_should_match=min_should_match,
@@ -345,6 +348,11 @@ class BM25Oracle:
                 docs = set()
                 for _, p, _ in pieces:
                     docs |= set(p)
+            for grp in pq.must_any:
+                grp_docs: set[int] = set()
+                for t in set(grp):
+                    grp_docs |= set(self.postings.get(t, {}))
+                docs &= grp_docs
             scores = {}
             for d in docs:
                 s = 0.0

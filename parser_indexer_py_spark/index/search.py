@@ -564,6 +564,29 @@ def _score_decoded(decoded: DataFrame, keep_cs: bool = False) -> DataFrame:
     return out if keep_cs else out.drop("cs")
 
 
+def _containment_filter(
+    scored: DataFrame, contain_all: list | None, contain_any: list | None
+) -> DataFrame:
+    """Score-neutral term-containment filters over the collected ``cs``
+    structs (single-arg lambdas only — see boolean.py's _has note)."""
+
+    def _has(term: str):
+        return F.exists("cs", lambda x: x["term"] == F.lit(term))
+
+    cond = None
+    for t in sorted(set(contain_all or [])):
+        c = _has(t)
+        cond = c if cond is None else (cond & c)
+    for grp in contain_any or []:
+        gc = None
+        for t in sorted(set(grp)):
+            c = _has(t)
+            gc = c if gc is None else (gc | c)
+        if gc is not None:
+            cond = gc if cond is None else (cond & gc)
+    return scored if cond is None else scored.filter(cond)
+
+
 @dataclass(frozen=True)
 class Between:
     """Inclusive range marker for ``search(filters=...)`` — the Solr
@@ -643,6 +666,8 @@ def search(
     require: DataFrame | None = None,
     exclude: DataFrame | None = None,
     min_match: int = 0,
+    contain_all: list | None = None,
+    contain_any: list | None = None,
 ) -> DataFrame:
     """BM25 top-k. Returns (doc_id, score[, conv_id, turn_idx, role
     [, excerpt]]). ``with_excerpt`` attaches an F11 sentence excerpt around
@@ -679,6 +704,11 @@ def search(
 
     if slop and not phrase:
         raise ValueError("slop only applies to phrase=True queries")
+    if (contain_all or contain_any) and (phrase or synonyms):
+        raise ValueError(
+            "contain_all/contain_any are delegated term-query hooks; "
+            "phrase/synonym queries compose through index.boolean"
+        )
     if min_match and (conjunctive or synonyms):
         raise ValueError(
             "min_match applies to plain disjunctive queries only "
@@ -736,6 +766,7 @@ def search(
             ),
             boosts=boosts, require=require, exclude=exclude,
             min_match=min_match,
+            contain_all=contain_all, contain_any=contain_any,
         )
     else:
         topk = full_eval(
@@ -743,6 +774,7 @@ def search(
             role=role, filters=filters, with_meta=with_meta,
             boosts=boosts, require=require, exclude=exclude,
             min_match=min_match,
+            contain_all=contain_all, contain_any=contain_any,
         )
     if with_meta and with_excerpt:
         topk = _attach_excerpts(index, topk, terms)
@@ -763,6 +795,8 @@ def full_eval(
     require: DataFrame | None = None,
     exclude: DataFrame | None = None,
     min_match: int = 0,
+    contain_all: list | None = None,
+    contain_any: list | None = None,
 ) -> DataFrame:
     """Exhaustive evaluation over an ALREADY-ANALYZED term list — the
     single implementation behind search(mode='full'), the adaptive-cutover
@@ -777,12 +811,21 @@ def full_eval(
     ``boosts``/``require``/``exclude`` carry delegated boolean-query
     semantics (index/boolean.py): per-term score multipliers (applied via
     the shared ``_apply_boosts`` fold), a score-neutral required doc set
-    (semi-join — the doc-set form of MUST clauses when SHOULD clauses are
-    also present), and a score-neutral excluded doc set (anti-join — the
-    union of all MUST_NOT clauses' docs). ``min_match`` (exclusive with
-    ``conjunctive``) is delegated minimumNumberShouldMatch over a pure
-    disjunction: keep docs matching >= that many of ``terms`` — the same
-    n_terms count the conjunctive filter uses."""
+    (semi-join — used for fq match-set restrictions), and a score-neutral
+    excluded doc set (anti-join — the union of all MUST_NOT clauses'
+    docs). ``min_match`` (exclusive with ``conjunctive``) is delegated
+    minimumNumberShouldMatch over a pure disjunction: keep docs matching
+    >= that many of ``terms`` — the same n_terms count the conjunctive
+    filter uses.
+
+    ``contain_all`` / ``contain_any`` are TERM-containment constraints
+    over terms that are ALREADY in ``terms`` (delegated MUST clauses
+    beside SHOULD clauses, and flattened MUST groups): they filter on the
+    per-doc (term, contrib) structs the scoring aggregation collects —
+    the same ``exists`` mechanism the clause evaluator uses — so no
+    separate doc-set decode or join is needed (a hot MUST term's require
+    DataFrame would cost a full docs-only decode; this costs nothing
+    beyond keeping ``cs`` through the aggregation)."""
     blocks = _blocks_for_terms(index, terms)
     # conjunctive rare-term pruning (lossless, same rule as the phrase
     # path): a doc lacking the rarest term can never reach
@@ -823,7 +866,12 @@ def full_eval(
     if boosts:
         decoded = _apply_boosts(decoded, terms, lambda t: boosts.get(t, 1.0))
     use_groups = conjunctive and groups is not None
-    scored = _score_decoded(decoded, keep_cs=use_groups)
+    need_cs = bool(contain_all or contain_any)
+    scored = _score_decoded(decoded, keep_cs=use_groups or need_cs)
+    if need_cs:
+        scored = _containment_filter(scored, contain_all, contain_any)
+        if not use_groups:
+            scored = scored.drop("cs")
     if use_groups:
         # group coverage from the SAME collected (term, contrib) structs
         # _score_decoded aggregates — one decode pass, no second subtree.

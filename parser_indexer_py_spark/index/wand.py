@@ -128,6 +128,8 @@ def search_pruned(
     require: DataFrame | None = None,
     exclude: DataFrame | None = None,
     min_match: int = 0,
+    contain_all: list | None = None,
+    contain_any: list | None = None,
 ) -> DataFrame:
     """``pool_target`` overrides the candidate-pool size (tests use a tiny
     pool to force the completeness check to fail and exercise the
@@ -157,6 +159,7 @@ def search_pruned(
     from .search import (  # cycle-free
         _apply_boosts,
         _blocks_for_terms,
+        _containment_filter,
         _score_decoded,
         allowed_docs,
         full_eval,
@@ -173,6 +176,7 @@ def search_pruned(
             role=role, filters=filters, with_meta=with_meta,
             boosts=boosts, require=require, exclude=exclude,
             min_match=min_match,
+            contain_all=contain_all, contain_any=contain_any,
         )
 
     expanded = groups is not None and (
@@ -392,7 +396,15 @@ def search_pruned(
             )
         if boosted:
             decoded = _apply_boosts(decoded, terms, boost_of)
-        scored = _score_decoded(decoded)
+        need_cs = bool(contain_all or contain_any)
+        scored = _score_decoded(decoded, keep_cs=need_cs)
+        if need_cs:
+            # delegated term-containment (MUST beside SHOULD, flattened
+            # MUST groups): filter on the collected structs — candidates
+            # only, no doc-set decode/join; the completeness check below
+            # runs after it like every other score-neutral filter
+            scored = _containment_filter(scored, contain_all, contain_any)
+            scored = scored.drop("cs")
         if conjunctive:
             scored = scored.filter(F.col("n_terms") == len(terms))
         elif min_match > 0:

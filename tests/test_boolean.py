@@ -923,3 +923,63 @@ def test_select_fast_path_equals_match_set_path(bindex, qterms):
         "response"
     ]
     assert resp.columns == ["conv_id", "excerpt"] and resp.count() == 3
+
+
+def test_flatten_query_units():
+    """Round-4b: Lucene-rewrite flattening — simple groups fold into the
+    enclosing level; MUST groups leave a must_any containment; conflicts
+    and complex groups stay nested."""
+    from parser_indexer_py_spark.functions.queryparser import flatten_query
+
+    pq = flatten_query(parse_query("(alpha OR beta) AND gamma"))
+    assert not pq.subs
+    assert set(pq.should_terms) == {"alpha", "beta"}
+    assert pq.must_terms == ("gamma",)
+    assert pq.must_any == (("alpha", "beta"),)
+
+    pq = flatten_query(parse_query("-(alpha beta) gamma"))
+    assert not pq.subs and set(pq.must_not_terms) == {"alpha", "beta"}
+
+    pq = flatten_query(parse_query("(alpha beta^2)^3 gamma"))
+    assert not pq.subs
+    assert pq.boost_of("alpha") == 3.0 and pq.boost_of("beta") == 6.0
+
+    # nested simple groups flatten bottom-up
+    pq = flatten_query(parse_query("((alpha OR beta) delta) gamma"))
+    assert not pq.subs and pq.must_any == ()
+    assert set(pq.should_terms) == {"alpha", "beta", "delta", "gamma"}
+
+    # duplicate term -> group kept nested (folding would change scoring)
+    pq = flatten_query(parse_query("alpha (alpha beta)"))
+    assert len(pq.subs) == 1
+
+    # phrase-bearing group stays nested
+    pq = flatten_query(parse_query('("alpha beta" gamma) delta'))
+    assert len(pq.subs) == 1
+
+
+def test_boolean_flattened_groups_delegate(bindex, boracle, qterms):
+    """Flattened '(a OR b) AND c' delegates to WAND (forced pruned) and
+    stays oracle-identical; conflict shapes stay clausal but equal too."""
+    t1, t2, t3 = qterms
+    for q in [
+        f"({t1} OR {t2}) AND {t3}",
+        f"({t1} {t2}) -{t3}",
+        f"({t1}^2 {t2})^2 +{t3}",
+        f"(({t1} OR {t2})) {t3}",
+        f"{t1} ({t1} {t2})",          # conflict: stays nested, still equal
+    ]:
+        want = boracle.boolean_search(q, k=10)
+        assert _rows(
+            boolean_search(bindex, q, k=10, with_meta=False)
+        ) == want, q
+        try:
+            pr = _rows(
+                boolean_search(
+                    bindex, q, k=10, mode="pruned", full_cutover=0,
+                    with_meta=False,
+                )
+            )
+        except ValueError:
+            continue  # clause-path shape rejects the knob (conflict case)
+        assert pr == want, (q, "pruned")
