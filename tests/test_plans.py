@@ -139,3 +139,44 @@ def test_boolean_plans(spark, tmp_path):
     sugg = _suggest_term(idx, "bacq", SPELL_DEFAULTS)
     p = plan_string(sugg)
     assert "PushedFilters" in p and "StartsWith" in p, p
+
+
+def test_select_fast_path_and_qf_plans(spark, tmp_path):
+    """Round-4 plan audit: the facet-less select page compiles to a
+    distributed top-k heap (TakeOrderedAndProject), and edismax_qf's
+    per-field union feeds exactly two aggregation exchanges (term,doc
+    dismax + per-doc fold) — no extra shuffles, no posexplode."""
+    from parser_indexer_py_spark.datagen import generate_transcripts
+    from parser_indexer_py_spark.index.boolean import edismax_qf, select
+    from parser_indexer_py_spark.index.build import build_fielded_indexes
+    from parser_indexer_py_spark.index.search import load_index
+
+    import pyspark.sql.functions as F
+
+    base = generate_transcripts(spark, 30)
+    dirs = build_fielded_indexes(
+        spark, base, str(tmp_path / "qfp"),
+        {
+            "text": "text",
+            "title": F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 2), " "
+            ),
+        },
+        n_chunks=1,
+    )
+    idxs = {f: load_index(spark, d) for f, d in dirs.items()}
+
+    resp = select(idxs["text"], q="bace cedi", rows=5)["response"]
+    assert_take_ordered(resp)
+
+    qf = edismax_qf(
+        idxs, "bace", {"text": 1.0, "title": 5.0}, k=5, mm=0,
+        with_meta=False,
+    )
+    p = plan_string(qf)
+    assert "posexplode" not in p.lower()
+    # two hash-aggregate pairs (term-doc dismax, per-doc fold) = at most
+    # three exchanges incl. the final top-k ordering
+    n_exchanges = p.count("Exchange")
+    assert n_exchanges <= 6, f"unexpected shuffle count {n_exchanges}:\n{p}"
+    assert_take_ordered(qf)
