@@ -231,3 +231,57 @@ def test_fuzz_boolean_matches_oracle(spark, tmp_path_factory, seed):
             assert got_p == want, (seed, i, q, mm, "pruned")
         n_nonempty += bool(got)
     assert n_nonempty >= 5  # the generator must produce real matches
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_fuzz_flatten_preserves_semantics(seed):
+    """flatten_query must be a semantics-preserving rewrite: over random
+    group-bearing queries, the PURE-PYTHON oracle evaluated on the
+    UNFLATTENED tree and on the FLATTENED form must match the same doc
+    set with the same scores (float fold order differs between the two
+    forms, so scores compare at 1e-9 relative — the engine gates exact
+    equality separately against the flattened form both sides use)."""
+    from parser_indexer_py_spark.functions.queryparser import (
+        flatten_query,
+        parse_query,
+    )
+    from parser_indexer_py_spark.index.oracle import BM25Oracle
+
+    from parser_indexer_py_spark.functions.analyzer import analyze_text
+
+    pdf = _random_corpus(seed, 100)
+    oracle = BM25Oracle(
+        {i: analyze_text(t) for i, t in enumerate(pdf["text"])},
+        {i: r for i, r in enumerate(pdf["role"])},
+    )
+    terms = sorted(oracle.postings)
+    rng = np.random.default_rng(seed)
+    n_flattened = 0
+    # deterministic foldable shapes first (random groups usually carry a
+    # phrase/fielded/fuzzy clause and stay nested), then the clause soup
+    fixed = [
+        f"({terms[0]} OR {terms[1]}) AND {terms[2]}",
+        f"({terms[0]} {terms[3]}^2)^3 -{terms[2]}",
+        f"-({terms[1]} {terms[4]}) {terms[0]}",
+        f"(({terms[0]} OR {terms[1]}) {terms[5]}) {terms[2]}",
+        f"+({terms[3]} {terms[4]}) +{terms[0]}",
+    ]
+    for i in range(60):
+        q = fixed[i] if i < len(fixed) else _rand_bool_query(rng, terms, ROLES)
+        try:
+            pq = parse_query(q)
+        except ValueError:
+            continue
+        flat = flatten_query(pq)
+        if len(flat.subs) != len(pq.subs) or flat.must_any:
+            n_flattened += 1
+        nested = oracle._pq_scores(pq)
+        flattened = oracle._pq_scores(flat)
+        if nested is None or flattened is None:
+            assert nested == flattened, (seed, i, q)
+            continue
+        assert set(nested) == set(flattened), (seed, i, q)
+        for d, s in nested.items():
+            f = flattened[d]
+            assert abs(s - f) <= 1e-9 * max(1.0, abs(s)), (seed, i, q, d)
+    assert n_flattened >= 5  # the generator really produced foldable groups
