@@ -13,6 +13,8 @@ exactly this):
 Subcommands:
   build   — build/resume the index from a transcripts table
   search  — run a BM25 top-k query against an index
+  select  — Solr-style request: Lucene classic q (groups/fuzzy/phrases),
+            fq, pagination, sort, facet.field / facet.range, grouping, hl
   gen     — write a deterministic synthetic transcripts corpus
 
 In local mode the session factory propagates PYTHONPATH so --py-files is
@@ -39,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--salt", type=int, default=8)
     b.add_argument("--chunks", type=int, default=4)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument(
+        "--positions", action="store_true",
+        help="store positional postings (enables phrase / pf queries)",
+    )
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
@@ -55,6 +61,23 @@ def main(argv: list[str] | None = None) -> int:
         "--excerpt", action="store_true",
         help="attach an F11 sentence excerpt to each hit",
     )
+
+    sel = sub.add_parser("select")
+    sel.add_argument("--index", required=True)
+    sel.add_argument("-q", default="*:*")
+    sel.add_argument("--fq", action="append", default=None)
+    sel.add_argument("--rows", type=int, default=10)
+    sel.add_argument("--start", type=int, default=0)
+    sel.add_argument("--sort", default=None)
+    sel.add_argument("--fl", default=None, help="comma-separated columns")
+    sel.add_argument("--q-op", choices=["OR", "AND"], default="OR")
+    sel.add_argument("--facet-field", default=None)
+    sel.add_argument(
+        "--facet-range", default=None, help="field:start:end:gap"
+    )
+    sel.add_argument("--group-field", default=None)
+    sel.add_argument("--hl", action="store_true")
+    sel.add_argument("--mode", choices=["full", "pruned"], default="pruned")
 
     g = sub.add_parser("gen")
     g.add_argument("--convs", type=int, required=True)
@@ -104,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
             salt=args.salt,
             n_chunks=args.chunks,
             resume=not args.no_resume,
+            positions=args.positions,
         )
         from .index.search import load_index
 
@@ -164,6 +188,43 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "select":
+        from .index.boolean import select
+        from .index.search import load_index
+
+        idx = load_index(spark, args.index)
+        fr = None
+        if args.facet_range:
+            fld, lo, hi, gap = args.facet_range.split(":")
+            fr = (fld, int(lo), int(hi), int(gap))
+        t0 = time.time()
+        res = select(
+            idx,
+            q=args.q,
+            fq=args.fq,
+            rows=args.rows,
+            start=args.start,
+            sort=args.sort,
+            fl=args.fl.split(",") if args.fl else None,
+            q_op=args.q_op,
+            facet_field=args.facet_field,
+            facet_range=fr,
+            group_field=args.group_field,
+            hl=args.hl,
+            mode=args.mode,
+        )
+        out = {"q": args.q}
+        if res["response"] is not None:
+            out["response"] = [
+                r.asDict() for r in res["response"].collect()
+            ]
+        for key in ("facets", "range_facets", "groups"):
+            if res[key] is not None:
+                out[key] = [r.asDict() for r in res[key].collect()]
+        out["seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(out, default=str))
         return 0
     return 1
 
