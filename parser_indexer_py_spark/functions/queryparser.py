@@ -394,6 +394,12 @@ def _parse_level(
                     raw = bm.group(1)
             if raw == "*":
                 raise ValueError(f"field existence query {fld}:* unsupported")
+            if m.group("fielded") and re.search(r"~[\d.]*$", raw):
+                raise ValueError(
+                    f"fielded fuzzy {fld}:{raw} unsupported — field "
+                    "clauses are literal filters here (drop the ~ or "
+                    "query the term unfielded)"
+                )
             occ, _ = occur_for_next()
             tgt = not_filters if occ == MUST_NOT else filters
             _add_filter(tgt, fld, _coerce(raw))
@@ -461,6 +467,11 @@ def _parse_level(
                         f"fuzzy ~{edits} exceeds Lucene's maximum "
                         f"supported edit distance ({MAX_FUZZY_EDITS})"
                     )
+            if "*" in m.group("fterm") or "?" in m.group("fterm"):
+                raise ValueError(
+                    f"wildcard inside fuzzy term {m.group('fterm')!r}~ "
+                    "unsupported (wildcards and fuzziness don't compose)"
+                )
             f_toks = analyze_text(m.group("fterm"))
             boost = float(m.group("fzboost") or 1.0)
             occ, dflt = occur_for_next()

@@ -758,7 +758,10 @@ def edismax_qf(
         )
     terms = sorted(set(pq.should_terms))
     fields = sorted(qf)
-    meta_index = indexes.get("text") or indexes[fields[0]]
+    # metadata must come from a QF FIELD's index — those are the ones the
+    # n_docs consistency assertion covered; an extra non-qf entry in
+    # ``indexes`` could be stale/misaligned (review finding, round 4)
+    meta_index = indexes["text"] if "text" in qf else indexes[fields[0]]
     spark = meta_index.spark
     mm_n = _parse_mm(mm, len(terms))
     if mm_n > len(terms):
@@ -872,7 +875,7 @@ def select(
     path), and WAND-delegable ``q`` shapes get block-max pruning with
     ``mode='pruned'``. Anything needing the whole match set evaluates
     it once and derives every response section from it."""
-    pq = flatten_query(parse_query(q, default_op=q_op))
+    pq = parse_query(q, default_op=q_op)
     needs_match_set = (
         facet_field is not None
         or facet_range is not None
@@ -900,7 +903,8 @@ def select(
             "range_facets": None,
             "groups": None,
         }
-    scored = _scored_docs(index, pq)
+    pq = flatten_query(pq)  # match-set path evaluates here; fast path
+    scored = _scored_docs(index, pq)  # left flattening to boolean_search
     if scored is None:
         raise ValueError(f"q {q!r} parses to an empty query")
     if fq:

@@ -150,13 +150,11 @@ def _make_decoder(avgdl: float, cand: "np.ndarray | None" = None):
     return decode
 
 
-def _make_docs_decoder(with_term: bool = False):
+def _make_docs_decoder():
     """Docs-only block decoder for doc-SET consumers (phrase candidate
     pruning, constant-score prefix queries, MUST_NOT exclusions): decodes
     ONLY docs_bin — skips the tf/dl varint passes and the BM25 float work
-    ``_make_decoder`` does, all of which a ``.distinct()`` would discard.
-    ``with_term`` carries the term alongside (``_docs_with_all`` counts
-    distinct terms per doc)."""
+    ``_make_decoder`` does, all of which a ``.distinct()`` would discard."""
 
     def decode(batches):
         for pdf in batches:
@@ -171,11 +169,7 @@ def _make_docs_decoder(with_term: bool = False):
                     pdf["base"].to_numpy(dtype=np.int64),
                     pdf["n"].to_numpy(),
                 )
-            if with_term:
-                terms = np.repeat(pdf["term"].to_numpy(), pdf["n"].to_numpy())
-                yield pd.DataFrame({"term": terms, "doc_id": doc_arr})
-            else:
-                yield pd.DataFrame({"doc_id": doc_arr})
+            yield pd.DataFrame({"doc_id": doc_arr})
 
     return decode
 
@@ -193,29 +187,6 @@ def _docs_with_any(index: "Index", terms: list[str]) -> DataFrame:
         .distinct()
     )
 
-
-def _docs_with_all(index: "Index", terms: list[str]) -> DataFrame:
-    """Distinct doc_ids containing EVERY term of ``terms`` — the doc-set
-    form of a conjunction (one docs-only decode + one narrow groupBy; no
-    scoring work). Used as the score-neutral MUST restriction when a
-    mixed MUST/SHOULD boolean query delegates to the WAND path."""
-    uniq = sorted(set(terms))
-    if not uniq:
-        return index.spark.createDataFrame([], "doc_id long")
-    if len(uniq) == 1:
-        return _docs_with_any(index, uniq)
-    blocks = _blocks_for_terms(index, uniq)
-    cols = ["term", "n", "docs_bin"] + (
-        ["base"] if "base" in blocks.columns else []
-    )
-    return (
-        blocks.select(*cols)
-        .mapInPandas(_make_docs_decoder(with_term=True), "term string, doc_id long")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("term").alias("_nt"))
-        .filter(F.col("_nt") == len(uniq))
-        .select("doc_id")
-    )
 
 
 def _apply_boosts(decoded: DataFrame, terms: list[str], boost_of) -> DataFrame:

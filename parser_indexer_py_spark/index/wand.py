@@ -167,6 +167,16 @@ def search_pruned(
 
     spark = index.spark
 
+    def _empty():
+        # schema contract: an empty result must carry the SAME columns a
+        # non-empty call returns (a caller selecting conv_id must not
+        # crash — reachable from select's fast path on an OOV query)
+        return spark.createDataFrame(
+            [],
+            "doc_id long, score double, conv_id string, turn_idx int, "
+            "role string" if with_meta else "doc_id long, score double",
+        )
+
     def _fallback():
         # evaluate the EXACT analyzed term list — never re-join/re-analyze
         # a query string (synonym-expanded terms may not round-trip the
@@ -194,7 +204,7 @@ def search_pruned(
     )
     total_postings = int(sum(r["df"] for r in stats))
     if total_postings == 0:
-        return spark.createDataFrame([], "doc_id long, score double")
+        return _empty()
     if total_postings <= cutover:
         return _fallback()
 
@@ -235,7 +245,7 @@ def search_pruned(
         # ---- phase 1a: exact block selection on the driver ------------------
         meta = bound_blocks.select(*key_cols, "n", "block_max_score").toPandas()
         if not len(meta):
-            return spark.createDataFrame([], "doc_id long, score double")
+            return _empty()
         meta = meta.sort_values(
             ["block_max_score", *key_cols], ascending=[False] + [True] * len(key_cols)
         ).reset_index(drop=True)
@@ -385,14 +395,17 @@ def search_pruned(
             # PHRASE_BLOCK_JOIN_CAP), so keep only the coarse bound and
             # semi-join candidates AFTER decode, BEFORE the groupBy
             # shuffle — the shuffle (the scale bottleneck) still shrinks
-            # to candidate volume.
+            # to candidate volume. NO broadcast hint: a broadcast would
+            # collect the whole over-cap set on the driver, the exact
+            # blowup this branch exists to avoid — the planner picks a
+            # shuffle semi-join (review finding, round 4).
             decoded = (
                 blocks3.select(*_payload_cols(blocks3))
                 .mapInPandas(
                     _make_filtered_decoder(index.avgdl, None),
                     _DECODED_SCHEMA,
                 )
-                .join(F.broadcast(cand_set), "doc_id", "left_semi")
+                .join(cand_set, "doc_id", "left_semi")
             )
         if boosted:
             decoded = _apply_boosts(decoded, terms, boost_of)

@@ -123,6 +123,8 @@ def test_parser_rejects_unsupported():
     for bad in [
         "te?t", "te*t", "*te", "fuzzy~0.8", "fuzzy~3", "role:*",
         "(a b", "a b)", "field:(a b)",
+        "pre*~1", "pre*~",        # wildcard+fuzzy don't compose (r4 review)
+        "field:doc~1", "role:user~",  # fielded fuzzy is not a literal
     ]:
         with pytest.raises(ValueError):
             parse_query(bad)
@@ -983,3 +985,16 @@ def test_boolean_flattened_groups_delegate(bindex, boracle, qterms):
         except ValueError:
             continue  # clause-path shape rejects the knob (conflict case)
         assert pr == want, (q, "pruned")
+
+
+def test_pruned_empty_result_keeps_meta_schema(bindex):
+    """Round-4 review: an OOV query through the delegated pruned path
+    must return the documented with_meta schema (select's fast path
+    projects conv_id from it)."""
+    df = boolean_search(bindex, "zzzznotaterm", k=5, mode="pruned")
+    assert df.columns == ["doc_id", "score", "conv_id", "turn_idx", "role"]
+    assert df.count() == 0
+    resp = select(
+        bindex, q="zzzznotaterm", rows=5, mode="pruned", fl=["conv_id"]
+    )["response"]
+    assert resp.columns == ["conv_id"] and resp.count() == 0
