@@ -985,24 +985,45 @@ def select(
     groups = None
     if group_field is not None:
         # Solr result grouping (group=true&group.field=...): top
-        # ``group_limit`` docs per field value by relevance — a window
-        # rank inside each group over the full match set
-        from pyspark.sql import Window
-
+        # ``group_limit`` docs per field value by relevance
         if group_field not in index.docmap.columns:
             raise ValueError(f"unknown group field {group_field!r}")
-        w = Window.partitionBy(group_field).orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
         gcols = ["doc_id", "conv_id", "turn_idx", "role"]
         if group_field not in gcols:
             gcols.append(group_field)
-        groups = (
-            scored.join(index.docmap.select(*gcols), "doc_id")
-            .withColumn("rank_in_group", F.row_number().over(w))
-            .filter(F.col("rank_in_group") <= int(group_limit))
-            .orderBy(F.asc(group_field), F.asc("rank_in_group"))
-        )
+        joined = scored.join(index.docmap.select(*gcols), "doc_id")
+        if int(group_limit) == 1:
+            # the common top-1-per-group case: max_by with a
+            # (score, -doc_id) ordering struct — PARTIAL-aggregatable
+            # (map-side combine before the shuffle), no per-group sort;
+            # the window form below sorts every group's full match set.
+            # doc_id uniqueness makes the ordering total, so ties are
+            # impossible and the result matches the window rank exactly
+            # (equality pytest-gated).
+            ordk = F.struct(
+                F.col("score"), (-F.col("doc_id")).alias("nd")
+            )
+            row = F.struct(*[F.col(c) for c in joined.columns])
+            groups = (
+                joined.groupBy(F.col(group_field).alias("_g"))
+                .agg(F.max_by(row, ordk).alias("t"))
+                .select("t.*")
+                .withColumn("rank_in_group", F.lit(1))
+                .orderBy(F.asc(group_field), F.asc("rank_in_group"))
+            )
+        else:
+            # general top-N per group: window rank over the match set
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(group_field).orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            groups = (
+                joined
+                .withColumn("rank_in_group", F.row_number().over(w))
+                .filter(F.col("rank_in_group") <= int(group_limit))
+                .orderBy(F.asc(group_field), F.asc("rank_in_group"))
+            )
     return {
         "response": resp,
         "facets": facets,

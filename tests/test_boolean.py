@@ -724,6 +724,19 @@ def test_select_grouping(bindex, boracle, qterms):
         for i, (d, s) in enumerate(by_role[role][:2], 1):
             want.append((role, i, d, s))
     assert got == want
+    # group_limit=1 takes the max_by fast path (no window sort) — must
+    # equal the window semantics exactly
+    res1 = select(bindex, t1, rows=0, group_field="role", group_limit=1)
+    got1 = [
+        (r["role"], r["rank_in_group"], r["doc_id"], r["score"])
+        for r in res1["groups"].collect()
+    ]
+    want1 = [w for w in want if w[1] == 1]
+    assert got1 == want1
+    # and the fast-path plan really avoids the window sort
+    from parser_indexer_py_spark.plans.explain_audit import plan_string
+
+    assert "Window" not in plan_string(res1["groups"])
 
 
 def test_boolean_with_excerpt_smoke(bindex, qterms):
