@@ -680,6 +680,12 @@ def test_boolean_on_segments(spark, tmp_path_factory):
             boolean_search(view, q, k=10, mode="pruned", with_meta=False)
         )
         assert pr == eng, (q, "pruned")
+    # the /select facade runs over the merged view as well (fast path +
+    # facets over the full cross-segment match set)
+    res = select(view, q=t1, rows=3, facet_field="role")
+    assert res["response"].count() == 3
+    n_match = len(o.boolean_search(t1, k=10**6))
+    assert sum(r["n"] for r in res["facets"].collect()) == n_match
 
 
 def test_select_facet_range(bindex, boracle, qterms):
