@@ -76,6 +76,11 @@ def main(argv: list[str] | None = None) -> int:
         "--facet-range", default=None, help="field:start:end:gap"
     )
     sel.add_argument("--group-field", default=None)
+    sel.add_argument(
+        "--group-rows", type=int, default=100,
+        help="max group rows printed (grouping returns one row per "
+        "distinct field value — unbounded on a big corpus)",
+    )
     sel.add_argument("--hl", action="store_true")
     sel.add_argument("--mode", choices=["full", "pruned"], default="pruned")
 
@@ -222,7 +227,12 @@ def main(argv: list[str] | None = None) -> int:
             ]
         for key in ("facets", "range_facets", "groups"):
             if res[key] is not None:
-                out[key] = [r.asDict() for r in res[key].collect()]
+                df = res[key]
+                if key == "groups":
+                    # one row per distinct group value — cap the driver
+                    # collect (review finding, round 4)
+                    df = df.limit(args.group_rows)
+                out[key] = [r.asDict() for r in df.collect()]
         out["seconds"] = round(time.time() - t0, 3)
         print(json.dumps(out, default=str))
         return 0

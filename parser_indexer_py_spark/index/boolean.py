@@ -434,17 +434,26 @@ def _hl_terms(pq: ParsedQuery) -> list[str]:
     return sorted(terms)
 
 
-_META_SCHEMA = (
-    "doc_id long, score double, conv_id string, turn_idx int, role string"
-)
-
-
 def _empty_result(index: Index, with_meta: bool) -> DataFrame:
     """Empty result with the SAME schema a non-empty call returns — a
     caller selecting conv_id on an empty result must not crash."""
+    from .search import META_SCHEMA, SCORE_SCHEMA
+
     return index.spark.createDataFrame(
-        [], _META_SCHEMA if with_meta else "doc_id long, score double"
+        [], META_SCHEMA if with_meta else SCORE_SCHEMA
     )
+
+
+def _apply_fl(resp: DataFrame, fl) -> DataFrame:
+    """Solr fl: validate-and-project the response columns (shared by the
+    fast and match-set paths of select())."""
+    if not fl:
+        return resp
+    avail = set(resp.columns)
+    bad = [c for c in fl if c not in avail]
+    if bad:
+        raise ValueError(f"fl columns {bad} not in {sorted(avail)}")
+    return resp.select(*fl)
 
 
 def _apply_fq(
@@ -887,16 +896,13 @@ def select(
 
         if _is_empty(pq):
             raise ValueError(f"q {q!r} parses to an empty query")
-        resp = boolean_search(
-            index, q, k=start + rows, fq=fq, default_op=q_op, mode=mode,
-            with_meta=True, with_excerpt=hl,
-        ).offset(start)
-        if fl:
-            avail = set(resp.columns)
-            bad = [c for c in fl if c not in avail]
-            if bad:
-                raise ValueError(f"fl columns {bad} not in {sorted(avail)}")
-            resp = resp.select(*fl)
+        resp = _apply_fl(
+            boolean_search(
+                index, q, k=start + rows, fq=fq, default_op=q_op,
+                mode=mode, with_meta=True, with_excerpt=hl,
+            ).offset(start),
+            fl,
+        )
         return {
             "response": resp,
             "facets": None,
@@ -941,12 +947,7 @@ def select(
         if hl and _hl_terms(pq):
             resp = _attach_excerpts(index, resp, _hl_terms(pq))
             resp = resp.orderBy(*order)
-        if fl:
-            avail = set(resp.columns)
-            bad = [c for c in fl if c not in avail]
-            if bad:
-                raise ValueError(f"fl columns {bad} not in {sorted(avail)}")
-            resp = resp.select(*fl)
+        resp = _apply_fl(resp, fl)
     facets = None
     if facet_field is not None:
         if facet_field not in index.docmap.columns:

@@ -38,6 +38,14 @@ from .scoring import bm25_contrib
 
 _DECODED_SCHEMA = "term string, doc_id long, tf int, contrib double"
 
+# result-schema contract, single-sourced (wand.py and boolean.py build
+# empty results from these — a hand-restated copy is how the pruned
+# path's empty-result schema drifted in round 4)
+SCORE_SCHEMA = "doc_id long, score double"
+META_SCHEMA = (
+    "doc_id long, score double, conv_id string, turn_idx int, role string"
+)
+
 
 @dataclass
 class Index:

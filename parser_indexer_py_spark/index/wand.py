@@ -157,6 +157,8 @@ def search_pruned(
       phase-3 scores on the same n_terms count the conjunctive filter
       uses, again ahead of the completeness check."""
     from .search import (  # cycle-free
+        META_SCHEMA,
+        SCORE_SCHEMA,
         _apply_boosts,
         _blocks_for_terms,
         _containment_filter,
@@ -172,9 +174,7 @@ def search_pruned(
         # non-empty call returns (a caller selecting conv_id must not
         # crash — reachable from select's fast path on an OOV query)
         return spark.createDataFrame(
-            [],
-            "doc_id long, score double, conv_id string, turn_idx int, "
-            "role string" if with_meta else "doc_id long, score double",
+            [], META_SCHEMA if with_meta else SCORE_SCHEMA
         )
 
     def _fallback():
@@ -439,11 +439,16 @@ def search_pruned(
     finally:
         cand_set.unpersist()
 
+    if not top:
+        # the pruned evaluation itself can complete with zero survivors
+        # (R == 0 and the exclude/containment/mm filters emptied the
+        # candidates) — the schema contract still applies (round-4
+        # review, second pass)
+        return _empty()
     out = spark.createDataFrame(
-        [(r["doc_id"], r["score"]) for r in top] or [],
-        "doc_id long, score double",
+        [(r["doc_id"], r["score"]) for r in top], SCORE_SCHEMA
     )
-    if with_meta and len(top):
+    if with_meta:
         m = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
         out = out.join(m, "doc_id", "left").orderBy(F.desc("score"), F.asc("doc_id"))
     return out

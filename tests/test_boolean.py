@@ -1017,3 +1017,30 @@ def test_pruned_empty_result_keeps_meta_schema(bindex):
         bindex, q="zzzznotaterm", rows=5, mode="pruned", fl=["conv_id"]
     )["response"]
     assert resp.columns == ["conv_id"] and resp.count() == 0
+
+
+def test_pruned_empty_after_filter_keeps_meta_schema(bindex, boracle):
+    """Round-4 review (second pass): the pruned path completing with ZERO
+    survivors (filters emptied the candidates, R == 0) must still return
+    the with_meta schema — not just the OOV early-return."""
+    from parser_indexer_py_spark.index.search import search
+
+    # two terms that never co-occur: mm=2 then matches nothing
+    terms = sorted(boracle.postings, key=lambda t: len(boracle.postings[t]))
+    pair = None
+    for i, a in enumerate(terms):
+        for b in terms[i + 1:]:
+            if not (
+                set(boracle.postings[a]) & set(boracle.postings[b])
+            ):
+                pair = (a, b)
+                break
+        if pair:
+            break
+    assert pair, "corpus unexpectedly has no disjoint term pair"
+    df = search(
+        bindex, f"{pair[0]} {pair[1]}", k=5, mode="pruned",
+        full_cutover=0, min_match=2,
+    )
+    assert df.columns == ["doc_id", "score", "conv_id", "turn_idx", "role"]
+    assert df.count() == 0
