@@ -709,6 +709,112 @@ def edismax_search(
     )
 
 
+def _qf_union(
+    indexes: dict,
+    fields: list[str],
+    terms: list[str],
+    qf: dict[str, float],
+    block_filter=None,
+    cand=None,
+) -> DataFrame | None:
+    """Per-field scaled-contrib rows ``(field, term, doc_id, fc)`` — the
+    input both edismax_qf evaluation paths score. Each field decodes with
+    its OWN avgdl (per-field similarities); ``fc = contrib * qf_f`` is the
+    identical expression in both paths, so a candidate doc's rows here are
+    bit-equal whether or not pruning selected it. ``block_filter(f, blocks)``
+    restricts the block scan (pruned phase 3's doc-range + candidate
+    joins); ``cand`` (sorted int64 ids) filters inside the Arrow decoder.
+    Returns None when every field's scan was filtered away entirely."""
+    per_field = []
+    for f in fields:
+        idx = indexes[f]
+        blocks = _blocks_for_terms(idx, terms)
+        if block_filter is not None:
+            blocks = block_filter(f, blocks)
+            if blocks is None:
+                continue
+        dec = blocks.select(*_payload_cols(blocks)).mapInPandas(
+            _make_decoder(idx.avgdl, cand), _DECODED_SCHEMA
+        )
+        per_field.append(
+            dec.select(
+                F.lit(f).alias("field"),
+                "term",
+                "doc_id",
+                (F.col("contrib") * F.lit(float(qf[f]))).alias("fc"),
+            )
+        )
+    if not per_field:
+        return None
+    un = per_field[0]
+    for p in per_field[1:]:
+        un = un.unionByName(p)
+    return un
+
+
+def _qf_score(un: DataFrame, tie: float) -> DataFrame:
+    """The deterministic DisjunctionMax fold (docstring of edismax_qf):
+    per (term, doc) the field scores fold in FIELD order, per doc the term
+    scores in ascending term order. ONE implementation shared by the full
+    and block-max pruned paths so their scores are bit-identical."""
+    per_td = un.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("field", "fc"))).alias("fs")
+    )
+    mx = F.array_max(F.transform("fs", lambda x: x["fc"]))
+    if tie == 0.0:
+        # pure DisjunctionMax: skip the tie arithmetic entirely so the
+        # single-field degenerate case is bit-identical to plain BM25
+        score_td = mx
+    else:
+        sm = F.aggregate("fs", F.lit(0.0), lambda a, x: a + x["fc"])
+        score_td = mx + F.lit(float(tie)) * (sm - mx)
+    return (
+        per_td.select("term", "doc_id", score_td.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "s"))).alias("ts"),
+            F.count("*").alias("n_terms"),
+        )
+        .withColumn(
+            "score",
+            F.aggregate("ts", F.lit(0.0), lambda a, x: a + x["s"]),
+        )
+    )
+
+
+def _qf_full(
+    indexes: dict,
+    fields: list[str],
+    terms: list[str],
+    qf: dict[str, float],
+    tie: float,
+    mm_n: int,
+    k: int,
+    meta_index,
+    with_meta: bool,
+) -> DataFrame:
+    """Full-evaluation edismax_qf: every query term's complete postings in
+    every qf field. The pruned path's fallback target and its equality
+    oracle (tests pin both and compare collected rows)."""
+    un = _qf_union(indexes, fields, terms, qf)
+    scored = _qf_score(un, tie)
+    if mm_n > 0:
+        scored = scored.filter(F.col("n_terms") >= mm_n)
+    topk = (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    if with_meta:
+        meta = meta_index.docmap.select(
+            "doc_id", "conv_id", "turn_idx", "role"
+        )
+        topk = topk.join(meta, "doc_id", "left").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+    return topk
+
+
 def edismax_qf(
     indexes: dict[str, Index],
     query: str,
@@ -718,6 +824,11 @@ def edismax_qf(
     tie: float = 0.0,
     mm="100%",
     with_meta: bool = True,
+    mode: str = "auto",
+    pool_target: int | None = None,
+    full_cutover: int | None = None,
+    driver_meta_cap: int | None = None,
+    driver_cand_cap: int | None = None,
 ) -> DataFrame:
     """Multi-field edismax (the reference /browse handler's real shape:
     ``qf=title^10.0 author^2.0 text^0.5 ...``, mm=100%, NO tie param =>
@@ -741,7 +852,16 @@ def edismax_qf(
     order — the pure-Python twin (oracle.dismax_search) mirrors both
     folds. ``mm`` counts terms matched in ANY field (int or 'N%',
     floored like Solr). Bare-term queries only — operator syntax is the
-    single-field ``edismax_search``/``boolean_search`` surface."""
+    single-field ``edismax_search``/``boolean_search`` surface.
+
+    ``mode``: 'full' evaluates every term's complete postings in every
+    field; 'pruned' routes through block-max WAND over DisjunctionMax
+    (wand.dismax_pruned — Lucene's BlockMaxScorer over a DisMax query:
+    per-term bound = dismax-combine over fields of qf_f x field block
+    bound), rank-identical by construction (exact rescore + completeness
+    check with fallback); 'auto' picks pruned above the postings-volume
+    cutover. The pool/cutover/cap knobs pass through to dismax_pruned
+    (tests pin them to force branches)."""
     if not indexes or set(qf) - set(indexes):
         raise ValueError(
             f"qf fields {sorted(set(qf) - set(indexes))} have no index"
@@ -771,67 +891,31 @@ def edismax_qf(
     # n_docs consistency assertion covered; an extra non-qf entry in
     # ``indexes`` could be stale/misaligned (review finding, round 4)
     meta_index = indexes["text"] if "text" in qf else indexes[fields[0]]
-    spark = meta_index.spark
     mm_n = _parse_mm(mm, len(terms))
     if mm_n > len(terms):
         return _empty_result(meta_index, with_meta)
 
-    per_field = []
-    for f in fields:
-        idx = indexes[f]
-        blocks = _blocks_for_terms(idx, terms)
-        dec = blocks.select(*_payload_cols(blocks)).mapInPandas(
-            _make_decoder(idx.avgdl), _DECODED_SCHEMA
+    if mode not in ("auto", "full", "pruned"):
+        raise ValueError(f"mode must be auto|full|pruned, got {mode!r}")
+    if mode != "full":
+        from .wand import dismax_pruned  # cycle-free
+
+        kw = {}
+        if pool_target is not None:
+            kw["pool_target"] = pool_target
+        if full_cutover is not None:
+            kw["full_cutover"] = full_cutover
+        if driver_meta_cap is not None:
+            kw["driver_meta_cap"] = driver_meta_cap
+        if driver_cand_cap is not None:
+            kw["driver_cand_cap"] = driver_cand_cap
+        return dismax_pruned(
+            indexes, fields, terms, qf, tie=tie, mm_n=mm_n, k=k,
+            meta_index=meta_index, with_meta=with_meta, **kw
         )
-        per_field.append(
-            dec.select(
-                F.lit(f).alias("field"),
-                "term",
-                "doc_id",
-                (F.col("contrib") * F.lit(float(qf[f]))).alias("fc"),
-            )
-        )
-    un = per_field[0]
-    for p in per_field[1:]:
-        un = un.unionByName(p)
-    per_td = un.groupBy("term", "doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("field", "fc"))).alias("fs")
+    return _qf_full(
+        indexes, fields, terms, qf, tie, mm_n, k, meta_index, with_meta
     )
-    mx = F.array_max(F.transform("fs", lambda x: x["fc"]))
-    if tie == 0.0:
-        # pure DisjunctionMax: skip the tie arithmetic entirely so the
-        # single-field degenerate case is bit-identical to plain BM25
-        score_td = mx
-    else:
-        sm = F.aggregate("fs", F.lit(0.0), lambda a, x: a + x["fc"])
-        score_td = mx + F.lit(float(tie)) * (sm - mx)
-    scored = (
-        per_td.select("term", "doc_id", score_td.alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("term", "s"))).alias("ts"),
-            F.count("*").alias("n_terms"),
-        )
-        .withColumn(
-            "score",
-            F.aggregate("ts", F.lit(0.0), lambda a, x: a + x["s"]),
-        )
-    )
-    if mm_n > 0:
-        scored = scored.filter(F.col("n_terms") >= mm_n)
-    topk = (
-        scored.select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
-    if with_meta:
-        meta = meta_index.docmap.select(
-            "doc_id", "conv_id", "turn_idx", "role"
-        )
-        topk = topk.join(meta, "doc_id", "left").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
-    return topk
 
 
 def select(

@@ -110,6 +110,39 @@ DRIVER_META_ROW_CAP = 100_000
 DRIVER_CAND_CAP = 1_000_000
 
 
+def _apply_block_selection(spark, blocks, selected, seg_aware: bool):
+    """Restrict ``blocks`` to driver-selected (term[, seg], block_id) keys.
+
+    Pushable-predicate form (term == t AND block_id IN ids) for selections
+    small enough to inline: the join form reads every block's binary
+    payload before discarding rows, while the predicate reaches the
+    parquet scan (measured at 6.5M docs: the join form made the whole
+    pruned path slower than full evaluation). Falls back to a broadcast
+    semi-join only for very large selections, where a literal IN-list
+    would bloat the plan. Returns None for an empty selection."""
+    if not len(selected):
+        return None
+    key_cols = ["term", "seg", "block_id"] if seg_aware else ["term", "block_id"]
+    if len(selected) <= 1024:
+        cond = None
+        group_key = ["term", "seg"] if seg_aware else "term"
+        for t, g in selected.groupby(group_key):
+            c = F.col("block_id").isin([int(b) for b in g["block_id"]])
+            if seg_aware:
+                c = (F.col("term") == t[0]) & (F.col("seg") == t[1]) & c
+            else:
+                c = (F.col("term") == t) & c
+            cond = c if cond is None else (cond | c)
+        return blocks.filter(cond)
+    key_schema = (
+        "term string, seg int, block_id int"
+        if seg_aware
+        else "term string, block_id int"
+    )
+    sel_keys = spark.createDataFrame(selected[key_cols], key_schema)
+    return blocks.join(F.broadcast(sel_keys), key_cols, "left_semi")
+
+
 def search_pruned(
     index,
     terms: list[str],
@@ -268,31 +301,9 @@ def search_pruned(
             if len(pruned)
             else 0.0
         )
-        # selection as a PUSHABLE predicate (term == t AND block_id IN ids)
-        # rather than a broadcast semi-join: the join form reads every
-        # block's binary payload before discarding rows, while the
-        # predicate reaches the parquet scan (measured at 6.5M docs: the
-        # join form made the whole pruned path slower than full
-        # evaluation). Falls back to the join form only for very large
-        # selections, where a literal IN-list would bloat the plan.
-        if len(selected) <= 1024:
-            cond = None
-            group_key = ["term", "seg"] if seg_aware else "term"
-            for t, g in selected.groupby(group_key):
-                c = F.col("block_id").isin([int(b) for b in g["block_id"]])
-                if seg_aware:
-                    c = (F.col("term") == t[0]) & (F.col("seg") == t[1]) & c
-                else:
-                    c = (F.col("term") == t) & c
-                cond = c if cond is None else (cond | c)
-            sel_blocks = blocks.filter(cond)
-        else:
-            key_schema = "term string, seg int, block_id int" if seg_aware \
-                else "term string, block_id int"
-            sel_keys = spark.createDataFrame(selected[key_cols], key_schema)
-            sel_blocks = blocks.join(
-                F.broadcast(sel_keys), key_cols, "left_semi"
-            )
+        sel_blocks = _apply_block_selection(spark, blocks, selected, seg_aware)
+        if sel_blocks is None:
+            return _empty()
     else:
         # ---- phase 1b: DISTRIBUTED block selection (driver sees O(1) rows) --
         # tau = approximate block_max_score quantile such that ~pool_target
@@ -374,8 +385,11 @@ def search_pruned(
             candidates = np.sort(
                 cand_set.toPandas()["doc_id"].to_numpy(dtype=np.int64)
             )
+            # Arrow-backed: a row-by-row tuple list costs ~100x the numpy
+            # array's 8 MB at the 1M cap (round-4 ADVICE); a pandas frame
+            # ships as Arrow batches with no per-row Python objects
             cand_df = spark.createDataFrame(
-                [(int(c),) for c in candidates], "cand long"
+                pd.DataFrame({"cand": candidates})
             )
             blocks3 = blocks3.join(
                 F.broadcast(cand_df),
@@ -451,4 +465,273 @@ def search_pruned(
     if with_meta:
         m = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
         out = out.join(m, "doc_id", "left").orderBy(F.desc("score"), F.asc("doc_id"))
+    return out
+
+
+def dismax_pruned(
+    indexes: dict,
+    fields: list[str],
+    terms: list[str],
+    qf: dict[str, float],
+    *,
+    tie: float,
+    mm_n: int,
+    k: int,
+    meta_index,
+    with_meta: bool,
+    pool_target: int | None = None,
+    full_cutover: int | None = None,
+    driver_meta_cap: int = DRIVER_META_ROW_CAP,
+    driver_cand_cap: int = DRIVER_CAND_CAP,
+) -> DataFrame:
+    """Block-max WAND over DisjunctionMax — the pruned evaluation behind
+    ``edismax_qf`` (Lucene's BlockMaxScorer over a DisjunctionMaxQuery:
+    the /browse handler's ``defType=edismax`` + ``qf``,
+    /root/reference/conf/solr/docs/conf/solrconfig.xml:870-876).
+
+    The batch formulation extends :func:`search_pruned` field-wise:
+
+    Phase 0  per-field termstats -> adaptive full/pruned cutover.
+    Phase 1  block metadata from EVERY qf field's index, each block's
+             bound scaled by its field boost (sbound = qf_f x
+             block_max_score); blocks selected across fields in
+             descending sbound order to the pool target (driver-exact
+             below the meta cap, approx-quantile tau above it). The
+             residual bound folds per term with the SAME dismax combine
+             the scorer uses: r(t, f) = best PRUNED sbound for (t, f)
+             (0 when every (t, f) block was selected — a non-candidate
+             doc then has no (t, f) posting at all), bound_t =
+             max_f r + tie * (sum_f r - max_f r), R = sum_t bound_t.
+             Any doc outside the candidate set has all its postings in
+             pruned blocks, so its dismax score is <= R.
+    Phase 2  decode selected blocks per field -> union -> distinct
+             candidate docIDs.
+    Phase 3  exact rescore of candidates only, through the SAME
+             ``_qf_union`` + ``_qf_score`` expressions the full path
+             runs — candidate scores are bit-identical to full
+             evaluation by construction. mm filters on the same exact
+             n_terms count.
+    Check    theta_k > R (after mm) and k rows, else FALL BACK to
+             ``_qf_full`` — the pruned path can never return a different
+             answer than the full path / the pure-Python oracle.
+
+    Works unchanged over per-field MergedSegmentsView roots (seg-aware
+    selection keys, ``base``-offset decode) — seg-awareness is detected
+    per field, so monolithic and segmented field indexes can mix."""
+    from .boolean import _qf_full, _qf_score, _qf_union  # cycle-free
+    from .search import _blocks_for_terms, _payload_cols
+
+    spark = meta_index.spark
+
+    def _fallback():
+        return _qf_full(
+            indexes, fields, terms, qf, tie, mm_n, k, meta_index, with_meta
+        )
+
+    # ---- phase 0: adaptive cutover from per-field termstats ----------------
+    cutover = FULL_CUTOVER_POSTINGS if full_cutover is None else full_cutover
+    st = None
+    for f in fields:
+        s = (
+            indexes[f].termstats.filter(F.col("term").isin(terms))
+            .select(F.lit(f).alias("field"), "term", "df")
+        )
+        st = s if st is None else st.unionByName(s)
+    total_postings = int(sum(int(r["df"]) for r in st.collect()))
+    if total_postings <= cutover:
+        return _fallback()
+
+    if pool_target is None:
+        pool_target = max(64 * k, 16 * k * len(terms))
+    est_meta_rows = total_postings // 128 + len(terms) * len(fields)
+
+    # normalized bound metadata across fields (seg = -1 when monolithic);
+    # narrow projection — the payload columns never reach these scans
+    per_field_blocks = {}
+    bmeta = None
+    for f in fields:
+        blocks = _blocks_for_terms(indexes[f], terms)
+        per_field_blocks[f] = blocks
+        seg_col = (
+            F.col("seg") if "seg" in blocks.columns else F.lit(-1)
+        ).alias("seg")
+        m = blocks.select(
+            F.lit(f).alias("field"),
+            "term",
+            seg_col,
+            "block_id",
+            "n",
+            (F.col("block_max_score") * F.lit(float(qf[f]))).alias("sbound"),
+        )
+        bmeta = m if bmeta is None else bmeta.unionByName(m)
+
+    if est_meta_rows <= driver_meta_cap:
+        # ---- phase 1a: exact cross-field selection on the driver ----------
+        meta = bmeta.toPandas()
+        if not len(meta):
+            return _fallback()
+        meta = meta.sort_values(
+            ["sbound", "field", "term", "seg", "block_id"],
+            ascending=[False, True, True, True, True],
+        ).reset_index(drop=True)
+        cum = meta["n"].cumsum()
+        take = int(np.searchsorted(cum.to_numpy(), pool_target, side="left")) + 1
+        take = min(take, len(meta))
+        # per-(term, field) floor — R's dismax combine is driven by each
+        # (t, f)'s best pruned bound, so every list's top blocks must be
+        # in the selection or that list alone keeps R high
+        per_ft_b = max(
+            2, int(np.ceil(pool_target / (128.0 * len(terms) * len(fields))))
+        )
+        sel_idx = np.union1d(
+            np.arange(take),
+            meta.groupby(["field", "term"], sort=False)
+            .head(per_ft_b)
+            .index.to_numpy(),
+        )
+        selected = meta.loc[sel_idx]
+        pruned = meta.drop(index=sel_idx)
+        if len(pruned):
+            r_ft = pruned.groupby(["term", "field"])["sbound"].max()
+            R = 0.0
+            for t in r_ft.index.get_level_values(0).unique():
+                vals = np.atleast_1d(
+                    np.asarray(r_ft.loc[t], dtype=np.float64)
+                )
+                mx = float(vals.max())
+                R += mx + float(tie) * (float(vals.sum()) - mx)
+        else:
+            R = 0.0
+
+        def sel_filter(f, blocks):
+            sf = selected[selected["field"] == f]
+            return _apply_block_selection(
+                spark, blocks, sf, "seg" in blocks.columns
+            )
+
+    else:
+        # ---- phase 1b: DISTRIBUTED selection (driver sees O(1) rows) ------
+        # identical tau mechanics to search_pruned phase 1b; the residual
+        # combine collects only |terms| x |fields| partial maxima
+        frac = min(1.0, pool_target / float(total_postings))
+        err = max(1e-6, min(0.01, frac / 2.0))
+        tau = bmeta.stat.approxQuantile(
+            "sbound", [max(0.0, 1.0 - frac)], err
+        )[0]
+        sel_n = (
+            bmeta.filter(F.col("sbound") >= tau)
+            .agg(F.sum("n").alias("s"))
+            .collect()[0]["s"]
+            or 0
+        )
+        if int(sel_n) > max(50 * pool_target, 100_000):
+            return _fallback()
+        r_rows = (
+            bmeta.filter(F.col("sbound") < tau)
+            .groupBy("term", "field")
+            .agg(F.max("sbound").alias("m"))
+            .collect()
+        )
+        by_t: dict = {}
+        for r in r_rows:
+            by_t.setdefault(r["term"], []).append(float(r["m"]))
+        R = sum(
+            max(v) + float(tie) * (sum(v) - max(v)) for v in by_t.values()
+        )
+
+        def sel_filter(f, blocks):
+            return blocks.filter(
+                F.col("block_max_score") * F.lit(float(qf[f])) >= tau
+            )
+
+    # ---- phase 2: candidate docIDs from selected blocks (all fields) -------
+    cand = None
+    for f in fields:
+        b = sel_filter(f, per_field_blocks[f])
+        if b is None:
+            continue
+        d = (
+            b.select(*_payload_cols(b))
+            .mapInPandas(
+                _make_filtered_decoder(indexes[f].avgdl, None),
+                _DECODED_SCHEMA,
+            )
+            .select("doc_id")
+        )
+        cand = d if cand is None else cand.unionByName(d)
+    if cand is None:
+        return _fallback()
+    cand_set = cand.distinct().persist()
+    try:
+        cstats = cand_set.agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        ).collect()[0]
+        n_cand = int(cstats["n"] or 0)
+        if n_cand == 0:
+            return _fallback()
+        lo, hi = int(cstats["lo"]), int(cstats["hi"])
+
+        # ---- phase 3: exact per-field rescore of candidates ---------------
+        rng = (F.col("doc_max") >= lo) & (F.col("doc_min") <= hi)
+        if n_cand <= driver_cand_cap:
+            candidates = np.sort(
+                cand_set.toPandas()["doc_id"].to_numpy(dtype=np.int64)
+            )
+            cand_df = spark.createDataFrame(
+                pd.DataFrame({"cand": candidates})
+            )
+
+            def p3_filter(f, blocks):
+                return blocks.filter(rng).join(
+                    F.broadcast(cand_df),
+                    (F.col("cand") >= F.col("doc_min"))
+                    & (F.col("cand") <= F.col("doc_max")),
+                    "left_semi",
+                )
+
+            un = _qf_union(
+                indexes, fields, terms, qf,
+                block_filter=p3_filter, cand=candidates,
+            )
+        else:
+            # distributed handoff: coarse bound only, candidate semi-join
+            # after decode, before the groupBy shuffle (same rationale and
+            # no-broadcast rule as search_pruned's over-cap branch)
+            un = _qf_union(
+                indexes, fields, terms, qf,
+                block_filter=lambda f, blocks: blocks.filter(rng),
+            ).join(cand_set, "doc_id", "left_semi")
+        scored = _qf_score(un, tie)
+        if mm_n > 0:
+            scored = scored.filter(F.col("n_terms") >= mm_n)
+        top = (
+            scored.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+
+        # ---- completeness check -> fallback -------------------------------
+        complete = R == 0.0 or (len(top) == k and top[-1]["score"] > R)
+        if not complete:
+            return _fallback()
+    finally:
+        cand_set.unpersist()
+
+    from .search import META_SCHEMA, SCORE_SCHEMA
+
+    if not top:
+        return spark.createDataFrame(
+            [], META_SCHEMA if with_meta else SCORE_SCHEMA
+        )
+    out = spark.createDataFrame(
+        [(r["doc_id"], r["score"]) for r in top], SCORE_SCHEMA
+    )
+    if with_meta:
+        m = meta_index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
+        out = out.join(m, "doc_id", "left").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
     return out

@@ -850,6 +850,63 @@ def test_edismax_qf_multifield_vs_oracle(spark, tmp_path_factory):
         edismax_qf(idxs, q, {"nope": 1.0}, k=5)
 
 
+def test_edismax_qf_pruned_equals_full(spark, tmp_path_factory):
+    """Round-5: block-max WAND over DisjunctionMax (wand.dismax_pruned).
+    Every branch combination — driver/distributed phase 1, driver/
+    distributed candidate handoff, tiny pool (forces the completeness
+    fallback), all-blocks pool (R == 0, certifies the pruned phase 3
+    itself) — returns EXACTLY the full path's (doc_id, score) rows:
+    phase 3 rescoring runs the same _qf_union/_qf_score expressions, so
+    candidate scores are bit-identical, and the completeness check makes
+    pruning lossless."""
+    import pyspark.sql.functions as F
+
+    from parser_indexer_py_spark.index.boolean import edismax_qf
+
+    base = generate_transcripts(spark, 60, partitions=3)
+    title = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ")
+    idxs = {}
+    for fname, df in [
+        ("text", base), ("title", base.withColumn("text", title)),
+    ]:
+        out = str(tmp_path_factory.mktemp(f"qfp_{fname}"))
+        build_index(spark, df, out, n_chunks=1)
+        idxs[fname] = load_index(spark, out)
+    ts = idxs["text"].termstats.orderBy(F.desc("df"), "term").limit(3)
+    t1, t2 = [r["term"] for r in ts.collect()][:2]
+    q = f"{t1} {t2}"
+    qf = {"text": 0.5, "title": 10.0}
+    for tie, mm in [(0.0, 0), (0.1, "100%")]:
+        full = _rows(
+            edismax_qf(
+                idxs, q, qf, k=5, tie=tie, mm=mm, mode="full",
+                with_meta=False,
+            )
+        )
+        assert full  # non-vacuous
+        for kw in [
+            {},                          # driver phase 1a + driver handoff
+            {"pool_target": 2},          # completeness fallback branch
+            {"pool_target": 10**9},      # all blocks selected -> R == 0
+            {"driver_meta_cap": 0},      # distributed phase 1b (tau)
+            {"driver_cand_cap": 0},      # distributed candidate handoff
+            {"driver_meta_cap": 0, "driver_cand_cap": 0},
+        ]:
+            got = _rows(
+                edismax_qf(
+                    idxs, q, qf, k=5, tie=tie, mm=mm, mode="pruned",
+                    full_cutover=0, with_meta=False, **kw
+                )
+            )
+            assert got == full, (tie, mm, kw)
+    # auto mode on a tiny corpus rides the cutover to full — same rows
+    assert _rows(
+        edismax_qf(idxs, q, qf, k=5, mode="auto", with_meta=False)
+    ) == _rows(edismax_qf(idxs, q, qf, k=5, mode="full", with_meta=False))
+    with pytest.raises(ValueError, match="mode"):
+        edismax_qf(idxs, q, qf, k=5, mode="bogus")
+
+
 def test_edismax_default_on_positionless_index(
     spark, tmp_path_factory, qterms
 ):
