@@ -98,11 +98,38 @@ def _gen_convs(
     cdf: np.ndarray,
     min_tokens: int = MIN_TOKENS,
     max_tokens: int = MAX_TOKENS,
+    topical: float = 0.0,
+    n_topics: int = 8,
+    topic_ranks: tuple = (20, 2000),
 ) -> pd.DataFrame:
     """Expand an array of conversation numbers into their turn rows.
     ``max_tokens`` is an EXCLUSIVE bound (turns carry min..max-1 tokens) —
     documented rather than changed: the generator is the deterministic
-    twin for every golden corpus already recorded."""
+    twin for every golden corpus already recorded.
+
+    ``topical`` > 0 switches on the SKEWED corpus mode (round-4 verdict
+    task 2): each token draws, with probability ``topical``, from the
+    conversation's ``n_topics`` topic slots instead of the global zipf.
+    Topic terms are uniform over the ``topic_ranks`` vocabulary band
+    (default ranks [20, 2000): mid-frequency terms — hot enough that a
+    topic-term query carries real postings volume, rare enough that a
+    term is topical in only a sliver of conversations) and fixed per
+    (conversation, slot); the slot pick is quadratically biased toward
+    slot 0, so each doc gets one dominant topic term at tf ~4-8 plus a
+    tail. Two corpus properties the flat mode lacks, both needed to
+    exercise block-max pruning the way real text does:
+
+    - heavy-tailed within-doc tf (bursty terms -> high per-doc BM25),
+    - docID clustering: topics are per CONVERSATION and docIDs follow
+      (conv_id, turn_idx) order, so a term's topical postings sit in a
+      few consecutive runs of its posting list — most blocks keep low
+      tf<=2 bounds while the topical blocks carry high ones, which is
+      exactly the variance WAND's theta_k > R check needs to certify
+      pruning (on the flat corpus every hot-term block bound is equal
+      and the check always falls back — BENCH/BASELINE.md round 4).
+
+    ``topical=0`` (the default) is byte-identical to the original
+    generator — every recorded golden corpus stays valid."""
     conv_nums = conv_nums.astype(np.uint64)
     if len(conv_nums) == 0:
         return pd.DataFrame(
@@ -141,6 +168,19 @@ def _gen_convs(
     tok_pos = np.concatenate([np.arange(n) for n in n_tok]).astype(np.uint64)
     u = _u01(_h(tok_conv, tok_turn * np.uint64(1_000_003), tok_pos, np.uint64(4)))
     term_ids = np.searchsorted(cdf, u, side="left")
+    if topical > 0.0:
+        u_sel = _u01(
+            _h(tok_conv, tok_turn * np.uint64(1_000_003), tok_pos, np.uint64(7))
+        )
+        u_slot = _u01(
+            _h(tok_conv, tok_turn * np.uint64(1_000_003), tok_pos, np.uint64(8))
+        )
+        slot = (u_slot * u_slot * n_topics).astype(np.uint64)
+        lo, hi = int(topic_ranks[0]), min(int(topic_ranks[1]), len(vocab))
+        topic_ids = lo + (
+            _h(tok_conv, slot, np.uint64(9)) % np.uint64(hi - lo)
+        ).astype(np.int64)
+        term_ids = np.where(u_sel < topical, topic_ids, term_ids)
     words = vocab[np.minimum(term_ids, len(vocab) - 1)]
 
     # unicode punctuation injection on a deterministic subset of tokens
@@ -187,8 +227,13 @@ def generate_transcripts(
     partitions: int | None = None,
     min_tokens: int = MIN_TOKENS,
     max_tokens: int = MAX_TOKENS,
+    topical: float = 0.0,
+    n_topics: int = 8,
+    topic_ranks: tuple = (20, 2000),
 ) -> DataFrame:
-    """Distributed deterministic generation of ``n_convs`` conversations."""
+    """Distributed deterministic generation of ``n_convs`` conversations.
+    ``topical`` > 0 selects the skewed (bursty-tf, docID-clustered)
+    corpus mode — see :func:`_gen_convs`."""
     vocab = np.array(make_vocab())
     cdf = zipf_cdf()
     parts = partitions or spark.sparkContext.defaultParallelism
@@ -197,7 +242,8 @@ def generate_transcripts(
         for pdf in batches:
             if len(pdf):
                 yield _gen_convs(
-                    pdf["id"].to_numpy(), vocab, cdf, min_tokens, max_tokens
+                    pdf["id"].to_numpy(), vocab, cdf, min_tokens,
+                    max_tokens, topical, n_topics, topic_ranks,
                 )
 
     return (
@@ -206,8 +252,11 @@ def generate_transcripts(
     )
 
 
-def generate_transcripts_pandas(n_convs: int) -> pd.DataFrame:
+def generate_transcripts_pandas(
+    n_convs: int, topical: float = 0.0
+) -> pd.DataFrame:
     """Driver-side twin for small unit-test corpora (identical output)."""
     return _gen_convs(
-        np.arange(n_convs, dtype=np.uint64), np.array(make_vocab()), zipf_cdf()
+        np.arange(n_convs, dtype=np.uint64), np.array(make_vocab()),
+        zipf_cdf(), topical=topical,
     )
