@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_query": TQ.q_lucene_query,
         "lucene_query_grouped": TQ.q_lucene_grouped,
         "edismax_qf": TQ.q_edismax_qf,
+        "edismax_qf_pruned": TQ.q_edismax_qf_pruned,
+        "lucene_fielded_scored": TQ.q_lucene_fielded_scored,
         "spellcheck": TQ.q_spellcheck,
         "more_like_this": TQ.q_more_like_this,
         # text analysis (training-data pipeline)
@@ -127,6 +129,8 @@ def oracle_sql() -> dict[str, str]:
         "lucene_query": TQ.SQL_LUCENE,
         "lucene_query_grouped": TQ.SQL_LUCENE_GROUPED,
         "edismax_qf": TQ.SQL_EDISMAX_QF,
+        "edismax_qf_pruned": TQ.SQL_EDISMAX_QF,
+        "lucene_fielded_scored": TQ.SQL_FIELDED_SCORED,
         "spellcheck": TQ.SQL_SPELLCHECK,
         "more_like_this": TQ.SQL_MLT,
         "token_counts": TQ.SQL_TOKEN_COUNTS,

@@ -40,8 +40,31 @@ def infer_sf(path: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def host_probe() -> dict:
+    """Bench provenance (round-4 verdict task 5): a 0.25 s single-thread
+    busy-loop calibration + load average, so cross-round deltas can be
+    read against HOST conditions instead of requiring a judge re-run
+    (BENCH_r04's uniform ~1.7x drift was a contended measurement window,
+    not a regression). spin_mops is iterations/us of a fixed integer
+    loop — lower means the host was busy during THIS bench."""
+    la = os.getloadavg()
+    t0 = time.perf_counter()
+    n = 0
+    x = 0
+    while time.perf_counter() - t0 < 0.25:
+        for _ in range(10_000):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        n += 10_000
+    dt = time.perf_counter() - t0
+    return {
+        "loadavg": [round(v, 2) for v in la],
+        "spin_mops": round(n / dt / 1e6, 2),
+    }
+
+
 def main() -> None:
     sf = infer_sf(SF_DIR)
+    probe_start = host_probe()
     spark = get_spark("bench", cores=CORES)
     timings: dict[str, float] = {}
     t_all = time.time()
@@ -168,6 +191,84 @@ def main() -> None:
         ].count(),
     )
 
+    # ---- multi-field edismax qf (round-5: block-max DisMax pruning) --------
+    from pyspark.sql import functions as F
+
+    from parser_indexer_py_spark.index.boolean import edismax_qf
+
+    tidx_dir = idx_dir + "_title"
+    shutil.rmtree(tidx_dir, ignore_errors=True)
+    title = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+    t0 = time.time()
+    build_index(
+        spark, df.withColumn("text", title), tidx_dir,
+        n_partitions=n_parts, n_chunks=1, checkpoint_input=True,
+    )
+    timings["index_build_title"] = time.time() - t0
+    tidx = load_index(spark, tidx_dir).cache()
+    qf_idx = {"text": idx, "title": tidx}
+    qf_w = {"text": 0.5, "title": 10.0}
+    run(
+        "edismax_qf",
+        lambda: edismax_qf(
+            qf_idx, "bace cedi", qf_w, k=10, tie=0.1, mode="full"
+        ).collect(),
+    )
+    run(
+        "edismax_qf_pruned",
+        lambda: edismax_qf(
+            qf_idx, "bace cedi", qf_w, k=10, tie=0.1, mode="pruned",
+            full_cutover=0,
+        ).collect(),
+    )
+    tidx.uncache()
+
+    # ---- skewed (topical) corpus: pruning with real block-max variance -----
+    # the flat corpus saturates hot-term block bounds (BENCH/BASELINE.md
+    # round-4); the topical mode gives mid-band terms bursty tf clustered
+    # by conversation, the structure the theta-refined two-pass prunes.
+    from parser_indexer_py_spark.index.wand import (
+        PRUNE_STATS, reset_prune_stats,
+    )
+
+    topidx_dir = idx_dir + "_topical"
+    shutil.rmtree(topidx_dir, ignore_errors=True)
+    topdf = generate_transcripts(spark, n_convs, topical=0.5, min_tokens=16)
+    t0 = time.time()
+    build_index(
+        spark, topdf, topidx_dir, n_partitions=n_parts, n_chunks=1,
+        checkpoint_input=True,
+    )
+    timings["index_build_topical"] = time.time() - t0
+    topidx = load_index(spark, topidx_dir).cache()
+    # band topic terms (mid df, bursty) + a hot term: the realistic mixed
+    # query shape; same terms through both paths
+    band = [
+        r["term"]
+        for r in topidx.termstats.filter(
+            (F.col("df") > topidx.n_docs // 200)
+            & (F.col("df") < topidx.n_docs // 20)
+        )
+        .orderBy(F.desc("df"))
+        .limit(2)
+        .collect()
+    ]
+    topq = " ".join(band + ["bace"])
+    run(
+        "search_topical_full",
+        lambda: search(topidx, topq, k=10, with_meta=False).collect(),
+    )
+    reset_prune_stats()
+    run(
+        "search_topical_pruned",
+        lambda: search(
+            topidx, topq, k=10, mode="pruned", full_cutover=0,
+            with_meta=False,
+        ).collect(),
+    )
+    topical_prune_stats = dict(PRUNE_STATS)
+    topidx.uncache()
+
     # ---- streaming segment search (distributed multi-segment BM25) ---------
     from parser_indexer_py_spark.streaming.incremental import (
         SegmentedIndex,
@@ -236,6 +337,8 @@ def main() -> None:
                 "cores": CORES,
                 "index_docs": idx.n_docs,
                 "index_turns_per_sec": round(turns_per_sec, 1),
+                "host_probe": {"start": probe_start, "end": host_probe()},
+                "topical_prune_stats": topical_prune_stats,
             }
         )
     )

@@ -1133,6 +1133,102 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_edismax_qf_pruned(spark, sf_dir):
+    """The SAME multi-field edismax request THROUGH THE BLOCK-MAX DISMAX
+    PRUNED PATH (round-5: wand.dismax_pruned — Lucene's BlockMaxScorer
+    over DisjunctionMaxQuery; bounds scaled by qf, residual folded with
+    the scorer's own max+tie combine, theta-refined pass 2, completeness
+    check). Shares q_edismax_qf's DuckDB oracle: the pruned path must be
+    EXACTLY the full path. full_cutover=0 + a tiny pool force the pruning
+    machinery on at sf0.01 (the adaptive default would route this corpus
+    to full evaluation)."""
+    from .index.boolean import edismax_qf
+
+    idxs = {
+        "text": _docs_pos_index(spark, sf_dir),
+        "title": _docs_title_index(spark, sf_dir),
+    }
+    hits = edismax_qf(
+        idxs, QF_QUERY, QF_BOOSTS, k=1_000_000, tie=QF_TIE, mm="100%",
+        mode="pruned", full_cutover=0, pool_target=64,
+    )
+    return (
+        hits.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+FS_TITLE_TERM = "merge"
+FS_TEXT_TERM = "stream"
+
+
+def q_lucene_fielded_scored(spark, sf_dir):
+    """Round-5: ``title:merge stream`` with a SCORING fielded clause —
+    ``field_indexes`` makes ``title:merge`` a Lucene TermQuery over the
+    title field's own index (per-field BM25 statistics, required) while
+    ``stream`` stays an optional body clause; score = title contrib +
+    body contrib, the clause-order float fold. Closes the classic
+    parser's last documented semantic deviation
+    (conf/solr/docs/conf/solrconfig.xml:841-848; managed-schema:153-154
+    title/authors are real indexed fields). The DuckDB oracle recomputes
+    both fields' BM25 pieces and sums them with the same COALESCE
+    order."""
+    from .index.boolean import boolean_search
+
+    idx = _docs_pos_index(spark, sf_dir)
+    tidx = _docs_title_index(spark, sf_dir)
+    hits = boolean_search(
+        idx,
+        f"title:{FS_TITLE_TERM} {FS_TEXT_TERM}",
+        k=1_000_000,
+        field_indexes={"title": tidx},
+    )
+    return (
+        hits.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_FIELDED_SCORED = SQL_TOK + f"""
+, ttok AS (SELECT doc_id, w FROM tok WHERE pos <= 3),
+xdl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+tdl AS (SELECT doc_id, COUNT(*) AS dl FROM ttok GROUP BY doc_id),
+xg AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM xdl),
+tg AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM tdl),
+xtf AS (SELECT doc_id, COUNT(*) AS tf FROM tok
+        WHERE w = '{FS_TEXT_TERM}' GROUP BY doc_id),
+ttf AS (SELECT doc_id, COUNT(*) AS tf FROM ttok
+        WHERE w = '{FS_TITLE_TERM}' GROUP BY doc_id),
+xdfs AS (SELECT COUNT(*) AS df FROM xtf),
+tdfs AS (SELECT COUNT(*) AS df FROM ttf),
+xsc AS (
+  SELECT xtf.doc_id,
+         ln(1.0 + (xg.n - xdfs.df + 0.5) / (xdfs.df + 0.5))
+         * (xtf.tf * 2.2)
+         / (xtf.tf + 1.2 * (0.25 + 0.75 * xdl.dl / (xg.sdl * 1.0 / xg.n)))
+         AS c
+  FROM xtf JOIN xdl ON xdl.doc_id = xtf.doc_id, xdfs, xg),
+tsc AS (
+  SELECT ttf.doc_id,
+         ln(1.0 + (tg.n - tdfs.df + 0.5) / (tdfs.df + 0.5))
+         * (ttf.tf * 2.2)
+         / (ttf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / (tg.sdl * 1.0 / tg.n)))
+         AS c
+  FROM ttf JOIN tdl ON tdl.doc_id = ttf.doc_id, tdfs, tg)
+SELECT t.doc_id, ROUND(COALESCE(x.c, 0.0) + t.c, 6) AS score
+FROM tsc t LEFT JOIN xsc x USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # out-of-vocabulary misspellings of known documents-table terms
 SPELL_TYPOS = ("windoq", "streap", "merje")
 

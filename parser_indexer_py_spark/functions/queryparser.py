@@ -31,14 +31,17 @@ Supported grammar (documented subset of the Lucene classic parser):
   scores x boost, and a MUST_NOT group excludes every doc the group
   matches. ``field:(a b)`` field-grouping is NOT supported (raises).
 - ``field:value`` / ``field:"two words"`` / ``field:[lo TO hi]`` — fielded
-  clauses over docmap metadata fields. These are treated as SCORE-NEUTRAL
-  filters (Solr ``fq`` semantics) rather than scoring clauses: in every
-  reference sample query field clauses select (``type:doc``) rather than
-  rank, and fq-style filtering keeps BM25 statistics untouched. The same
-  field repeated with positive occur folds to IN semantics (``role:user
-  role:tool`` means either). ``-field:value`` excludes. A trailing boost
-  (``type:doc^2``, legal Lucene) is accepted and DISCARDED — field
-  clauses are score-neutral here, and stripping beats a silent misread.
+  clauses. The parser stores them as field constraints; EVALUATION
+  decides (index/boolean.py): a docmap metadata field is a SCORE-NEUTRAL
+  filter (Solr ``fq`` semantics — in every reference sample query field
+  clauses select, ``type:doc``, rather than rank), while a field with
+  its own index in ``boolean_search(field_indexes=...)`` SCORES as a
+  Lucene TermQuery with that field's BM25 statistics (round 5; the
+  remaining collapse is occur — positive fielded clauses are required).
+  The same field repeated with positive occur folds to IN semantics
+  (``role:user role:tool`` means either). ``-field:value`` excludes. A
+  trailing boost (``type:doc^2``, legal Lucene) is accepted and
+  DISCARDED — stripping beats a silent misread.
 - ``*:*`` — match-all (used by the reference for facet-only queries,
   mte-samplequeries.md:54 with ``rows=0``).
 - ``term^2`` / ``"a phrase"^1.5`` / ``pre*^3`` — per-clause boosts
@@ -57,6 +60,13 @@ Supported grammar (documented subset of the Lucene classic parser):
   default blended-frequency rewrite is a documented deviation), with
   the same ``MAX_PREFIX_EXPANSIONS`` cap. Legacy fractional similarity
   (``term~0.8``) raises — it has been removed from Lucene itself.
+  Second documented deviation (round-4 ADVICE): distance is PLAIN
+  Levenshtein (Spark's ``levenshtein`` in ``_expand_fuzzy``, the DP twin
+  in ``oracle._levenshtein`` — engine and oracle agree exactly), while
+  Lucene FuzzyQuery defaults to ``transpositions=true`` (Damerau): a
+  transposed typo like ``wnidow~1`` matches ``window`` in Lucene but
+  needs ``~2`` here. Spark has no Damerau builtin; both twins would have
+  to change together to close this.
 
 NOT supported (raises ValueError, so silent misreads are impossible):
 field-grouping (``field:(a b)``), non-trailing wildcards (``te?t``,
@@ -505,6 +515,16 @@ def _parse_level(
             raise ValueError(
                 f"field-grouping {word}(...) is unsupported (write the "
                 "group without the field, or one field:value per clause)"
+            )
+        if word.startswith("^"):
+            # a term token can never begin with '^': it is a detached or
+            # malformed boost ('(a b) ^2' -> '^2', '(a b)^2x' -> '^2x').
+            # Raising preserves the module contract that silent misreads
+            # are impossible — the analyzer would otherwise strip the '^'
+            # and score a phantom term (round-4 ADVICE).
+            raise ValueError(
+                f"misplaced boost {word!r} — attach '^N' directly to a "
+                "term, phrase, prefix, fuzzy term, or group"
             )
         boost = 1.0
         bm = _TERM_BOOST.match(word)

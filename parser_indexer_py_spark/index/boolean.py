@@ -29,8 +29,12 @@ Scoring (Lucene BooleanQuery, coord-free since Lucene 6):
 - fuzzy terms (``term~N``) use the constant-score multi-term rewrite
   like prefixes (queryparser docstring documents the deviation from
   Lucene's blended-frequency rewrite).
-- field clauses are score-neutral filters (Solr fq semantics — see the
-  queryparser docstring for why this matches reference usage).
+- field clauses: score-neutral docmap filters by default; with
+  ``field_indexes`` (per-field indexes like edismax_qf's) a
+  ``field:value`` clause SCORES as a Lucene TermQuery over that field's
+  own index (round 5 — the remaining collapse is occur: positive
+  fielded clauses stay required, matching every reference sample
+  query's restriction-style usage).
 - a PURE-NEGATIVE or pure-filter query behaves like Solr's top-level
   rewrite (``*:*`` minus exclusions) with constant score 1.0 — the
   reference's own ``q=type:doc&rows=0`` facet queries are this shape.
@@ -183,6 +187,31 @@ def _exclusion_docs(
     return out
 
 
+def _fielded_tokens(field: str, v) -> list[str] | None:
+    """Analyzed token list for a q-level fielded SCORING clause (round-5:
+    ``field:value`` as a scoring TermQuery when ``field_indexes`` carries
+    that field — solrconfig.xml:841-848 + managed-schema:153-154, where
+    title/authors are real indexed text fields). Returns None when the
+    value shape stays a metadata filter (ranges, ints); raises on a value
+    that does not analyze to exactly one token (a silent fallback to
+    whole-value equality would be a misread)."""
+    from ..functions.analyzer import analyze_text
+
+    vals = v if isinstance(v, list) else [v]
+    if any(not isinstance(x, str) for x in vals):
+        return None
+    toks = []
+    for x in vals:
+        t = analyze_text(x)
+        if len(t) != 1:
+            raise ValueError(
+                f"fielded clause {field}:{x!r} must analyze to one token "
+                f"to score against the {field!r} index (got {t!r})"
+            )
+        toks.append(t[0])
+    return sorted(set(toks))
+
+
 def _scored_docs(
     index: Index,
     pq: ParsedQuery,
@@ -191,17 +220,56 @@ def _scored_docs(
     extra_filters: dict | None = None,
     match_all_score: float = 1.0,
     min_should_match: int = 0,
+    field_indexes: dict | None = None,
 ) -> DataFrame | None:
     """(doc_id, score) for every doc matching ``pq`` — the pre-top-k core
     shared by boolean_search (scores kept) and fq evaluation (doc set
     only). Returns None when the query matches nothing by construction
-    (empty string)."""
+    (empty string).
+
+    ``field_indexes`` (field name -> :class:`Index` built from the SAME
+    source rows, like edismax_qf's) switches ``field:value`` clauses in
+    ``q`` from score-neutral docmap filters to SCORING TermQueries over
+    that field's own index (Lucene classic-parser semantics; per-field
+    BM25 statistics). The occur collapse stays: positive fielded clauses
+    are required (the module's documented fq-style rewrite — every
+    reference sample query uses them as restrictions), and a repeated
+    field ORs its values (match any, matched values' contribs sum).
+    Negative ``-field:value`` excludes docs whose FIELD contains the
+    token. fq strings never score regardless — exactly Solr's q-vs-fq
+    split. Applies inside parenthesized groups too (recursion below)."""
     filters = dict(extra_filters or {})
+    scored_fields: list[tuple[str, list[str]]] = []
     for f, v in _conv_filters(pq.filters).items():
+        if field_indexes and f in field_indexes:
+            toks = _fielded_tokens(f, v)
+            if toks is not None:
+                if field_indexes[f].n_docs != index.n_docs:
+                    raise ValueError(
+                        f"field index {f!r} has {field_indexes[f].n_docs} "
+                        f"docs vs the main index's {index.n_docs} — they "
+                        "must be built from the same source rows"
+                    )
+                scored_fields.append((f, toks))
+                continue
         if f in filters:
             raise ValueError(f"field {f!r} constrained twice (q and fq)")
         filters[f] = v
-    not_filters = _conv_filters(pq.not_filters)
+    not_filters = {}
+    scored_not: list[tuple[str, list[str]]] = []
+    for f, v in _conv_filters(pq.not_filters).items():
+        if field_indexes and f in field_indexes:
+            toks = _fielded_tokens(f, v)
+            if toks is not None:
+                if field_indexes[f].n_docs != index.n_docs:
+                    raise ValueError(
+                        f"field index {f!r} has {field_indexes[f].n_docs} "
+                        f"docs vs the main index's {index.n_docs} — they "
+                        "must be built from the same source rows"
+                    )
+                scored_not.append((f, toks))
+                continue
+        not_filters[f] = v
     _validate_fields(index, filters, not_filters)
 
     # mm counts SHOULD clauses only (Lucene minimumNumberShouldMatch);
@@ -307,7 +375,7 @@ def _scored_docs(
         # nested BooleanQuery: recurse — the group's own clause algebra
         # (incl. its fielded filters and negatives) runs in the sub-call;
         # its per-doc score feeds this level's fold, x the group boost
-        sub = _scored_docs(index, gc.sub)
+        sub = _scored_docs(index, gc.sub, field_indexes=field_indexes)
         if sub is None:
             continue  # empty-by-construction subquery matches nothing
         if gc.boost != 1.0:
@@ -319,12 +387,25 @@ def _scored_docs(
             (gc.occur == MUST, sub.select("doc_id", "score"),
              gc.occur == SHOULD)
         )
+    for f, toks in scored_fields:
+        # scoring fielded clause: the value token(s) decoded from the
+        # FIELD's index (own df/dl/avgdl statistics) — required piece,
+        # match-any over repeated values, ascending-token fold, stable
+        # docIDs align it with the main index's docs
+        fidx = field_indexes[f]
+        fb = _blocks_for_terms(fidx, toks)
+        fdec = fb.select(*_payload_cols(fb)).mapInPandas(
+            _make_decoder(fidx.avgdl), _DECODED_SCHEMA
+        )
+        pieces.append(
+            (True, _score_decoded(fdec).select("doc_id", "score"), False)
+        )
 
     allowed = allowed_docs(index, role, filters)
     if not pieces:
         # pure-filter / match-all / pure-negative query (Solr top-level
         # rewrite). Constant score like MatchAllDocsQuery.
-        has_neg = bool(pq.must_not_terms or not_filters) or any(
+        has_neg = bool(pq.must_not_terms or not_filters or scored_not) or any(
             p.occur == MUST_NOT
             for p in list(pq.phrases) + list(pq.prefixes)
             + list(pq.fuzzies) + list(pq.subs)
@@ -416,6 +497,12 @@ def _scored_docs(
     for f, v in not_filters.items():
         ex = allowed_docs(index, None, {f: v})
         out = out.join(ex, "doc_id", "left_anti")
+    for f, toks in scored_not:
+        # -field:value over an indexed field: exclude docs whose FIELD
+        # contains the token (MUST_NOT never scores in Lucene either)
+        out = out.join(
+            _docs_with_any(field_indexes[f], toks), "doc_id", "left_anti"
+        )
     return out
 
 
@@ -488,10 +575,18 @@ def boolean_search(
     with_excerpt: bool = False,
     full_cutover: int | None = None,
     pool_target: int | None = None,
+    field_indexes: dict | None = None,
 ) -> DataFrame:
     """Top-k for a Lucene classic-syntax query string (module docstring
     has the semantics). Returns (doc_id, score[, conv_id, turn_idx, role
     [, excerpt]]), ties broken by ascending doc_id like every other path.
+
+    ``field_indexes`` makes ``field:value`` clauses in ``q`` SCORE
+    against that field's own index instead of filtering on a docmap
+    column (see ``_scored_docs`` — the round-5 close of the last
+    documented classic-parser deviation). Queries whose fielded clauses
+    score run the clause evaluator (their per-field contributions have
+    no single-index block bounds).
 
     ``fq``/``role``/``filters`` compose exactly as in ``search()`` —
     score-neutral doc-set restrictions applied before the top-k.
@@ -530,6 +625,9 @@ def boolean_search(
     mm_delegable = min_should_match == 0 or (
         bool(pq.should_terms) and not pq.must_terms
     )
+    scored_fielded = bool(field_indexes) and bool(
+        (set(pq.filters) | set(pq.not_filters)) & set(field_indexes)
+    )
     delegable = (
         all(p.occur == MUST_NOT for p in pq.phrases)
         and all(p.occur == MUST_NOT for p in pq.prefixes)
@@ -537,6 +635,7 @@ def boolean_search(
         and not pq.subs  # groups need the recursive clause algebra
         and not pq.match_all
         and mm_delegable
+        and not scored_fielded  # per-field contribs have no term bounds
         and bool(pq.should_terms or pq.must_terms)
     )
     if delegable:
@@ -608,7 +707,7 @@ def boolean_search(
         )
     out = _scored_docs(
         index, pq, role=role, extra_filters=filters,
-        min_should_match=min_should_match,
+        min_should_match=min_should_match, field_indexes=field_indexes,
     )
     if out is None:
         return _empty_result(index, with_meta)

@@ -20,8 +20,19 @@ Phase 3  (Spark): decode the query terms' blocks again but keep only
          top-k.
 Check    theta_k (k-th returned score, after any structured filter) > R,
          and the result has k rows (or R == 0, i.e. nothing was pruned).
-         Otherwise FALL BACK to full evaluation — so the pruned path can
-         never return a different answer than the oracle path.
+Pass 2   (round 5) if the check fails, the k-th exact score theta from
+         pass 1 is a LOWER bound on the true theta_k — re-select every
+         block with bound >= theta/|terms| (union the pass-1 selection)
+         and re-run phases 2-3: now every pruned block's bound is
+         < theta/|terms|, so R2 < theta <= theta_k and completeness is
+         guaranteed by construction (the batch analog of doc-at-a-time
+         WAND's theta refinement). A volume guard (selection > 50% of
+         total postings) routes genuinely flat corpora / saturated
+         all-hot queries to full evaluation instead — the honest optimum
+         there. Only if pass 1 produced < k rows (or the guard fires)
+         does the call FALL BACK to full evaluation — either way the
+         pruned path can never return a different answer than the oracle
+         path.
 
 Why this wins at scale: the shuffle/aggregation volume drops from "every
 posting of every query term" (hot terms: O(N) rows) to "candidate pool"
@@ -99,6 +110,20 @@ FULL_CUTOVER_POSTINGS = 500_000
 # meta rows to the driver (VERDICT r1 'What's wrong #2'). Above this bound
 # block selection moves into Spark (quantile-approximated tau).
 DRIVER_META_ROW_CAP = 100_000
+
+# Instrumentation (read by benches/tests to certify WHICH path answered a
+# pruned call — "zero fallbacks" is a measured claim, not an assumption).
+# pass1: completeness certified by the pool-based selection; pass2:
+# certified by the theta-refined re-selection; fallback: answered by full
+# evaluation (adaptive cutover, volume guards, or a failed check).
+PRUNE_STATS = {"pass1": 0, "pass2": 0, "fallback": 0}
+
+
+def reset_prune_stats() -> dict:
+    for k in PRUNE_STATS:
+        PRUNE_STATS[k] = 0
+    return PRUNE_STATS
+
 
 # Phase-2 candidate budget for the DRIVER handoff (sorted int64 numpy
 # array shipped into the phase-3 Arrow decoder — the fastest shape for
@@ -214,6 +239,7 @@ def search_pruned(
         # evaluate the EXACT analyzed term list — never re-join/re-analyze
         # a query string (synonym-expanded terms may not round-trip the
         # analyzer, which would make the fallback answer a different query)
+        PRUNE_STATS["fallback"] += 1
         return full_eval(
             index, terms, k, conjunctive=conjunctive, groups=groups,
             role=role, filters=filters, with_meta=with_meta,
@@ -336,122 +362,196 @@ def search_pruned(
         )
         R = float(r_row[0]["R"]) if r_row and r_row[0]["R"] is not None else 0.0
 
-    # ---- phase 2: candidate docIDs from selected blocks ---------------------
+    # ---- phases 2-3 as one evaluator (run once per selection pass) ----------
     from .search import _payload_cols
 
-    cand_set = (
-        sel_blocks
-        .select(*_payload_cols(sel_blocks))
-        .mapInPandas(_make_filtered_decoder(index.avgdl, None), _DECODED_SCHEMA)
-        .select("doc_id")
-        .distinct()
-    )
-    # delegated boolean doc-set semantics shrink the candidate set HERE,
-    # before any rescoring: a doc failing `require` or hitting `exclude`
-    # can never be a result, so the joins are lossless and phase 3 decodes
-    # strictly fewer candidates
-    if require is not None:
-        cand_set = cand_set.join(require, "doc_id", "left_semi")
-    if exclude is not None:
-        cand_set = cand_set.join(exclude, "doc_id", "left_anti")
-    # one materialization serves the count/bounds agg AND the phase-3
-    # consumers (re-running the phase-2 decode per consumer would triple it)
-    cand_set = cand_set.persist()
-    try:
-        cstats = cand_set.agg(
-            F.count("*").alias("n"),
-            F.min("doc_id").alias("lo"),
-            F.max("doc_id").alias("hi"),
-        ).collect()[0]
-        n_cand = int(cstats["n"] or 0)
-        if n_cand == 0:
-            return _fallback()
-        lo, hi = int(cstats["lo"]), int(cstats["hi"])
-
-        # ---- phase 3: exact rescore of candidates --------------------------
-        # decode ONLY blocks whose [doc_min, doc_max] range can contain a
-        # candidate (every posting of a candidate doc lives in such a
-        # block, so this prunes no needed data); coarse PUSHED bounds first
-        # (row-group min/max skipping on the scan).
-        blocks3 = blocks.filter(
-            (F.col("doc_max") >= lo) & (F.col("doc_min") <= hi)
+    def _evaluate(sel_blocks, R):
+        """Phases 2-3 for ONE block selection; (top_rows, complete)."""
+        # phase 2: candidate docIDs from selected blocks
+        cand_set = (
+            sel_blocks
+            .select(*_payload_cols(sel_blocks))
+            .mapInPandas(
+                _make_filtered_decoder(index.avgdl, None), _DECODED_SCHEMA
+            )
+            .select("doc_id")
+            .distinct()
         )
-        if n_cand <= driver_cand_cap:
-            # DRIVER handoff: bounded sorted ids -> exact per-candidate
-            # block-range semi-join (BroadcastNestedLoop over block
-            # METADATA rows, before any payload transfer — round-2 scale-up
-            # measured phase 3 decoding everything and losing to full
-            # evaluation) + the in-decoder searchsorted membership filter
-            candidates = np.sort(
-                cand_set.toPandas()["doc_id"].to_numpy(dtype=np.int64)
+        # delegated boolean doc-set semantics shrink the candidate set HERE,
+        # before any rescoring: a doc failing `require` or hitting `exclude`
+        # can never be a result, so the joins are lossless and phase 3
+        # decodes strictly fewer candidates
+        if require is not None:
+            cand_set = cand_set.join(require, "doc_id", "left_semi")
+        if exclude is not None:
+            cand_set = cand_set.join(exclude, "doc_id", "left_anti")
+        # one materialization serves the count/bounds agg AND the phase-3
+        # consumers (re-running the phase-2 decode per consumer triples it)
+        cand_set = cand_set.persist()
+        try:
+            cstats = cand_set.agg(
+                F.count("*").alias("n"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            ).collect()[0]
+            n_cand = int(cstats["n"] or 0)
+            if n_cand == 0:
+                return None, False
+            lo, hi = int(cstats["lo"]), int(cstats["hi"])
+
+            # phase 3: exact rescore of candidates — decode ONLY blocks
+            # whose [doc_min, doc_max] range can contain a candidate (every
+            # posting of a candidate doc lives in such a block, so this
+            # prunes no needed data); coarse PUSHED bounds first (row-group
+            # min/max skipping on the scan).
+            blocks3 = blocks.filter(
+                (F.col("doc_max") >= lo) & (F.col("doc_min") <= hi)
             )
-            # Arrow-backed: a row-by-row tuple list costs ~100x the numpy
-            # array's 8 MB at the 1M cap (round-4 ADVICE); a pandas frame
-            # ships as Arrow batches with no per-row Python objects
-            cand_df = spark.createDataFrame(
-                pd.DataFrame({"cand": candidates})
-            )
-            blocks3 = blocks3.join(
-                F.broadcast(cand_df),
-                (F.col("cand") >= F.col("doc_min"))
-                & (F.col("cand") <= F.col("doc_max")),
-                "left_semi",
-            )
-            decoded = blocks3.select(*_payload_cols(blocks3)).mapInPandas(
-                _make_filtered_decoder(index.avgdl, candidates),
-                _DECODED_SCHEMA,
-            )
-        else:
-            # DISTRIBUTED handoff (no driver candidate array, no collect
-            # between phases): the nested-loop range join would cost
-            # O(meta_rows x n_cand), and huge candidate sets hit ~every
-            # block anyway (same measurement as the phrase path's
-            # PHRASE_BLOCK_JOIN_CAP), so keep only the coarse bound and
-            # semi-join candidates AFTER decode, BEFORE the groupBy
-            # shuffle — the shuffle (the scale bottleneck) still shrinks
-            # to candidate volume. NO broadcast hint: a broadcast would
-            # collect the whole over-cap set on the driver, the exact
-            # blowup this branch exists to avoid — the planner picks a
-            # shuffle semi-join (review finding, round 4).
-            decoded = (
-                blocks3.select(*_payload_cols(blocks3))
-                .mapInPandas(
-                    _make_filtered_decoder(index.avgdl, None),
+            if n_cand <= driver_cand_cap:
+                # DRIVER handoff: bounded sorted ids -> exact per-candidate
+                # block-range semi-join (BroadcastNestedLoop over block
+                # METADATA rows, before any payload transfer — round-2
+                # scale-up measured phase 3 decoding everything and losing
+                # to full evaluation) + the in-decoder searchsorted filter
+                candidates = np.sort(
+                    cand_set.toPandas()["doc_id"].to_numpy(dtype=np.int64)
+                )
+                # Arrow-backed: a row-by-row tuple list costs ~100x the
+                # numpy array's 8 MB at the 1M cap (round-4 ADVICE); a
+                # pandas frame ships as Arrow batches, no per-row objects
+                cand_df = spark.createDataFrame(
+                    pd.DataFrame({"cand": candidates})
+                )
+                blocks3 = blocks3.join(
+                    F.broadcast(cand_df),
+                    (F.col("cand") >= F.col("doc_min"))
+                    & (F.col("cand") <= F.col("doc_max")),
+                    "left_semi",
+                )
+                decoded = blocks3.select(*_payload_cols(blocks3)).mapInPandas(
+                    _make_filtered_decoder(index.avgdl, candidates),
                     _DECODED_SCHEMA,
                 )
-                .join(cand_set, "doc_id", "left_semi")
+            else:
+                # DISTRIBUTED handoff (no driver candidate array, no collect
+                # between phases): the nested-loop range join would cost
+                # O(meta_rows x n_cand), and huge candidate sets hit ~every
+                # block anyway (same measurement as the phrase path's
+                # PHRASE_BLOCK_JOIN_CAP), so keep only the coarse bound and
+                # semi-join candidates AFTER decode, BEFORE the groupBy
+                # shuffle — the shuffle (the scale bottleneck) still
+                # shrinks to candidate volume. NO broadcast hint: a
+                # broadcast would collect the whole over-cap set on the
+                # driver, the exact blowup this branch exists to avoid —
+                # the planner picks a shuffle semi-join (round-4 review).
+                decoded = (
+                    blocks3.select(*_payload_cols(blocks3))
+                    .mapInPandas(
+                        _make_filtered_decoder(index.avgdl, None),
+                        _DECODED_SCHEMA,
+                    )
+                    .join(cand_set, "doc_id", "left_semi")
+                )
+            if boosted:
+                decoded = _apply_boosts(decoded, terms, boost_of)
+            need_cs = bool(contain_all or contain_any)
+            scored = _score_decoded(decoded, keep_cs=need_cs)
+            if need_cs:
+                # delegated term-containment (MUST beside SHOULD, flattened
+                # MUST groups): filter on the collected structs —
+                # candidates only, no doc-set decode/join; the completeness
+                # check runs after it like every score-neutral filter
+                scored = _containment_filter(scored, contain_all, contain_any)
+                scored = scored.drop("cs")
+            if conjunctive:
+                scored = scored.filter(F.col("n_terms") == len(terms))
+            elif min_match > 0:
+                # delegated minimumNumberShouldMatch (score-neutral doc
+                # filter like fq — the completeness check runs after it)
+                scored = scored.filter(F.col("n_terms") >= int(min_match))
+            scored = scored.drop("n_terms")
+            allowed = allowed_docs(index, role, filters)
+            if allowed is not None:
+                scored = scored.join(allowed, "doc_id", "left_semi")
+            top = (
+                scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
             )
-        if boosted:
-            decoded = _apply_boosts(decoded, terms, boost_of)
-        need_cs = bool(contain_all or contain_any)
-        scored = _score_decoded(decoded, keep_cs=need_cs)
-        if need_cs:
-            # delegated term-containment (MUST beside SHOULD, flattened
-            # MUST groups): filter on the collected structs — candidates
-            # only, no doc-set decode/join; the completeness check below
-            # runs after it like every other score-neutral filter
-            scored = _containment_filter(scored, contain_all, contain_any)
-            scored = scored.drop("cs")
-        if conjunctive:
-            scored = scored.filter(F.col("n_terms") == len(terms))
-        elif min_match > 0:
-            # delegated minimumNumberShouldMatch (score-neutral doc
-            # filter like fq — the completeness check runs after it)
-            scored = scored.filter(F.col("n_terms") >= int(min_match))
-        scored = scored.drop("n_terms")
-        allowed = allowed_docs(index, role, filters)
-        if allowed is not None:
-            scored = scored.join(allowed, "doc_id", "left_semi")
-        top = (
-            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-        )
+            complete = R == 0.0 or (len(top) == k and top[-1]["score"] > R)
+            return top, complete
+        finally:
+            cand_set.unpersist()
 
-        # ---- completeness check -> fallback ---------------------------------
-        complete = R == 0.0 or (len(top) == k and top[-1]["score"] > R)
+    top, complete = _evaluate(sel_blocks, R)
+    if complete:
+        PRUNE_STATS["pass1"] += 1
+    else:
+        # ---- pass 2: theta-refined selection (round 5) ----------------------
+        # Pass 1's k-th exact score theta is a LOWER bound on the true
+        # theta_k (its docs are real, their scores exact). Re-select with
+        # per-term threshold theta/|terms|: every pruned block then has
+        # bound < theta/|terms| strictly, so R2 < theta <= theta_k(pass 2)
+        # (pass-1 candidates are a subset of pass-2's, same filters) —
+        # completeness is GUARANTEED by construction, not hoped for. This
+        # is the batch analog of doc-at-a-time WAND's theta refinement: it
+        # replaces the old guess-a-pool-size-or-fall-back scheme with one
+        # cheap probe pass plus one exactly-sized pass, and prunes
+        # whenever the corpus has bound structure at all (the volume guard
+        # routes genuinely flat/saturated queries to full evaluation,
+        # which is the honest optimum there).
+        if top is None or len(top) < k or float(top[-1]["score"]) <= 0.0:
+            return _fallback()
+        theta = float(top[-1]["score"])
+        thresh = theta / float(len(terms))
+        if est_meta_rows <= driver_meta_cap:
+            sel2_idx = np.union1d(
+                sel_idx,
+                meta.index.to_numpy()[
+                    meta["block_max_score"].to_numpy() >= thresh
+                ],
+            )
+            selected2 = meta.loc[sel2_idx]
+            if int(selected2["n"].sum()) > 0.5 * total_postings:
+                return _fallback()
+            pruned2 = meta.drop(index=sel2_idx)
+            R2 = (
+                float(pruned2.groupby("term")["block_max_score"].max().sum())
+                if len(pruned2)
+                else 0.0
+            )
+            sel_blocks2 = _apply_block_selection(
+                spark, blocks, selected2, seg_aware
+            )
+            if sel_blocks2 is None:
+                return _empty()
+        else:
+            # distributed pass 2: min(tau, thresh) keeps the pass-1
+            # selection a subset (the theta >= theta_k(pass 2) argument
+            # needs pass-1 candidates to remain candidates)
+            t2 = min(tau, thresh)
+            sel_blocks2 = bound_blocks.filter(F.col("block_max_score") >= t2)
+            sel2_n = (
+                sel_blocks2.agg(F.sum("n").alias("s")).collect()[0]["s"] or 0
+            )
+            if int(sel2_n) > 0.5 * total_postings:
+                return _fallback()
+            r_row = (
+                bound_blocks.filter(F.col("block_max_score") < t2)
+                .groupBy("term")
+                .agg(F.max("block_max_score").alias("m"))
+                .agg(F.sum("m").alias("R"))
+                .collect()
+            )
+            R2 = (
+                float(r_row[0]["R"])
+                if r_row and r_row[0]["R"] is not None
+                else 0.0
+            )
+        top, complete = _evaluate(sel_blocks2, R2)
         if not complete:
             return _fallback()
-    finally:
-        cand_set.unpersist()
+        PRUNE_STATS["pass2"] += 1
 
     if not top:
         # the pruned evaluation itself can complete with zero survivors
@@ -524,6 +624,7 @@ def dismax_pruned(
     spark = meta_index.spark
 
     def _fallback():
+        PRUNE_STATS["fallback"] += 1
         return _qf_full(
             indexes, fields, terms, qf, tie, mm_n, k, meta_index, with_meta
         )
@@ -644,81 +745,160 @@ def dismax_pruned(
                 F.col("block_max_score") * F.lit(float(qf[f])) >= tau
             )
 
-    # ---- phase 2: candidate docIDs from selected blocks (all fields) -------
-    cand = None
-    for f in fields:
-        b = sel_filter(f, per_field_blocks[f])
-        if b is None:
-            continue
-        d = (
-            b.select(*_payload_cols(b))
-            .mapInPandas(
-                _make_filtered_decoder(indexes[f].avgdl, None),
-                _DECODED_SCHEMA,
+    # ---- phases 2-3 as one evaluator (run once per selection pass) ---------
+    def _evaluate(sel_filter, R):
+        """Phases 2-3 for ONE cross-field selection; (top_rows, complete)."""
+        cand = None
+        for f in fields:
+            b = sel_filter(f, per_field_blocks[f])
+            if b is None:
+                continue
+            d = (
+                b.select(*_payload_cols(b))
+                .mapInPandas(
+                    _make_filtered_decoder(indexes[f].avgdl, None),
+                    _DECODED_SCHEMA,
+                )
+                .select("doc_id")
             )
-            .select("doc_id")
-        )
-        cand = d if cand is None else cand.unionByName(d)
-    if cand is None:
-        return _fallback()
-    cand_set = cand.distinct().persist()
-    try:
-        cstats = cand_set.agg(
-            F.count("*").alias("n"),
-            F.min("doc_id").alias("lo"),
-            F.max("doc_id").alias("hi"),
-        ).collect()[0]
-        n_cand = int(cstats["n"] or 0)
-        if n_cand == 0:
-            return _fallback()
-        lo, hi = int(cstats["lo"]), int(cstats["hi"])
+            cand = d if cand is None else cand.unionByName(d)
+        if cand is None:
+            return None, False
+        cand_set = cand.distinct().persist()
+        try:
+            cstats = cand_set.agg(
+                F.count("*").alias("n"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            ).collect()[0]
+            n_cand = int(cstats["n"] or 0)
+            if n_cand == 0:
+                return None, False
+            lo, hi = int(cstats["lo"]), int(cstats["hi"])
 
-        # ---- phase 3: exact per-field rescore of candidates ---------------
-        rng = (F.col("doc_max") >= lo) & (F.col("doc_min") <= hi)
-        if n_cand <= driver_cand_cap:
-            candidates = np.sort(
-                cand_set.toPandas()["doc_id"].to_numpy(dtype=np.int64)
-            )
-            cand_df = spark.createDataFrame(
-                pd.DataFrame({"cand": candidates})
-            )
-
-            def p3_filter(f, blocks):
-                return blocks.filter(rng).join(
-                    F.broadcast(cand_df),
-                    (F.col("cand") >= F.col("doc_min"))
-                    & (F.col("cand") <= F.col("doc_max")),
-                    "left_semi",
+            # phase 3: exact per-field rescore of candidates
+            rng = (F.col("doc_max") >= lo) & (F.col("doc_min") <= hi)
+            if n_cand <= driver_cand_cap:
+                candidates = np.sort(
+                    cand_set.toPandas()["doc_id"].to_numpy(dtype=np.int64)
+                )
+                cand_df = spark.createDataFrame(
+                    pd.DataFrame({"cand": candidates})
                 )
 
-            un = _qf_union(
-                indexes, fields, terms, qf,
-                block_filter=p3_filter, cand=candidates,
-            )
-        else:
-            # distributed handoff: coarse bound only, candidate semi-join
-            # after decode, before the groupBy shuffle (same rationale and
-            # no-broadcast rule as search_pruned's over-cap branch)
-            un = _qf_union(
-                indexes, fields, terms, qf,
-                block_filter=lambda f, blocks: blocks.filter(rng),
-            ).join(cand_set, "doc_id", "left_semi")
-        scored = _qf_score(un, tie)
-        if mm_n > 0:
-            scored = scored.filter(F.col("n_terms") >= mm_n)
-        top = (
-            scored.select("doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .collect()
-        )
+                def p3_filter(f, blocks):
+                    return blocks.filter(rng).join(
+                        F.broadcast(cand_df),
+                        (F.col("cand") >= F.col("doc_min"))
+                        & (F.col("cand") <= F.col("doc_max")),
+                        "left_semi",
+                    )
 
-        # ---- completeness check -> fallback -------------------------------
-        complete = R == 0.0 or (len(top) == k and top[-1]["score"] > R)
+                un = _qf_union(
+                    indexes, fields, terms, qf,
+                    block_filter=p3_filter, cand=candidates,
+                )
+            else:
+                # distributed handoff: coarse bound only, candidate
+                # semi-join after decode, before the groupBy shuffle (same
+                # rationale and no-broadcast rule as search_pruned's
+                # over-cap branch)
+                un = _qf_union(
+                    indexes, fields, terms, qf,
+                    block_filter=lambda f, blocks: blocks.filter(rng),
+                ).join(cand_set, "doc_id", "left_semi")
+            scored = _qf_score(un, tie)
+            if mm_n > 0:
+                scored = scored.filter(F.col("n_terms") >= mm_n)
+            top = (
+                scored.select("doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            complete = R == 0.0 or (len(top) == k and top[-1]["score"] > R)
+            return top, complete
+        finally:
+            cand_set.unpersist()
+
+    top, complete = _evaluate(sel_filter, R)
+    if complete:
+        PRUNE_STATS["pass1"] += 1
+    else:
+        # ---- pass 2: theta-refined selection (see search_pruned) ----------
+        # dismax per-term bound from per-field residuals r(t, f):
+        # bound_t = max_f r + tie * (sum_f r - max_f r)
+        #        <= (1 + tie * (|fields| - 1)) * max_f r,
+        # so pruning only (t, f) blocks with
+        # sbound < theta / (|terms| * (1 + tie * (|fields| - 1)))
+        # gives bound_t < theta/|terms| and R2 < theta <= theta_k(pass 2):
+        # completeness guaranteed by construction.
+        if top is None or len(top) < k or float(top[-1]["score"]) <= 0.0:
+            return _fallback()
+        theta = float(top[-1]["score"])
+        thresh = theta / (
+            float(len(terms)) * (1.0 + float(tie) * (len(fields) - 1))
+        )
+        if est_meta_rows <= driver_meta_cap:
+            sel2_idx = np.union1d(
+                sel_idx,
+                meta.index.to_numpy()[meta["sbound"].to_numpy() >= thresh],
+            )
+            selected2 = meta.loc[sel2_idx]
+            if int(selected2["n"].sum()) > 0.5 * total_postings:
+                return _fallback()
+            pruned2 = meta.drop(index=sel2_idx)
+            if len(pruned2):
+                r_ft2 = pruned2.groupby(["term", "field"])["sbound"].max()
+                R2 = 0.0
+                for t in r_ft2.index.get_level_values(0).unique():
+                    vals = np.atleast_1d(
+                        np.asarray(r_ft2.loc[t], dtype=np.float64)
+                    )
+                    mx = float(vals.max())
+                    R2 += mx + float(tie) * (float(vals.sum()) - mx)
+            else:
+                R2 = 0.0
+
+            def sel_filter2(f, blocks):
+                sf = selected2[selected2["field"] == f]
+                return _apply_block_selection(
+                    spark, blocks, sf, "seg" in blocks.columns
+                )
+
+        else:
+            t2 = min(tau, thresh)
+            sel2_n = (
+                bmeta.filter(F.col("sbound") >= t2)
+                .agg(F.sum("n").alias("s"))
+                .collect()[0]["s"]
+                or 0
+            )
+            if int(sel2_n) > 0.5 * total_postings:
+                return _fallback()
+            r_rows2 = (
+                bmeta.filter(F.col("sbound") < t2)
+                .groupBy("term", "field")
+                .agg(F.max("sbound").alias("m"))
+                .collect()
+            )
+            by_t2: dict = {}
+            for r in r_rows2:
+                by_t2.setdefault(r["term"], []).append(float(r["m"]))
+            R2 = sum(
+                max(v) + float(tie) * (sum(v) - max(v))
+                for v in by_t2.values()
+            )
+
+            def sel_filter2(f, blocks):
+                return blocks.filter(
+                    F.col("block_max_score") * F.lit(float(qf[f])) >= t2
+                )
+
+        top, complete = _evaluate(sel_filter2, R2)
         if not complete:
             return _fallback()
-    finally:
-        cand_set.unpersist()
+        PRUNE_STATS["pass2"] += 1
 
     from .search import META_SCHEMA, SCORE_SCHEMA
 

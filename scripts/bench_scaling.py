@@ -107,7 +107,32 @@ def run_py(code: str, args: list[str], needle: str, cpus: int | None = None) -> 
     raise RuntimeError(f"no {needle} line; stderr tail:\n{p.stderr[-2000:]}")
 
 
+def _refuse_if_spark_running() -> None:
+    """Scaling numbers taken beside another Spark JVM are noise (round-4's
+    2.6x index_build scare was exactly this); refuse rather than record.
+    Override with SCALING_IGNORE_RUNNING=1 for intentionally-loaded runs."""
+    if os.environ.get("SCALING_IGNORE_RUNNING"):
+        return
+    me = os.getpid()
+    out = subprocess.run(
+        ["ps", "-eo", "pid,args"], capture_output=True, text=True
+    ).stdout
+    hits = [
+        ln.strip()
+        for ln in out.splitlines()
+        if ("org.apache.spark" in ln or "pyspark-shell" in ln)
+        and str(me) not in ln.split()[:1]
+    ]
+    if hits:
+        raise SystemExit(
+            "another Spark JVM is alive — scaling numbers would be "
+            "contended; finish it first (or SCALING_IGNORE_RUNNING=1):\n"
+            + "\n".join(h[:160] for h in hits[:5])
+        )
+
+
 def main() -> None:
+    _refuse_if_spark_running()
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 4

@@ -125,9 +125,14 @@ def test_parser_rejects_unsupported():
         "(a b", "a b)", "field:(a b)",
         "pre*~1", "pre*~",        # wildcard+fuzzy don't compose (r4 review)
         "field:doc~1", "role:user~",  # fielded fuzzy is not a literal
+        "(a b) ^2", "(a b)^2x", "a ^2",  # detached/malformed boost is not
+                                         # a term (round-4 ADVICE)
     ]:
         with pytest.raises(ValueError):
             parse_query(bad)
+    # the legal forms stay legal
+    assert parse_query("(a b)^2").subs[0].boost == 2.0
+    assert parse_query("a^2").boosts
 
 
 def test_parser_groups():
@@ -848,6 +853,95 @@ def test_edismax_qf_multifield_vs_oracle(spark, tmp_path_factory):
         edismax_qf(idxs, f"+{ttop}", qf, k=5)
     with pytest.raises(ValueError, match="no index"):
         edismax_qf(idxs, q, {"nope": 1.0}, k=5)
+
+
+def test_fielded_scoring_clause(spark, tmp_path_factory):
+    """Round-5: ``field:value`` as a SCORING TermQuery when the field has
+    its own index (boolean_search(field_indexes=...)) — closes the last
+    documented classic-parser deviation. The fielded piece must carry the
+    FIELD's BM25 statistics and fold into the clause sum exactly like any
+    other piece; without field_indexes behavior is unchanged (docmap
+    filter / unknown-field error)."""
+    import pyspark.sql.functions as F
+
+    from parser_indexer_py_spark.index.boolean import boolean_search
+
+    base = generate_transcripts(spark, 60, partitions=3)
+    title = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ")
+    idxs = {}
+    for fname, df in [
+        ("text", base), ("title", base.withColumn("text", title)),
+    ]:
+        out = str(tmp_path_factory.mktemp(f"fs_{fname}"))
+        build_index(spark, df, out, n_chunks=1)
+        idxs[fname] = load_index(spark, out)
+    idx, tidx = idxs["text"], idxs["title"]
+    tt = tidx.termstats.orderBy(F.desc("df"), "term").limit(1).collect()[0][
+        "term"
+    ]
+    xt = [
+        r["term"]
+        for r in idx.termstats.orderBy(F.desc("df"), "term").limit(2).collect()
+        if r["term"] != tt
+    ][0]
+    big = idx.n_docs
+    s_title = {
+        r["doc_id"]: r["score"]
+        for r in search(tidx, tt, k=big, with_meta=False).collect()
+    }
+    s_text = {
+        r["doc_id"]: r["score"]
+        for r in search(idx, xt, k=big, with_meta=False).collect()
+    }
+    # engine: title:tt scores (required) + xt optional — piece fold is
+    # term piece then fielded piece, mirrored here in the same float order
+    got = [
+        (r["doc_id"], r["score"])
+        for r in boolean_search(
+            idx, f"title:{tt} {xt}", k=big, with_meta=False,
+            field_indexes={"title": tidx},
+        ).collect()
+    ]
+    want = sorted(
+        (
+            (d, s_text.get(d, 0.0) + s_title[d])
+            for d in s_title
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert got == want
+    assert got  # non-vacuous
+    # pure fielded query == plain BM25 over the title index
+    got1 = [
+        (r["doc_id"], r["score"])
+        for r in boolean_search(
+            idx, f"title:{tt}", k=big, with_meta=False,
+            field_indexes={"title": tidx},
+        ).collect()
+    ]
+    assert got1 == sorted(
+        ((d, 0.0 + s) for d, s in s_title.items()), key=lambda r: (-r[1], r[0])
+    )
+    # negative fielded clause excludes docs whose TITLE contains the token
+    neg = {
+        r["doc_id"]
+        for r in boolean_search(
+            idx, f"{xt} -title:{tt}", k=big, with_meta=False,
+            field_indexes={"title": tidx},
+        ).collect()
+    }
+    assert neg == set(s_text) - set(s_title) and neg
+    # OOV fielded value: required piece matches nothing
+    assert (
+        boolean_search(
+            idx, f"title:zzzqqq {xt}", k=5, with_meta=False,
+            field_indexes={"title": tidx},
+        ).count()
+        == 0
+    )
+    # without field_indexes the old contract stands: unknown docmap field
+    with pytest.raises(ValueError, match="unknown field"):
+        boolean_search(idx, f"title:{tt}", k=5)
 
 
 def test_edismax_qf_pruned_equals_full(spark, tmp_path_factory):

@@ -229,6 +229,68 @@ def test_pruned_mode_rank_identical(index, oracle, conjunctive):
         assert got == want, f"{name} ({q!r}) conj={conjunctive}"
 
 
+def test_pruned_two_pass_on_topical_corpus(spark, tmp_path_factory):
+    """Round-5 theta-refined pass 2: on the skewed (topical) corpus a
+    tiny pass-1 pool no longer means a full-evaluation fallback — pass 2
+    re-selects with the theta/|terms| bound threshold and certifies
+    completeness by construction. Gates: (a) rank identity vs the
+    pure-Python oracle on the TOPICAL corpus (the flat-corpus gates stay
+    next door), (b) equality across pass-1/pass-2/fallback whatever path
+    answers, (c) on a bursty single-term query the two-pass machinery
+    itself (not the full fallback) produces the answer."""
+    from parser_indexer_py_spark.datagen import (
+        _gen_convs, make_vocab, zipf_cdf,
+    )
+    from parser_indexer_py_spark.index.wand import (
+        PRUNE_STATS, reset_prune_stats,
+    )
+
+    out = str(tmp_path_factory.mktemp("topidx"))
+    df = generate_transcripts(
+        spark, 250, partitions=4, topical=0.7, min_tokens=24,
+    )
+    build_index(spark, df, out, n_partitions=6, n_buckets=8, n_chunks=1)
+    idx = load_index(spark, out)
+    pdf = _gen_convs(
+        np.arange(250, dtype=np.uint64), np.array(make_vocab()),
+        zipf_cdf(), min_tokens=24, max_tokens=48, topical=0.7,
+    )
+    oracle = BM25Oracle.from_pandas(
+        idx.docmap.select("doc_id", "text", "role").toPandas()
+    )
+    # burstiest band term: max per-doc tf (the topic-slot-0 shape)
+    from collections import Counter
+
+    best, best_tf = None, 0
+    for text in pdf["text"]:
+        for w, c in Counter(text.split()).most_common(2):
+            if c > best_tf and w in oracle.postings and w.isalpha():
+                df_w = len(oracle.postings[w])
+                if 5 <= df_w <= len(pdf) // 4:
+                    best, best_tf = w, c
+    assert best is not None and best_tf >= 6, (best, best_tf)
+    hot = max(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    for q in [best, f"{best} {hot}"]:
+        want = oracle.search(q, k=5)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(
+                idx, q, k=5, mode="pruned", full_cutover=0,
+                pool_target=64, with_meta=False,
+            ).collect()
+        ]
+        assert got == want, q
+    # the bursty single-term query must be answered by the pruned
+    # machinery itself: pass 1 with a tiny pool, then theta-refined pass 2
+    reset_prune_stats()
+    search(
+        idx, best, k=3, mode="pruned", full_cutover=0, pool_target=64,
+        with_meta=False,
+    ).collect()
+    assert PRUNE_STATS["fallback"] == 0, PRUNE_STATS
+    assert PRUNE_STATS["pass1"] + PRUNE_STATS["pass2"] == 1, PRUNE_STATS
+
+
 def test_pruned_distributed_selection_rank_identical(index, oracle):
     """driver_meta_cap=0 forces the DISTRIBUTED block-selection branch
     (quantile-approximated tau, O(1) driver rows — VERDICT r1 #2): results
