@@ -18,7 +18,13 @@ Semantics implemented (the documented DirectSpellChecker core):
   "internal" distance normalization), kept when >= accuracy;
 - ranked similarity desc, then df desc, then term asc; top ``count``;
 - collation: the query with each checked term replaced by its top
-  suggestion (spellcheck.collate — one collation, the top-1 form).
+  suggestion (spellcheck.collate — one collation, the top-1 form);
+- ``max_collations`` > 1 / ``collate_extended``: up to maxCollations
+  VERIFIED collations with hit counts and per-term corrections,
+  best-first over correction combinations with at most
+  ``max_collation_tries`` verification queries (Solr's
+  collateExtendedResults + maxCollationTries — see ``_collations`` for
+  the conjunctive-hits rationale).
 
 Scale shape: one termstats scan per checked term with the first-character
 prefix predicate PUSHED to the parquet term column (the same point-scan
@@ -58,6 +64,11 @@ SPELL_DEFAULTS = {
     "min_query_length": 4,
     "max_query_frequency": 0.01,
     "count": 5,
+    # collation verification (solrconfig.xml:936-939); max_collations=1
+    # keeps the legacy single unverified top-1 collation shape
+    "max_collations": 1,
+    "max_collation_tries": 5,
+    "collate_extended": False,
 }
 
 
@@ -166,7 +177,84 @@ def spellcheck(index: Index, query: str, **overrides) -> dict:
     collation = None
     if top:
         collation = " ".join(top.get(t, t) for t in tokens)
-    return {"suggestions": suggestions, "collation": collation}
+    out = {"suggestions": suggestions, "collation": collation}
+    if int(cfg["max_collations"]) > 1 or cfg["collate_extended"]:
+        out["collations"] = _collations(
+            index, tokens, suggestions, cfg
+        )
+        # the headline collation becomes the best VERIFIED one (Solr's
+        # collate returns only collations that produce hits)
+        out["collation"] = (
+            out["collations"][0]["collation"] if out["collations"] else None
+        )
+    return out
+
+
+def _rank_combos(n_opts: list[int], tries: int):
+    """Best-first enumeration of suggestion-index tuples by rank sum —
+    the SpellPossibilityIterator analog (Solr tries the most-likely
+    correction combinations first, up to maxCollationTries)."""
+    import heapq
+
+    start = (0,) * len(n_opts)
+    heap, seen, out = [(0, start)], {start}, []
+    while heap and len(out) < tries:
+        s, idx = heapq.heappop(heap)
+        out.append(idx)
+        for i in range(len(idx)):
+            if idx[i] + 1 < n_opts[i]:
+                nxt = idx[:i] + (idx[i] + 1,) + idx[i + 1:]
+                if nxt not in seen:
+                    seen.add(nxt)
+                    heapq.heappush(heap, (s + 1, nxt))
+    return out
+
+
+def _collations(index: Index, tokens, suggestions, cfg) -> list[dict]:
+    """Verified collations (spellcheck.maxCollations > 1 +
+    collateExtendedResults, solrconfig.xml:936-939: maxCollations=3,
+    maxCollationTries=5, collateExtendedResults=true): enumerate
+    correction combinations best-first, re-run each candidate collation
+    against the index, and keep those with hits > 0 (with their hit
+    counts and per-term corrections), up to maxCollations.
+
+    Verification counts CONJUNCTIVE matches — docs containing every
+    collation token. Rationale: Solr verifies by reissuing the corrected
+    query through the original handler, and the reference's /browse
+    handler runs edismax with mm=100% (solrconfig.xml:873), under which
+    a query "has hits" exactly when some doc matches ALL its terms; a
+    bare-OR count would be vacuously positive whenever any single term
+    is in-vocabulary, making maxCollationTries meaningless. Each try is
+    one |tokens|-sized doc-set intersection job (tries <= 5)."""
+    from .search import _docs_with_any
+
+    corrected = sorted(t for t in suggestions if suggestions[t])
+    if not corrected:
+        return []
+    options = [[s for s, _, _ in suggestions[t]] for t in corrected]
+    results = []
+    for idx_tuple in _rank_combos(
+        [len(o) for o in options], int(cfg["max_collation_tries"])
+    ):
+        repl = {t: options[i][j] for i, (t, j) in
+                enumerate(zip(corrected, idx_tuple))}
+        coll_tokens = [repl.get(t, t) for t in tokens]
+        ids = None
+        for t in dict.fromkeys(coll_tokens):
+            d = _docs_with_any(index, [t])
+            ids = d if ids is None else ids.join(d, "doc_id", "left_semi")
+        hits = int(ids.count()) if ids is not None else 0
+        if hits > 0:
+            results.append(
+                {
+                    "collation": " ".join(coll_tokens),
+                    "hits": hits,
+                    "corrections": repl,
+                }
+            )
+            if len(results) >= int(cfg["max_collations"]):
+                break
+    return results
 
 
 def wordbreak(index: Index, query: str, *, min_part_len: int = 2) -> dict:

@@ -85,6 +85,40 @@ def test_spell_collation(sindex, soracle, typo):
     assert res["collation"] == f"{hot} {top}"
 
 
+def test_spell_collations_verified(sindex, soracle, typo):
+    """Round-5 (solrconfig.xml:936-939): max_collations>1 returns up to
+    maxCollations VERIFIED collations — hit counts from re-running each
+    candidate conjunctively, per-term corrections attached, best-first
+    over correction combinations, never more than max_collation_tries
+    verification queries. The legacy single-collation shape (the default)
+    is unchanged."""
+    bad, src = typo
+    hot = max(soracle.postings, key=lambda t: len(soracle.postings[t]))
+    legacy = spellcheck(sindex, f"{hot} {bad}")
+    res = spellcheck(
+        sindex, f"{hot} {bad}", max_collations=3, collate_extended=True
+    )
+    assert "collations" not in legacy
+    colls = res["collations"]
+    assert colls and len(colls) <= 3
+    for c in colls:
+        toks = c["collation"].split()
+        # conjunctive verification: every reported collation really has
+        # docs containing ALL its tokens — recount in the pure oracle
+        docsets = [set(soracle.postings.get(t, {})) for t in toks]
+        want_hits = len(set.intersection(*docsets))
+        assert c["hits"] == want_hits and want_hits > 0
+        assert set(c["corrections"]) == {bad}
+    # headline collation = best verified one; suggestions unchanged
+    assert res["collation"] == colls[0]["collation"]
+    assert res["suggestions"] == legacy["suggestions"]
+    # an uncorrectable query yields no collations
+    none = spellcheck(
+        sindex, "zzzz qqqq", max_collations=3, collate_extended=True
+    )
+    assert none["collations"] == [] and none["collation"] is None
+
+
 def test_mlt_rank_identity(sindex, soracle):
     docs = sorted(soracle.docs)[:1] + sorted(soracle.docs)[50:51]
     checked = 0
