@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edismax_qf": TQ.q_edismax_qf,
         "edismax_qf_pruned": TQ.q_edismax_qf_pruned,
         "lucene_fielded_scored": TQ.q_lucene_fielded_scored,
+        "lucene_wildcard": TQ.q_lucene_wildcard,
         "spellcheck": TQ.q_spellcheck,
         "more_like_this": TQ.q_more_like_this,
         # text analysis (training-data pipeline)
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "edismax_qf": TQ.SQL_EDISMAX_QF,
         "edismax_qf_pruned": TQ.SQL_EDISMAX_QF,
         "lucene_fielded_scored": TQ.SQL_FIELDED_SCORED,
+        "lucene_wildcard": TQ.SQL_LUCENE_WILDCARD,
         "spellcheck": TQ.SQL_SPELLCHECK,
         "more_like_this": TQ.SQL_MLT,
         "token_counts": TQ.SQL_TOKEN_COUNTS,

@@ -1162,6 +1162,57 @@ def q_edismax_qf_pruned(spark, sf_dir):
     )
 
 
+def q_lucene_wildcard(spark, sf_dir):
+    """Round-5 wildcard tail of the classic parser: ``merge win?ow
+    str*am`` — a scoring term plus two Lucene WildcardQuery clauses
+    (single-char ``?``, mid-string ``*``) under the constant-score
+    multi-term rewrite (anchored dictionary expansion, maxClauseCount
+    cap — index/boolean.py _expand_wildcard). Score = BM25(merge) +
+    1.0 per matched wildcard clause, the clause-order fold. The DuckDB
+    oracle expands the same anchored patterns with regexp_matches."""
+    from .index.boolean import boolean_search
+
+    idx = _docs_pos_index(spark, sf_dir)
+    hits = boolean_search(idx, "merge win?ow str*am", k=1_000_000)
+    return (
+        hits.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_LUCENE_WILDCARD = SQL_TOK + """
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+mtf AS (SELECT doc_id, COUNT(*) AS tf FROM tok
+        WHERE w = 'merge' GROUP BY doc_id),
+mdf AS (SELECT COUNT(*) AS df FROM mtf),
+msc AS (
+  SELECT mtf.doc_id,
+         ln(1.0 + (g.n - mdf.df + 0.5) / (mdf.df + 0.5))
+         * (mtf.tf * 2.2)
+         / (mtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS c
+  FROM mtf JOIN dl ON dl.doc_id = mtf.doc_id, mdf, g),
+w1 AS (SELECT DISTINCT doc_id FROM tok WHERE regexp_matches(w, '^win.ow$')),
+w2 AS (SELECT DISTINCT doc_id FROM tok WHERE regexp_matches(w, '^str.*am$')),
+ids AS (SELECT doc_id FROM msc UNION SELECT doc_id FROM w1
+        UNION SELECT doc_id FROM w2)
+SELECT ids.doc_id,
+       ROUND(COALESCE(m.c, 0.0)
+             + (CASE WHEN a.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN b.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END),
+             6) AS score
+FROM ids LEFT JOIN msc m USING (doc_id)
+         LEFT JOIN w1 a USING (doc_id)
+         LEFT JOIN w2 b USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 FS_TITLE_TERM = "merge"
 FS_TEXT_TERM = "stream"
 

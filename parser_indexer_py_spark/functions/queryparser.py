@@ -29,7 +29,12 @@ Supported grammar (documented subset of the Lucene classic parser):
   the whole group's score. Scoring is Lucene's coord-free BooleanQuery:
   a matching group contributes the sum of its matching subclauses'
   scores x boost, and a MUST_NOT group excludes every doc the group
-  matches. ``field:(a b)`` field-grouping is NOT supported (raises).
+  matches.
+- ``field:(a b)`` / ``field:(a OR b)`` — field-grouping sugar (round 5):
+  Lucene's (field:a OR field:b) rewrite; the values fold into the
+  field's IN-semantics constraint list (scored match-any when the field
+  has an index). Only bare OR'd values — AND/NOT/phrases/nesting inside
+  the group raise.
 - ``field:value`` / ``field:"two words"`` / ``field:[lo TO hi]`` — fielded
   clauses. The parser stores them as field constraints; EVALUATION
   decides (index/boolean.py): a docmap metadata field is a SCORE-NEUTRAL
@@ -67,10 +72,17 @@ Supported grammar (documented subset of the Lucene classic parser):
   transposed typo like ``wnidow~1`` matches ``window`` in Lucene but
   needs ``~2`` here. Spark has no Damerau builtin; both twins would have
   to change together to close this.
+- ``te?t`` / ``t*st`` — wildcard terms (round 5): Lucene WildcardQuery
+  with the constant-score multi-term rewrite, expanded by anchored
+  pattern match over the term dictionary (a literal prefix is pushed to
+  the parquet term column), same ``MAX_PREFIX_EXPANSIONS`` cap.
+  Patterns are lowercased, not analyzed (Lucene skips analysis for
+  wildcard terms), and restricted to ``[a-z0-9*?]``.
 
 NOT supported (raises ValueError, so silent misreads are impossible):
-field-grouping (``field:(a b)``), non-trailing wildcards (``te?t``,
-``*te``), fractional fuzzy similarity, maxEdits > 2, and child-doc
+leading-* wildcards (``*te`` — an unanchored dictionary scan), wildcard
+patterns outside ``[a-z0-9*?]``, field-grouping with AND/NOT or nesting
+inside, fractional fuzzy similarity, maxEdits > 2, and child-doc
 transformers — the engine exposes block joins through its own operators
 instead.
 """
@@ -86,6 +98,7 @@ __all__ = [
     "PhraseClause",
     "PrefixClause",
     "FuzzyClause",
+    "WildcardClause",
     "GroupClause",
     "ParsedQuery",
     "parse_query",
@@ -125,6 +138,22 @@ class FuzzyClause:
 
 
 @dataclass(frozen=True)
+class WildcardClause:
+    """``te?t`` / ``t*st`` / ``?at`` — Lucene WildcardQuery: constant-score
+    multi-term rewrite over the term dictionary (anchored pattern match,
+    ``MAX_PREFIX_EXPANSIONS`` cap). Patterns are lowercased, NOT analyzed
+    (Lucene skips analysis for wildcard terms) and restricted to
+    ``[a-z0-9*?]`` — the term dictionary is analyzed lowercase
+    alphanumerics, so anything else cannot match and raises instead.
+    Leading ``*`` raises (an unanchored dictionary scan; Solr deployments
+    gate it for the same reason)."""
+
+    pattern: str
+    occur: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class RangeValue:
     """Inclusive [lo TO hi] — converted to search.Between by the engine."""
 
@@ -140,6 +169,7 @@ class ParsedQuery:
     phrases: tuple[PhraseClause, ...] = ()
     prefixes: tuple[PrefixClause, ...] = ()
     fuzzies: tuple[FuzzyClause, ...] = ()
+    wildcards: tuple[WildcardClause, ...] = ()
     subs: tuple["GroupClause", ...] = ()
     filters: dict = field(default_factory=dict)
     not_filters: dict = field(default_factory=dict)
@@ -256,6 +286,7 @@ def _parse_level(
     phrases: list[PhraseClause] = []
     prefixes: list[PrefixClause] = []
     fuzzies: list[FuzzyClause] = []
+    wildcards: list[WildcardClause] = []
     subs: list[GroupClause] = []
     filters: dict = {}
     not_filters: dict = {}
@@ -332,6 +363,13 @@ def _parse_level(
                     fuzzies[idx].boost,
                 )
                 last_positive_val = fuzzies[idx]
+        elif last_positive is wildcards and last_positive_val in wildcards:
+            idx = wildcards.index(last_positive_val)
+            if wildcards[idx].occur == src_occ:
+                wildcards[idx] = WildcardClause(
+                    wildcards[idx].pattern, dst_occ, wildcards[idx].boost
+                )
+                last_positive_val = wildcards[idx]
         elif last_positive is subs and last_positive_val in subs:
             idx = subs.index(last_positive_val)
             if subs[idx].occur == src_occ:
@@ -347,8 +385,8 @@ def _parse_level(
             if depth == 0:
                 raise ValueError("unbalanced ')' in query")
             return _finish(
-                should, must, must_not, phrases, prefixes, fuzzies, subs,
-                filters, not_filters, boosts, match_all,
+                should, must, must_not, phrases, prefixes, fuzzies,
+                wildcards, subs, filters, not_filters, boosts, match_all,
             ), i
         if m.group("lparen"):
             occ, dflt = occur_for_next()
@@ -512,9 +550,60 @@ def _parse_level(
             pending = MUST_NOT
             continue
         if word.endswith(":"):
+            # field-grouping sugar (round-5): ``field:(a b)`` /
+            # ``field:(a OR b)`` — Lucene rewrites it to (field:a OR
+            # field:b), and our same-field positive fold is already IN
+            # semantics, so the values join the field's filter list
+            # (scored match-any when the field has an index —
+            # boolean_search(field_indexes=...)).
+            fld = word[:-1]
+            if (
+                i < len(toks)
+                and toks[i].lastgroup == "lparen"
+                and toks[i].start() == m.end()
+                and re.fullmatch(_FIELD, fld)
+            ):
+                i += 1
+                vals: list = []
+                closed = False
+                while i < len(toks):
+                    t = toks[i]
+                    i += 1
+                    if t.lastgroup == "rparen":
+                        closed = True
+                        break
+                    if t.lastgroup != "term":
+                        raise ValueError(
+                            f"field-grouping {fld}:(...) supports only "
+                            "bare OR'd values (no phrases, ranges, "
+                            "occur flags, or nesting)"
+                        )
+                    v = t.group("term")
+                    if v in ("OR", "||"):
+                        continue
+                    if v in ("AND", "&&", "NOT"):
+                        raise ValueError(
+                            f"field-grouping {fld}:(...) supports only "
+                            "OR'd values (AND/NOT inside is not IN "
+                            "semantics)"
+                        )
+                    bv = _TERM_BOOST.match(v)
+                    if bv:
+                        v = bv.group(1)  # boost discarded like field:v^2
+                    vals.append(v)
+                if not closed:
+                    raise ValueError(f"unbalanced '(' in {fld}:(...)")
+                if not vals:
+                    raise ValueError(f"empty field-grouping {fld}:()")
+                occ, _ = occur_for_next()
+                tgt = not_filters if occ == MUST_NOT else filters
+                for v in vals:
+                    _add_filter(tgt, fld, _coerce(v))
+                last_positive = last_positive_val = None
+                continue
             raise ValueError(
-                f"field-grouping {word}(...) is unsupported (write the "
-                "group without the field, or one field:value per clause)"
+                f"dangling field label {word!r} (write field:value, or "
+                "field:(a b) with the group immediately adjacent)"
             )
         if word.startswith("^"):
             # a term token can never begin with '^': it is a detached or
@@ -530,10 +619,39 @@ def _parse_level(
         bm = _TERM_BOOST.match(word)
         if bm:
             word, boost = bm.group(1), float(bm.group(2))
+        if "*" in word or "?" in word:
+            # Lucene WildcardQuery (round-5): ``te?t`` / ``t*st`` —
+            # constant-score expansion over the term dictionary
+            # (index/boolean.py _expand_wildcard). Trailing-* forms were
+            # already PrefixClause via the lexer; what reaches here is
+            # the ?-and-mid-* tail.
+            wl = word.lower()
+            if wl.startswith("*"):
+                raise ValueError(
+                    f"leading-* wildcard {word!r} unsupported (an "
+                    "unanchored term-dictionary scan; anchor the "
+                    "pattern or use a prefix query)"
+                )
+            if not re.fullmatch(r"[a-z0-9*?]+", wl):
+                raise ValueError(
+                    f"wildcard pattern {word!r} unsupported — patterns "
+                    "are lowercase [a-z0-9*?] (the term dictionary "
+                    "holds analyzed lowercase alphanumerics; anything "
+                    "else cannot match)"
+                )
+            occ, dflt = occur_for_next()
+            wc = WildcardClause(wl, occ, boost)
+            wildcards.append(wc)
+            if occ != MUST_NOT:
+                last_positive, last_positive_val = wildcards, wc
+                last_default = dflt
+            else:
+                last_positive = last_positive_val = None
+            continue
         if _UNSUPPORTED.search(word):
             raise ValueError(
-                f"wildcard term {word!r} unsupported (only TRAILING-"
-                "wildcard prefixes like 'pre*' are queries)"
+                f"term {word!r} unsupported (stray '~' suffix — fuzzy "
+                "terms are 'term~N' with N in 0..2)"
             )
         occ, dflt = occur_for_next()
         wtoks = analyze_text(word)
@@ -555,8 +673,8 @@ def _parse_level(
     if depth > 0:
         raise ValueError("unbalanced '(' in query")
     return _finish(
-        should, must, must_not, phrases, prefixes, fuzzies, subs,
-        filters, not_filters, boosts, match_all,
+        should, must, must_not, phrases, prefixes, fuzzies, wildcards,
+        subs, filters, not_filters, boosts, match_all,
     ), i
 
 
@@ -596,7 +714,8 @@ def flatten_query(pq: ParsedQuery) -> ParsedQuery:
             sub.should_terms
             and not (
                 sub.must_terms or sub.must_not_terms or sub.phrases
-                or sub.prefixes or sub.fuzzies or sub.subs or sub.filters
+                or sub.prefixes or sub.fuzzies or sub.wildcards
+                or sub.subs or sub.filters
                 or sub.not_filters or sub.match_all or sub.must_any
             )
         )
@@ -635,6 +754,7 @@ def flatten_query(pq: ParsedQuery) -> ParsedQuery:
         phrases=pq.phrases,
         prefixes=pq.prefixes,
         fuzzies=pq.fuzzies,
+        wildcards=pq.wildcards,
         subs=tuple(subs),
         filters=pq.filters,
         not_filters=pq.not_filters,
@@ -649,13 +769,13 @@ def _is_empty(pq: ParsedQuery) -> bool:
     drops such groups from the enclosing query."""
     return not (
         pq.should_terms or pq.must_terms or pq.must_not_terms
-        or pq.phrases or pq.prefixes or pq.fuzzies or pq.subs
-        or pq.filters or pq.not_filters or pq.match_all
+        or pq.phrases or pq.prefixes or pq.fuzzies or pq.wildcards
+        or pq.subs or pq.filters or pq.not_filters or pq.match_all
     )
 
 
 def _finish(
-    should, must, must_not, phrases, prefixes, fuzzies, subs,
+    should, must, must_not, phrases, prefixes, fuzzies, wildcards, subs,
     filters, not_filters, boosts, match_all,
 ) -> ParsedQuery:
     return ParsedQuery(
@@ -665,6 +785,7 @@ def _finish(
         phrases=tuple(phrases),
         prefixes=tuple(prefixes),
         fuzzies=tuple(fuzzies),
+        wildcards=tuple(wildcards),
         subs=tuple(subs),
         filters=filters,
         not_filters=not_filters,

@@ -148,6 +148,37 @@ def _expand_fuzzy(index: Index, term: str, max_edits: int) -> list[str]:
     return sorted(r["term"] for r in rows)
 
 
+def _expand_wildcard(index: Index, pattern: str) -> list[str]:
+    """Lucene WildcardQuery rewrite step (round-5): dictionary terms
+    matching the anchored ``*``/``?`` pattern. The literal prefix (up to
+    the first wildcard) is PUSHED to the parquet term column like
+    PrefixQuery's; the remainder evaluates as an anchored regex
+    JVM-side (``rlike`` — patterns are restricted to [a-z0-9*?] by the
+    parser, so no regex-metacharacter escaping hazards exist). Capped at
+    MAX_PREFIX_EXPANSIONS like every multi-term rewrite."""
+    import re as _re
+
+    lit = _re.match(r"^[a-z0-9]*", pattern).group(0)
+    rx = "^" + "".join(
+        ".*" if c == "*" else "." if c == "?" else c for c in pattern
+    ) + "$"
+    cand = index.termstats
+    if lit:
+        cand = cand.filter(F.col("term").startswith(lit))
+    rows = (
+        cand.filter(F.col("term").rlike(rx))
+        .select("term")
+        .limit(MAX_PREFIX_EXPANSIONS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_PREFIX_EXPANSIONS:
+        raise ValueError(
+            f"wildcard {pattern!r} expands past "
+            f"{MAX_PREFIX_EXPANSIONS} terms (Lucene maxClauseCount)"
+        )
+    return sorted(r["term"] for r in rows)
+
+
 def _exclusion_docs(
     index: Index, pq: ParsedQuery, not_filters: dict
 ) -> DataFrame | None:
@@ -176,6 +207,11 @@ def _exclusion_docs(
                 _docs_with_any(
                     index, _expand_fuzzy(index, fc.term, fc.max_edits)
                 )
+            )
+    for wc in pq.wildcards:
+        if wc.occur == MUST_NOT:
+            parts.append(
+                _docs_with_any(index, _expand_wildcard(index, wc.pattern))
             )
     for f, v in not_filters.items():
         parts.append(allowed_docs(index, None, {f: v}))
@@ -280,6 +316,7 @@ def _scored_docs(
         + sum(1 for p in pq.phrases if p.occur == SHOULD)
         + sum(1 for p in pq.prefixes if p.occur == SHOULD)
         + sum(1 for p in pq.fuzzies if p.occur == SHOULD)
+        + sum(1 for w in pq.wildcards if w.occur == SHOULD)
         + sum(1 for g in pq.subs if g.occur == SHOULD)
     )
     if min_should_match > n_should_clauses:
@@ -369,6 +406,19 @@ def _scored_docs(
                 fc.occur == SHOULD,
             )
         )
+    for wc in pq.wildcards:
+        if wc.occur == MUST_NOT:
+            continue
+        # constant-score multi-term rewrite over the anchored pattern
+        # expansion — exactly the PrefixQuery treatment (round-5)
+        docs = _docs_with_any(index, _expand_wildcard(index, wc.pattern))
+        pieces.append(
+            (
+                wc.occur == MUST,
+                docs.withColumn("score", F.lit(1.0 * wc.boost)),
+                wc.occur == SHOULD,
+            )
+        )
     for gc in pq.subs:
         if gc.occur == MUST_NOT:
             continue
@@ -408,7 +458,7 @@ def _scored_docs(
         has_neg = bool(pq.must_not_terms or not_filters or scored_not) or any(
             p.occur == MUST_NOT
             for p in list(pq.phrases) + list(pq.prefixes)
-            + list(pq.fuzzies) + list(pq.subs)
+            + list(pq.fuzzies) + list(pq.wildcards) + list(pq.subs)
         )
         if allowed is None and not (pq.match_all or has_neg):
             return None  # genuinely empty query ("" or all-stopword)
@@ -486,6 +536,13 @@ def _scored_docs(
                 _docs_with_any(
                     index, _expand_fuzzy(index, fc.term, fc.max_edits)
                 ),
+                "doc_id",
+                "left_anti",
+            )
+    for wc in pq.wildcards:
+        if wc.occur == MUST_NOT:
+            out = out.join(
+                _docs_with_any(index, _expand_wildcard(index, wc.pattern)),
                 "doc_id",
                 "left_anti",
             )
@@ -632,6 +689,7 @@ def boolean_search(
         all(p.occur == MUST_NOT for p in pq.phrases)
         and all(p.occur == MUST_NOT for p in pq.prefixes)
         and all(p.occur == MUST_NOT for p in pq.fuzzies)
+        and all(w.occur == MUST_NOT for w in pq.wildcards)
         and not pq.subs  # groups need the recursive clause algebra
         and not pq.match_all
         and mm_delegable

@@ -227,6 +227,21 @@ class BM25Oracle:
         ]
         return sorted(cands, key=lambda x: (-x[1], x[0]))[:k]
 
+    def _wildcard_terms(self, pattern: str) -> list[str]:
+        """Twin of index.boolean._expand_wildcard (anchored fnmatch over
+        the term dictionary, maxClauseCount cap)."""
+        import fnmatch
+
+        from ..functions.queryparser import MAX_PREFIX_EXPANSIONS
+
+        out = sorted(fnmatch.filter(self.postings.keys(), pattern))
+        if len(out) > MAX_PREFIX_EXPANSIONS:
+            raise ValueError(
+                f"wildcard {pattern!r} expands past "
+                f"{MAX_PREFIX_EXPANSIONS} terms (Lucene maxClauseCount)"
+            )
+        return out
+
     def _pq_scores(
         self,
         pq,
@@ -250,6 +265,7 @@ class BM25Oracle:
             + sum(1 for p in pq.phrases if p.occur == "SHOULD")
             + sum(1 for p in pq.prefixes if p.occur == "SHOULD")
             + sum(1 for p in pq.fuzzies if p.occur == "SHOULD")
+            + sum(1 for w in pq.wildcards if w.occur == "SHOULD")
             + sum(1 for g in pq.subs if g.occur == "SHOULD")
         )
         if min_should_match > n_should_clauses:
@@ -319,6 +335,19 @@ class BM25Oracle:
                     fc.occur == "SHOULD",
                 )
             )
+        for wc in pq.wildcards:
+            if wc.occur == MUST_NOT:
+                continue
+            docs_w: set[int] = set()
+            for t in self._wildcard_terms(wc.pattern):
+                docs_w |= set(self.postings.get(t, {}))
+            pieces.append(
+                (
+                    wc.occur == MUST,
+                    {d: 1.0 * wc.boost for d in docs_w},
+                    wc.occur == "SHOULD",
+                )
+            )
         for gc in pq.subs:
             if gc.occur == MUST_NOT:
                 continue
@@ -333,7 +362,7 @@ class BM25Oracle:
             has_neg = bool(pq.must_not_terms or not_role) or any(
                 p.occur == MUST_NOT
                 for p in list(pq.phrases) + list(pq.prefixes)
-                + list(pq.fuzzies) + list(pq.subs)
+                + list(pq.fuzzies) + list(pq.wildcards) + list(pq.subs)
             )
             if role_f is None and not (pq.match_all or has_neg):
                 return None
@@ -397,6 +426,10 @@ class BM25Oracle:
         for fc in pq.fuzzies:
             if fc.occur == MUST_NOT:
                 for t in self._fuzzy_terms(fc.term, fc.max_edits):
+                    excluded |= set(self.postings.get(t, {}))
+        for wc in pq.wildcards:
+            if wc.occur == MUST_NOT:
+                for t in self._wildcard_terms(wc.pattern):
                     excluded |= set(self.postings.get(t, {}))
         for gc in pq.subs:
             if gc.occur == MUST_NOT:

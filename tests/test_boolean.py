@@ -121,18 +121,26 @@ def test_parser_prefix():
 
 def test_parser_rejects_unsupported():
     for bad in [
-        "te?t", "te*t", "*te", "fuzzy~0.8", "fuzzy~3", "role:*",
-        "(a b", "a b)", "field:(a b)",
+        "*te", "fuzzy~0.8", "fuzzy~3", "role:*",
+        "(a b", "a b)",
         "pre*~1", "pre*~",        # wildcard+fuzzy don't compose (r4 review)
+        "te?t~1",                 # same for ?-wildcards
         "field:doc~1", "role:user~",  # fielded fuzzy is not a literal
         "(a b) ^2", "(a b)^2x", "a ^2",  # detached/malformed boost is not
                                          # a term (round-4 ADVICE)
+        "role:(a AND b)", "role:(", "role:()", "role: x",  # field-group
+        "te%t*",                  # wildcard charset restricted (round-5)
     ]:
         with pytest.raises(ValueError):
             parse_query(bad)
-    # the legal forms stay legal
+    # the legal forms stay legal (incl. the round-5 wildcard tail)
     assert parse_query("(a b)^2").subs[0].boost == 2.0
     assert parse_query("a^2").boosts
+    assert parse_query("te?t").wildcards[0].pattern == "te?t"
+    assert parse_query("t*st^2").wildcards[0].boost == 2.0
+    assert parse_query("role:(user tool)").filters == {
+        "role": ["user", "tool"]
+    }
 
 
 def test_parser_groups():
@@ -317,6 +325,36 @@ def test_boolean_rank_identity_vs_oracle(bindex, boracle, qterms):
     for q in queries:
         eng = _rows(boolean_search(bindex, q, k=10, with_meta=False))
         assert eng == boracle.boolean_search(q, k=10), q
+
+
+def test_wildcard_and_field_grouping_vs_oracle(bindex, boracle, qterms):
+    """Round-5 wildcard tail: ``te?t`` / ``t*st`` (constant-score
+    WildcardQuery rewrite, every occur flag, boosts) and ``field:(a b)``
+    field-grouping sugar — engine == pure-Python oracle exactly."""
+    t1, t2, t3 = qterms
+    pat_q = t3[:1] + "?" + t3[2:]            # ? at position 1
+    pat_s = t3[:1] + "*" + t3[-1]            # mid-string *
+    queries = [
+        f"{t1} {pat_q}",
+        f"{t1} {pat_s}",
+        f"+{pat_q} {t2}",
+        f"{t1} -{pat_s}",
+        f"{pat_q}^2 AND {t2}",
+        f"{pat_q} {pat_s} {t1}",
+    ]
+    for q in queries:
+        eng = _rows(boolean_search(bindex, q, k=10, with_meta=False))
+        assert eng == boracle.boolean_search(q, k=10), q
+        if " -" not in q:  # negatives may legitimately empty the set
+            assert eng, q  # non-vacuous: the pattern really matched
+    # field-grouping == the same query written as repeated field clauses
+    for grouped, flat in [
+        (f"{t1} role:(user tool)", f"{t1} role:user role:tool"),
+        (f"{t1} -role:(user OR tool)", f"{t1} -role:user -role:tool"),
+    ]:
+        a = _rows(boolean_search(bindex, grouped, k=10, with_meta=False))
+        b = _rows(boolean_search(bindex, flat, k=10, with_meta=False))
+        assert a == b and a, grouped
 
 
 def test_boolean_boost_prefix_mm_vs_oracle(bindex, boracle, qterms):

@@ -163,7 +163,29 @@ def _rand_bool_query(rng, terms, roles, depth: int = 0) -> str:
             if rng.random() < 0.3:
                 suffix += f"^{int(rng.integers(2, 4))}"
             parts.append(fz + suffix)
-        elif r < 0.74 and depth < 2:
+        elif r < 0.68 and len(t) >= 4 and t.isascii() and t.isalnum() \
+                and t == t.lower():
+            # round-5 wildcard tail: ? at a middle position, or mid-*
+            i1 = int(rng.integers(1, len(t) - 1))
+            if rng.random() < 0.5:
+                w = t[:i1] + "?" + t[i1 + 1:]
+            else:
+                w = t[:i1] + "*" + t[-1]
+            if rng.random() < 0.25:
+                w += f"^{int(rng.integers(2, 4))}"
+            if rng.random() < 0.25:
+                w = ("+" if rng.random() < 0.5 else "-") + w
+            parts.append(w)
+        elif r < 0.72:
+            # round-5 field-grouping sugar
+            r1 = roles[int(rng.integers(0, len(roles)))]
+            r2 = roles[int(rng.integers(0, len(roles)))]
+            sep = " OR " if rng.random() < 0.5 else " "
+            fg = f"role:({r1}{sep}{r2})"
+            if rng.random() < 0.3:
+                fg = "-" + fg
+            parts.append(fg)
+        elif r < 0.80 and depth < 2:
             grp = _rand_bool_query(rng, terms, roles, depth + 1)
             if grp:
                 g = f"({grp})"
