@@ -1092,6 +1092,7 @@ def select(
     group_limit: int = 1,
     hl: bool = False,
     mode: str = "full",
+    field_indexes: dict | None = None,
 ) -> dict:
     """Solr ``/select`` twin — the request shape every reference sample
     query uses (docs/mte-samplequeries.md; handler defaults rows=10 at
@@ -1117,7 +1118,9 @@ def select(
     deliberately not precomputed, a 100-TB match set's exact count is
     its own job).
 
-    ``mode`` passes through to the page-only fast path below: a
+    ``field_indexes`` passes through to both evaluation paths (scoring
+    fielded clauses — see boolean_search). ``mode`` passes through to
+    the page-only fast path below: a
     relevance-sorted request with NO full-match-set component (no
     facets, no range facets, no grouping, no field sort) needs only the
     top start+rows docs, so it rides ``boolean_search`` — identical
@@ -1141,6 +1144,7 @@ def select(
             boolean_search(
                 index, q, k=start + rows, fq=fq, default_op=q_op,
                 mode=mode, with_meta=True, with_excerpt=hl,
+                field_indexes=field_indexes,
             ).offset(start),
             fl,
         )
@@ -1151,7 +1155,9 @@ def select(
             "groups": None,
         }
     pq = flatten_query(pq)  # match-set path evaluates here; fast path
-    scored = _scored_docs(index, pq)  # left flattening to boolean_search
+    scored = _scored_docs(  # left flattening to boolean_search
+        index, pq, field_indexes=field_indexes
+    )
     if scored is None:
         raise ValueError(f"q {q!r} parses to an empty query")
     if fq:
