@@ -511,6 +511,10 @@ def search_pruned(
                     meta["block_max_score"].to_numpy() >= thresh
                 ],
             )
+            if len(sel2_idx) == len(sel_idx):
+                # threshold admitted no new blocks: pass 2 would re-run
+                # pass 1's exact evaluation and fail the same check
+                return _fallback()
             selected2 = meta.loc[sel2_idx]
             if int(selected2["n"].sum()) > 0.5 * total_postings:
                 return _fallback()
@@ -530,6 +534,9 @@ def search_pruned(
             # selection a subset (the theta >= theta_k(pass 2) argument
             # needs pass-1 candidates to remain candidates)
             t2 = min(tau, thresh)
+            if t2 >= tau:
+                # same tau => same selection => same failed check
+                return _fallback()
             sel_blocks2 = bound_blocks.filter(F.col("block_max_score") >= t2)
             sel2_n = (
                 sel_blocks2.agg(F.sum("n").alias("s")).collect()[0]["s"] or 0
@@ -844,6 +851,8 @@ def dismax_pruned(
                 sel_idx,
                 meta.index.to_numpy()[meta["sbound"].to_numpy() >= thresh],
             )
+            if len(sel2_idx) == len(sel_idx):
+                return _fallback()
             selected2 = meta.loc[sel2_idx]
             if int(selected2["n"].sum()) > 0.5 * total_postings:
                 return _fallback()
@@ -868,6 +877,8 @@ def dismax_pruned(
 
         else:
             t2 = min(tau, thresh)
+            if t2 >= tau:
+                return _fallback()
             sel2_n = (
                 bmeta.filter(F.col("sbound") >= t2)
                 .agg(F.sum("n").alias("s"))
