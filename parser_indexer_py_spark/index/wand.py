@@ -134,6 +134,29 @@ def reset_prune_stats() -> dict:
 # semi-joins candidates after decode, before the groupBy shuffle.
 DRIVER_CAND_CAP = 1_000_000
 
+# Economic guards (round-5, measured at 6.5M docs on the skewed corpus):
+#
+# - CAND_FRAC_GUARD: when the candidate set exceeds ~10% of the query's
+#   total postings volume, phase 3 must decode ~every block AND shuffle
+#   candidate-sized joins — the rescore costs as much as full evaluation
+#   on any architecture (measured: an all-hot grouped query with 2M
+#   scattered candidates ran 73.6s pruned vs 11.2s full). Such calls
+#   fall back BEFORE phase 3. The k*64 floor keeps tiny test corpora
+#   (where 10% of postings is a handful of docs) on the pruned path.
+# - BNL_CELL_CAP: the exact per-candidate block-range semi-join is a
+#   BroadcastNestedLoop over block METADATA — O(n_cand x meta rows)
+#   predicate evaluations. It is the key win when candidates are few and
+#   clustered (rare-term queries: block pruning eliminates ~all payload
+#   reads), but at 400k candidates x 45k meta rows (~2e10 cells) the
+#   join itself ran 60.9s. Above the cap phase 3 keeps the coarse
+#   [lo, hi] bound + the in-decoder membership filter only.
+CAND_FRAC_GUARD = 0.1
+BNL_CELL_CAP = 200_000_000
+
+
+class _TooManyCandidates(Exception):
+    """Internal: phase-2 candidate volume makes pruning uneconomic."""
+
 
 def _apply_block_selection(spark, blocks, selected, seg_aware: bool):
     """Restrict ``blocks`` to driver-selected (term[, seg], block_id) keys.
@@ -397,6 +420,8 @@ def search_pruned(
             n_cand = int(cstats["n"] or 0)
             if n_cand == 0:
                 return None, False
+            if n_cand > max(k * 64, CAND_FRAC_GUARD * total_postings):
+                raise _TooManyCandidates(n_cand)
             lo, hi = int(cstats["lo"]), int(cstats["hi"])
 
             # phase 3: exact rescore of candidates — decode ONLY blocks
@@ -407,6 +432,7 @@ def search_pruned(
             blocks3 = blocks.filter(
                 (F.col("doc_max") >= lo) & (F.col("doc_min") <= hi)
             )
+            est_meta3 = total_postings // 128 + len(terms)
             if n_cand <= driver_cand_cap:
                 # DRIVER handoff: bounded sorted ids -> exact per-candidate
                 # block-range semi-join (BroadcastNestedLoop over block
@@ -419,15 +445,18 @@ def search_pruned(
                 # Arrow-backed: a row-by-row tuple list costs ~100x the
                 # numpy array's 8 MB at the 1M cap (round-4 ADVICE); a
                 # pandas frame ships as Arrow batches, no per-row objects
-                cand_df = spark.createDataFrame(
-                    pd.DataFrame({"cand": candidates})
-                )
-                blocks3 = blocks3.join(
-                    F.broadcast(cand_df),
-                    (F.col("cand") >= F.col("doc_min"))
-                    & (F.col("cand") <= F.col("doc_max")),
-                    "left_semi",
-                )
+                if n_cand * est_meta3 <= BNL_CELL_CAP:
+                    # exact block pruning pays only when the nested loop
+                    # is small (see BNL_CELL_CAP)
+                    cand_df = spark.createDataFrame(
+                        pd.DataFrame({"cand": candidates})
+                    )
+                    blocks3 = blocks3.join(
+                        F.broadcast(cand_df),
+                        (F.col("cand") >= F.col("doc_min"))
+                        & (F.col("cand") <= F.col("doc_max")),
+                        "left_semi",
+                    )
                 decoded = blocks3.select(*_payload_cols(blocks3)).mapInPandas(
                     _make_filtered_decoder(index.avgdl, candidates),
                     _DECODED_SCHEMA,
@@ -483,7 +512,10 @@ def search_pruned(
         finally:
             cand_set.unpersist()
 
-    top, complete = _evaluate(sel_blocks, R)
+    try:
+        top, complete = _evaluate(sel_blocks, R)
+    except _TooManyCandidates:
+        return _fallback()
     if complete:
         PRUNE_STATS["pass1"] += 1
     else:
@@ -555,7 +587,10 @@ def search_pruned(
                 if r_row and r_row[0]["R"] is not None
                 else 0.0
             )
-        top, complete = _evaluate(sel_blocks2, R2)
+        try:
+            top, complete = _evaluate(sel_blocks2, R2)
+        except _TooManyCandidates:
+            return _fallback()
         if not complete:
             return _fallback()
         PRUNE_STATS["pass2"] += 1
@@ -781,25 +816,33 @@ def dismax_pruned(
             n_cand = int(cstats["n"] or 0)
             if n_cand == 0:
                 return None, False
+            if n_cand > max(k * 64, CAND_FRAC_GUARD * total_postings):
+                raise _TooManyCandidates(n_cand)
             lo, hi = int(cstats["lo"]), int(cstats["hi"])
 
             # phase 3: exact per-field rescore of candidates
             rng = (F.col("doc_max") >= lo) & (F.col("doc_min") <= hi)
+            est_meta3 = total_postings // 128 + len(terms) * len(fields)
             if n_cand <= driver_cand_cap:
                 candidates = np.sort(
                     cand_set.toPandas()["doc_id"].to_numpy(dtype=np.int64)
                 )
-                cand_df = spark.createDataFrame(
-                    pd.DataFrame({"cand": candidates})
-                )
-
-                def p3_filter(f, blocks):
-                    return blocks.filter(rng).join(
-                        F.broadcast(cand_df),
-                        (F.col("cand") >= F.col("doc_min"))
-                        & (F.col("cand") <= F.col("doc_max")),
-                        "left_semi",
+                if n_cand * est_meta3 <= BNL_CELL_CAP:
+                    cand_df = spark.createDataFrame(
+                        pd.DataFrame({"cand": candidates})
                     )
+
+                    def p3_filter(f, blocks):
+                        return blocks.filter(rng).join(
+                            F.broadcast(cand_df),
+                            (F.col("cand") >= F.col("doc_min"))
+                            & (F.col("cand") <= F.col("doc_max")),
+                            "left_semi",
+                        )
+                else:
+
+                    def p3_filter(f, blocks):
+                        return blocks.filter(rng)
 
                 un = _qf_union(
                     indexes, fields, terms, qf,
@@ -828,7 +871,10 @@ def dismax_pruned(
         finally:
             cand_set.unpersist()
 
-    top, complete = _evaluate(sel_filter, R)
+    try:
+        top, complete = _evaluate(sel_filter, R)
+    except _TooManyCandidates:
+        return _fallback()
     if complete:
         PRUNE_STATS["pass1"] += 1
     else:
@@ -906,7 +952,10 @@ def dismax_pruned(
                     F.col("block_max_score") * F.lit(float(qf[f])) >= t2
                 )
 
-        top, complete = _evaluate(sel_filter2, R2)
+        try:
+            top, complete = _evaluate(sel_filter2, R2)
+        except _TooManyCandidates:
+            return _fallback()
         if not complete:
             return _fallback()
         PRUNE_STATS["pass2"] += 1

@@ -131,6 +131,31 @@ def main() -> None:
         ),
     )
 
+    # --- single bursty band term: clustered candidates, block pruning -------
+    run(
+        f"band_term_pruned [{b1}]",
+        lambda: search(
+            idx, b1, k=10, mode="pruned", full_cutover=0, with_meta=False
+        ),
+        pruned=True,
+    )
+    run(
+        f"band_term_full [{b1}]",
+        lambda: search(idx, b1, k=10, with_meta=False),
+    )
+    run(
+        f"band_pair_pruned [{b1} {b2}]",
+        lambda: search(
+            idx, f"{b1} {b2}", k=10, mode="pruned", full_cutover=0,
+            with_meta=False,
+        ),
+        pruned=True,
+    )
+    run(
+        f"band_pair_full [{b1} {b2}]",
+        lambda: search(idx, f"{b1} {b2}", k=10, with_meta=False),
+    )
+
     # --- grouped-AND at realistic mixed df ----------------------------------
     gq = f"({b1} OR {b2}) AND bace"
     run(
