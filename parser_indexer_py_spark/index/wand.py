@@ -26,13 +26,15 @@ Pass 2   (round 5) if the check fails, the k-th exact score theta from
          and re-run phases 2-3: now every pruned block's bound is
          < theta/|terms|, so R2 < theta <= theta_k and completeness is
          guaranteed by construction (the batch analog of doc-at-a-time
-         WAND's theta refinement). A volume guard (selection > 50% of
-         total postings) routes genuinely flat corpora / saturated
-         all-hot queries to full evaluation instead — the honest optimum
-         there. Only if pass 1 produced < k rows (or the guard fires)
-         does the call FALL BACK to full evaluation — either way the
-         pruned path can never return a different answer than the oracle
-         path.
+         WAND's theta refinement). Economic guards route shapes that
+         cannot win to full evaluation instead: selection > 50% of total
+         postings (flat corpora), candidates > ~10% of postings
+         (CAND_FRAC_GUARD — scattered-candidate rescores cost as much as
+         full on any architecture), and the per-candidate block-range
+         nested loop is skipped above BNL_CELL_CAP cells. Only via those
+         guards (or pass 1 producing < k rows) does the call FALL BACK —
+         either way the pruned path can never return a different answer
+         than the oracle path.
 
 Why this wins at scale: the shuffle/aggregation volume drops from "every
 posting of every query term" (hot terms: O(N) rows) to "candidate pool"
@@ -114,9 +116,12 @@ DRIVER_META_ROW_CAP = 100_000
 # Instrumentation (read by benches/tests to certify WHICH path answered a
 # pruned call — "zero fallbacks" is a measured claim, not an assumption).
 # pass1: completeness certified by the pool-based selection; pass2:
-# certified by the theta-refined re-selection; fallback: answered by full
-# evaluation (adaptive cutover, volume guards, or a failed check).
-PRUNE_STATS = {"pass1": 0, "pass2": 0, "fallback": 0}
+# certified by the theta-refined re-selection; cutover: the adaptive
+# postings-volume cutover routed a small query straight to full
+# evaluation (the correct plan, not a failure); fallback: answered by
+# full evaluation after entering the pruning machinery (volume/candidate
+# guards or a failed check).
+PRUNE_STATS = {"pass1": 0, "pass2": 0, "fallback": 0, "cutover": 0}
 
 
 def reset_prune_stats() -> dict:
@@ -258,11 +263,11 @@ def search_pruned(
             [], META_SCHEMA if with_meta else SCORE_SCHEMA
         )
 
-    def _fallback():
+    def _fallback(counter: str = "fallback"):
         # evaluate the EXACT analyzed term list — never re-join/re-analyze
         # a query string (synonym-expanded terms may not round-trip the
         # analyzer, which would make the fallback answer a different query)
-        PRUNE_STATS["fallback"] += 1
+        PRUNE_STATS[counter] += 1
         return full_eval(
             index, terms, k, conjunctive=conjunctive, groups=groups,
             role=role, filters=filters, with_meta=with_meta,
@@ -288,7 +293,7 @@ def search_pruned(
     if total_postings == 0:
         return _empty()
     if total_postings <= cutover:
-        return _fallback()
+        return _fallback("cutover")
 
     blocks = _blocks_for_terms(index, terms)
     boost_of = (
@@ -665,8 +670,8 @@ def dismax_pruned(
 
     spark = meta_index.spark
 
-    def _fallback():
-        PRUNE_STATS["fallback"] += 1
+    def _fallback(counter: str = "fallback"):
+        PRUNE_STATS[counter] += 1
         return _qf_full(
             indexes, fields, terms, qf, tie, mm_n, k, meta_index, with_meta
         )
@@ -682,7 +687,7 @@ def dismax_pruned(
         st = s if st is None else st.unionByName(s)
     total_postings = int(sum(int(r["df"]) for r in st.collect()))
     if total_postings <= cutover:
-        return _fallback()
+        return _fallback("cutover")
 
     if pool_target is None:
         pool_target = max(64 * k, 16 * k * len(terms))
