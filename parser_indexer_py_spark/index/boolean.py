@@ -601,16 +601,23 @@ def _apply_fl(resp: DataFrame, fl) -> DataFrame:
 
 
 def _apply_fq(
-    index: Index, out: DataFrame, fq, default_op: str = "OR"
+    index: Index, out: DataFrame, fq, default_op: str = "OR",
+    field_indexes: dict | None = None,
 ) -> DataFrame:
     """Solr fq semantics: each fq string is itself a query; a doc must
     MATCH every fq (score-neutral semi-joins — statistics untouched).
     Accepts one string or a list (Solr allows repeated fq params;
     reference clients send both field fq (``fq=id:1249``) and TEXT fq
     (``fq=Manganese``, mte-samplequeries.md:96)). ``default_op`` applies
-    to fq strings exactly as q.op does in Solr's lucene parser."""
+    to fq strings exactly as q.op does in Solr's lucene parser.
+    ``field_indexes`` makes ``fq=title:foo`` a field-CONTAINMENT filter
+    (the sub-evaluation's scores are discarded, so fq stays
+    score-neutral — Solr's fq on an indexed text field)."""
     for s in [fq] if isinstance(fq, str) else list(fq or []):
-        sub = _scored_docs(index, parse_query(s, default_op=default_op))
+        sub = _scored_docs(
+            index, parse_query(s, default_op=default_op),
+            field_indexes=field_indexes,
+        )
         if sub is None:
             raise ValueError(f"fq {s!r} parses to an empty query")
         out = out.join(sub.select("doc_id"), "doc_id", "left_semi")
@@ -723,7 +730,10 @@ def boolean_search(
         # fq strings are score-neutral match-set restrictions (Solr fq)
         # — each one's doc set chains into the same required semi-join
         for s in [fq] if isinstance(fq, str) else list(fq or []):
-            sub = _scored_docs(index, parse_query(s, default_op=default_op))
+            sub = _scored_docs(
+                index, parse_query(s, default_op=default_op),
+                field_indexes=field_indexes,
+            )
             if sub is None:
                 raise ValueError(f"fq {s!r} parses to an empty query")
             sub_ids = sub.select("doc_id")
@@ -770,7 +780,7 @@ def boolean_search(
     if out is None:
         return _empty_result(index, with_meta)
     if fq:
-        out = _apply_fq(index, out, fq, default_op)
+        out = _apply_fq(index, out, fq, default_op, field_indexes)
     topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_meta:
         meta = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
@@ -1161,7 +1171,7 @@ def select(
     if scored is None:
         raise ValueError(f"q {q!r} parses to an empty query")
     if fq:
-        scored = _apply_fq(index, scored, fq, q_op)
+        scored = _apply_fq(index, scored, fq, q_op, field_indexes)
     resp = None
     if rows > 0:
         meta_cols = ["doc_id", "conv_id", "turn_idx", "role"]

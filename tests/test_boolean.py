@@ -977,6 +977,17 @@ def test_fielded_scoring_clause(spark, tmp_path_factory):
         ).count()
         == 0
     )
+    # fq on an indexed field: score-neutral CONTAINMENT restriction —
+    # same docs as the scored query, but scores are xt's alone
+    fq_rows = {
+        r["doc_id"]: r["score"]
+        for r in boolean_search(
+            idx, xt, k=big, fq=f"title:{tt}", with_meta=False,
+            field_indexes={"title": tidx},
+        ).collect()
+    }
+    assert set(fq_rows) == set(s_text) & set(s_title)
+    assert all(fq_rows[d] == s_text[d] for d in fq_rows)
     # without field_indexes the old contract stands: unknown docmap field
     with pytest.raises(ValueError, match="unknown field"):
         boolean_search(idx, f"title:{tt}", k=5)
