@@ -1244,3 +1244,74 @@ def test_pruned_empty_after_filter_keeps_meta_schema(bindex, boracle):
     )
     assert df.columns == ["doc_id", "score", "conv_id", "turn_idx", "role"]
     assert df.count() == 0
+
+
+def test_browse_facade(spark, tmp_path_factory):
+    """Round-5: the /browse handler twin (solrconfig.xml:859-925) —
+    edismax_qf page + match-set facets + facet.range + spellcheck +
+    per-result MLT composed into one response; q.alt=*:* landing state.
+    Sections must agree exactly with their standalone components."""
+    import pyspark.sql.functions as F
+
+    from parser_indexer_py_spark.index.boolean import edismax_qf
+    from parser_indexer_py_spark.index.browse import browse
+
+    base = generate_transcripts(spark, 60, partitions=3)
+    title = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ")
+    idxs = {}
+    for fname, df in [
+        ("text", base), ("title", base.withColumn("text", title)),
+    ]:
+        out = str(tmp_path_factory.mktemp(f"br_{fname}"))
+        build_index(spark, df, out, n_chunks=1)
+        idxs[fname] = load_index(spark, out)
+    qf = {"text": 0.5, "title": 10.0}
+    ts = idxs["text"].termstats.orderBy(F.desc("df"), "term").limit(2)
+    t1, t2 = [r["term"] for r in ts.collect()]
+    q = f"{t1} {t2}"
+
+    r = browse(
+        idxs, q, qf, rows=5, tie=0.1, mm=0,
+        facet_field="role", facet_range=("turn_idx", 0, 40, 10),
+        spell=True, mlt_docs=1, mlt_count=3,
+    )
+    # page == standalone edismax_qf top-5
+    want_page = [
+        (x["doc_id"], x["score"])
+        for x in edismax_qf(
+            idxs, q, qf, k=5, tie=0.1, mm=0, with_meta=False
+        ).collect()
+    ]
+    got_page = [
+        (x["doc_id"], x["score"]) for x in r["response"].collect()
+    ]
+    assert got_page == want_page and got_page
+    # facets: exact counts over the FULL match set
+    all_hits = edismax_qf(
+        idxs, q, qf, k=10**9, tie=0.1, mm=0, with_meta=True
+    ).select("doc_id", "role").toPandas()
+    want_counts = all_hits["role"].value_counts().to_dict()
+    got_counts = {
+        x["role"]: x["n"] for x in r["facets"]["role"].collect()
+    }
+    assert got_counts == want_counts
+    rf = {int(x["lo"]): x["n"] for x in r["range_facets"].collect()}
+    assert sum(rf.values()) <= len(all_hits) and rf
+    # spellcheck section present (in-vocab hot terms -> no suggestions)
+    assert r["spellcheck"] is not None
+    # per-result MLT: top doc's neighbors, source excluded
+    assert set(r["mlt"]) == {got_page[0][0]}
+    mrows = r["mlt"][got_page[0][0]].collect()
+    assert len(mrows) <= 3
+    assert all(x["doc_id"] != got_page[0][0] for x in mrows)
+    # q.alt=*:* landing state: constant-score page + corpus facets
+    r0 = browse(idxs, None, qf, rows=3, facet_field="role")
+    page0 = r0["response"].collect()
+    assert len(page0) == 3 and all(x["score"] == 1.0 for x in page0)
+    assert (
+        sum(x["n"] for x in r0["facets"]["role"].collect())
+        == idxs["text"].n_docs
+    )
+    assert r0["spellcheck"] is None and r0["mlt"] == {}
+    with pytest.raises(ValueError, match="unknown facet"):
+        browse(idxs, q, qf, facet_field="nope")
