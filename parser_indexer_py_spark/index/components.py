@@ -1,0 +1,246 @@
+"""The remaining Solr searchComponents the reference registers but the
+engine had not yet surfaced as first-class API — each re-expressed as a
+declarative DataFrame plan over the explicit index tables:
+
+- ``terms_enum``    — TermsComponent, the ``/terms`` handler
+  (``conf/solr/docs/conf/solrconfig.xml:1385-1397``): raw term-dictionary
+  enumeration under a prefix with ``terms.mincount`` / ``terms.limit`` /
+  ``terms.sort`` semantics.
+- ``term_vectors``  — TermVectorComponent, the ``/tvrh`` handler
+  (``solrconfig.xml:1271-1290``): per-document term vectors (tf, corpus
+  df, positions). The reference schema stores fields without
+  ``termVectors="true"`` (``managed-schema:153-166``), so Solr itself
+  would re-analyze the stored field on demand — this does the same
+  against the docmap's stored text, which is exactly O(|doc_ids|) rows.
+- ``stats_field``   — StatsComponent (``solrconfig.xml:1076``):
+  count/missing/min/max/sum/mean/stddev over a numeric field, optionally
+  grouped (the ``stats.facet`` analog). The stddev uses Solr's exact
+  formula ``sqrt((sumOfSquares*count - sum^2) / (count*(count-1)))``
+  computed from INTEGER sums when the column is integral, so the result
+  is deterministic across partitionings (Spark float folds are not).
+- ``elevate``       — QueryElevationComponent, the ``/elevate`` handler
+  (``solrconfig.xml:1407-1424``): editorial results pinned above the
+  organic ranking in configured order, with Solr's ``forceElevation``
+  and ``[elevated]`` marker semantics.
+
+Scale notes: ``terms_enum`` is a pruned termstats scan (parquet min/max
+on the term column) + top-k; ``term_vectors`` broadcasts the k requested
+docs' (term, tf) rows against termstats instead of broadcasting the term
+dictionary; ``stats_field`` is one partial-aggregating groupBy;
+``elevate`` runs the organic search once plus one search restricted to
+the elevated handful (the ``require`` semi-join hook), so elevated docs
+carry their EXACT organic score even when they rank below the page.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .search import Index, search
+
+__all__ = ["terms_enum", "term_vectors", "stats_field", "elevate"]
+
+
+def terms_enum(
+    index: Index,
+    prefix: str = "",
+    *,
+    mincount: int = 1,
+    limit: int = 10,
+    sort: str = "count",
+) -> DataFrame:
+    """TermsComponent: enumerate the term dictionary. Returns
+    (term, df) — ``sort='count'`` orders by df desc (term asc tie-break,
+    Solr's default), ``sort='index'`` by term asc. Unlike ``suggest``
+    (cf-ranked, analyzed prefix), this is the raw-dictionary admin view:
+    the prefix is taken verbatim and df (not cf) ranks."""
+    if sort not in ("count", "index"):
+        raise ValueError(f"terms.sort must be 'count' or 'index', got {sort!r}")
+    ts = index.termstats.select("term", "df")
+    if prefix:
+        ts = ts.filter(F.col("term").startswith(prefix))
+    if mincount > 1:
+        ts = ts.filter(F.col("df") >= mincount)
+    order = (
+        [F.desc("df"), F.asc("term")] if sort == "count" else [F.asc("term")]
+    )
+    return ts.orderBy(*order).limit(limit)
+
+
+def term_vectors(
+    index: Index,
+    doc_ids: list[int],
+    *,
+    with_df: bool = True,
+    with_positions: bool = True,
+) -> DataFrame:
+    """TermVectorComponent: (doc_id, term, tf[, positions][, df]) for the
+    requested documents. Terms come from re-analyzing the stored text
+    with the SAME vectorized analyzer the build used (tokenize_udf), so
+    tf/positions equal what the postings hold; df is the corpus-wide
+    document frequency from termstats. Positions are 1-based token
+    ordinals.
+
+    Plan: docmap point-lookup (|doc_ids| rows) -> posexplode(tokens) ->
+    groupBy(doc_id, term); the tiny result broadcasts into the termstats
+    join, so the term dictionary is scanned once with no shuffle of the
+    big side."""
+    from ..functions.analyzer import tokenize_udf
+
+    ids = [int(d) for d in doc_ids]
+    toks = (
+        index.docmap.filter(F.col("doc_id").isin(ids))
+        .select(
+            "doc_id",
+            F.posexplode(tokenize_udf(F.col("text"))).alias("pos0", "term"),
+        )
+    )
+    aggs = [F.count("*").cast("long").alias("tf")]
+    if with_positions:
+        aggs.append(
+            F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions")
+        )
+    tv = toks.groupBy("doc_id", "term").agg(*aggs)
+    if with_df:
+        tv = index.termstats.select("term", "df").join(
+            F.broadcast(tv), "term"
+        )
+        cols = ["doc_id", "term", "tf"] + (
+            ["positions"] if with_positions else []
+        ) + ["df"]
+        tv = tv.select(*cols)
+    return tv
+
+
+def stats_field(
+    df: DataFrame, field: str, *, by: str | None = None
+) -> DataFrame:
+    """StatsComponent over ``df[field]``: one row per ``by`` group (or a
+    single global row) with Solr's stats set — count, missing, min, max,
+    sum, mean, stddev. Apply filters to ``df`` first for the ``q``/``fq``
+    match-set composition (Solr computes stats over the match set).
+
+    mean/stddev are derived from the exact integer (or decimal) sums —
+    ``stddev = sqrt((sum_sq*count - sum^2) / (count*(count-1)))``, the
+    formula Solr's StatsValuesFactory uses — rather than Spark's
+    float-accumulating ``avg``/``stddev_samp``, so results do not drift
+    with partitioning."""
+    c = F.col(field)
+    keys = [by] if by else []
+    g = df.groupBy(*keys).agg(
+        F.count(c).cast("long").alias("count"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias("missing"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.sum(c * c).alias("sum_sq"),
+    )
+    n = F.col("count")
+    s = F.col("sum")
+    mean = s.cast("double") / n.cast("double")
+    var_num = (F.col("sum_sq") * n - s * s).cast("double")
+    stddev = F.when(
+        n > 1, F.sqrt(var_num / (n * (n - F.lit(1))).cast("double"))
+    ).otherwise(F.lit(0.0))
+    return g.withColumn("mean", mean).withColumn("stddev", stddev).drop(
+        "sum_sq"
+    )
+
+
+def elevate(
+    index: Index,
+    query: str,
+    elevated: list,
+    k: int = 10,
+    *,
+    key: str | None = None,
+    force: bool = True,
+    with_meta: bool = False,
+    mode: str = "full",
+    **search_kw,
+) -> DataFrame:
+    """QueryElevationComponent: pin ``elevated`` docs above the organic
+    BM25 ranking in the given (configured) order, then fill the page with
+    non-elevated results by score. Returns
+    (doc_id, score, elev_rank, elevated[, meta...]) ordered
+    elevated-first; ``elev_rank`` is the position in the elevation list
+    (null for organic rows) and ``elevated`` the Solr ``[elevated]``
+    response marker.
+
+    ``key`` resolves the elevation list against a docmap column (Solr
+    elevates by uniqueKey, not the internal Lucene docID); None means the
+    list already holds internal doc ids. ``force=True`` is
+    ``forceElevation``: an elevated doc that does NOT match the query is
+    still pinned, with score 0.0; matching elevated docs always carry
+    their exact organic score (computed by a second search restricted to
+    the elevated handful via the ``require`` semi-join — exact even when
+    they rank below the organic top-k)."""
+    spark = index.spark
+    if key is not None:
+        vals = [str(v) for v in elevated]
+        rows = (
+            index.docmap.filter(F.col(key).cast("string").isin(vals))
+            .select("doc_id", F.col(key).cast("string").alias("_k"))
+            .collect()
+        )
+        resolved: dict[str, int] = {}
+        for r in rows:
+            if r["_k"] in resolved and resolved[r["_k"]] != int(r["doc_id"]):
+                # Solr elevates by uniqueKey; a key matching several docs
+                # would pin an arbitrary one — refuse loudly instead
+                raise ValueError(
+                    f"elevation key {key}={r['_k']!r} is ambiguous "
+                    "(matches multiple documents)"
+                )
+            resolved[r["_k"]] = int(r["doc_id"])
+        missing = [v for v in vals if v not in resolved]
+        if missing:
+            raise ValueError(f"elevation {key} values not found: {missing}")
+        ids = [resolved[v] for v in vals]
+    else:
+        ids = [int(v) for v in elevated]
+    if len(set(ids)) != len(ids):
+        raise ValueError("duplicate ids in elevation list")
+
+    elev_df = spark.createDataFrame(
+        [(d, i) for i, d in enumerate(ids)], "doc_id long, elev_rank int"
+    )
+    # over-fetch by |elevated|: after removing elevated rows from the
+    # organic ranking there must still be k rows left to fill the page
+    organic = search(
+        index, query, k=k + len(ids), with_meta=False, mode=mode, **search_kw
+    ).join(F.broadcast(elev_df.select("doc_id")), "doc_id", "left_anti")
+    pinned = search(
+        index,
+        query,
+        k=max(len(ids), 1),
+        with_meta=False,
+        mode="full",
+        require=elev_df.select("doc_id"),
+        **search_kw,
+    )
+    pinned = F.broadcast(elev_df).join(pinned, "doc_id", "left")
+    if not force:
+        pinned = pinned.filter(F.col("score").isNotNull())
+    pinned = pinned.withColumn("score", F.coalesce("score", F.lit(0.0)))
+
+    out = (
+        organic.withColumn("elev_rank", F.lit(None).cast("int"))
+        .select("doc_id", "score", "elev_rank")
+        .unionByName(pinned.select("doc_id", "score", "elev_rank"))
+        .withColumn("elevated", F.col("elev_rank").isNotNull())
+        .orderBy(
+            F.asc_nulls_last("elev_rank"), F.desc("score"), F.asc("doc_id")
+        )
+        .limit(k)
+    )
+    if with_meta:
+        out = out.join(
+            index.docmap.select("doc_id", "conv_id", "turn_idx", "role"),
+            "doc_id",
+            "left",
+        ).orderBy(
+            F.asc_nulls_last("elev_rank"), F.desc("score"), F.asc("doc_id")
+        )
+    return out

@@ -1,0 +1,142 @@
+"""Solr searchComponent twins (index/components.py): TermsComponent,
+TermVectorComponent, StatsComponent, QueryElevationComponent — checked
+against driver-side pandas recomputations over the same corpus (the
+engine's analyzer twin re-derives the expected term/tf/position facts)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parser_indexer_py_spark.datagen import generate_transcripts
+from parser_indexer_py_spark.index.build import build_index
+from parser_indexer_py_spark.index.components import (
+    elevate,
+    stats_field,
+    term_vectors,
+    terms_enum,
+)
+from parser_indexer_py_spark.index.search import load_index, search
+
+N_CONVS = 80
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cidx"))
+    df = generate_transcripts(spark, N_CONVS, partitions=4)
+    build_index(spark, df, out, n_partitions=6, n_buckets=8, salt=2, n_chunks=1)
+    return load_index(spark, out)
+
+
+@pytest.fixture(scope="module")
+def tok_pdf(index):
+    """(doc_id, term, pos) via the engine's own analyzer twin."""
+    from parser_indexer_py_spark.functions.analyzer import analyze_text
+
+    rows = []
+    for r in index.docmap.select("doc_id", "text").collect():
+        for i, t in enumerate(analyze_text(r["text"])):
+            rows.append((r["doc_id"], t, i + 1))
+    return pd.DataFrame(rows, columns=["doc_id", "term", "pos"])
+
+
+def test_terms_enum_count_sort(index, tok_pdf):
+    df_by_term = tok_pdf.groupby("term")["doc_id"].nunique()
+    prefix = tok_pdf["term"].iloc[0][0]
+    exp = (
+        df_by_term[df_by_term.index.str.startswith(prefix)]
+        .reset_index(name="df")
+        .sort_values(["df", "term"], ascending=[False, True])
+        .head(5)
+    )
+    got = terms_enum(index, prefix, limit=5).toPandas()
+    assert list(got["term"]) == list(exp["term"])
+    assert list(got["df"]) == list(exp["df"])
+
+
+def test_terms_enum_mincount_and_index_sort(index, tok_pdf):
+    got = terms_enum(index, "", mincount=3, limit=20, sort="index").toPandas()
+    assert (got["df"] >= 3).all()
+    assert list(got["term"]) == sorted(got["term"])
+    with pytest.raises(ValueError):
+        terms_enum(index, sort="bogus")
+
+
+def test_term_vectors_tf_positions_df(index, tok_pdf):
+    ids = sorted(tok_pdf["doc_id"].unique())[:3]
+    got = term_vectors(index, ids).toPandas()
+    sub = tok_pdf[tok_pdf["doc_id"].isin(ids)]
+    exp_tf = (
+        sub.groupby(["doc_id", "term"])
+        .agg(tf=("pos", "size"), positions=("pos", lambda s: sorted(s)))
+        .reset_index()
+    )
+    assert len(got) == len(exp_tf)
+    m = got.merge(exp_tf, on=["doc_id", "term"], suffixes=("", "_e"))
+    assert len(m) == len(exp_tf)
+    assert (m["tf"] == m["tf_e"]).all()
+    assert all(list(a) == list(b) for a, b in zip(m["positions"], m["positions_e"]))
+    # df is corpus-wide, from termstats
+    corpus_df = tok_pdf.groupby("term")["doc_id"].nunique()
+    assert all(corpus_df[t] == d for t, d in zip(m["term"], m["df"]))
+
+
+def test_stats_field_matches_pandas(index):
+    dm = index.docmap.select("doc_id", "role", "dl")
+    got = (
+        stats_field(dm, "dl", by="role")
+        .orderBy("role")
+        .toPandas()
+        .set_index("role")
+    )
+    pdf = dm.toPandas()
+    for role, grp in pdf.groupby("role"):
+        r = got.loc[role]
+        assert r["count"] == len(grp)
+        assert r["missing"] == 0
+        assert r["min"] == grp["dl"].min()
+        assert r["max"] == grp["dl"].max()
+        assert r["sum"] == grp["dl"].sum()
+        assert abs(r["mean"] - grp["dl"].mean()) < 1e-9
+        assert abs(r["stddev"] - grp["dl"].std(ddof=1)) < 1e-9
+    # global (no `by`) single row
+    g = stats_field(dm, "dl").toPandas()
+    assert len(g) == 1 and g.loc[0, "count"] == len(pdf)
+
+
+def test_elevate_pins_and_fills(index, tok_pdf):
+    df_by_term = tok_pdf.groupby("term")["doc_id"].nunique()
+    hot = df_by_term.idxmax()
+    organic = search(index, hot, k=10, with_meta=False).toPandas()
+    # pin: one doc from deep in the organic ranking + one non-matching doc
+    deep = int(organic["doc_id"].iloc[-1])
+    matching = set(tok_pdf[tok_pdf["term"] == hot]["doc_id"])
+    non_match = int(next(d for d in sorted(tok_pdf["doc_id"].unique())
+                         if d not in matching))
+    got = elevate(index, hot, [deep, non_match], k=10).toPandas()
+    assert list(got["doc_id"][:2]) == [deep, non_match]
+    assert list(got["elevated"][:2]) == [True, True]
+    assert not got["elevated"][2:].any()
+    # pinned doc keeps its exact organic score; forced doc scores 0.0
+    exp_score = float(organic.loc[organic["doc_id"] == deep, "score"].iloc[0])
+    assert got.loc[0, "score"] == exp_score
+    assert got.loc[1, "score"] == 0.0
+    # the fill is the organic order with elevated rows removed
+    exp_fill = [d for d in organic["doc_id"] if d != deep][:8]
+    assert list(got["doc_id"][2:]) == exp_fill
+    # force=False drops the non-matching doc
+    nf = elevate(index, hot, [deep, non_match], k=10, force=False).toPandas()
+    assert non_match not in set(nf["doc_id"])
+    assert list(nf["doc_id"][:1]) == [deep]
+
+
+def test_elevate_by_key_and_errors(index):
+    # conv_id maps to several turns (docs) in the transcripts corpus —
+    # key-based elevation must refuse the ambiguity, not pin arbitrarily
+    conv = index.docmap.select("conv_id").limit(1).collect()[0]["conv_id"]
+    with pytest.raises(ValueError, match="ambiguous"):
+        elevate(index, "x", [conv], key="conv_id")
+    with pytest.raises(ValueError, match="not found"):
+        elevate(index, "x", ["no-such-conv"], key="conv_id")
+    with pytest.raises(ValueError, match="duplicate"):
+        elevate(index, "x", [1, 1])
