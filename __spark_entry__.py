@@ -81,6 +81,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_wildcard": TQ.q_lucene_wildcard,
         "spellcheck": TQ.q_spellcheck,
         "more_like_this": TQ.q_more_like_this,
+        # remaining Solr searchComponents (round 5)
+        "terms_component": TQ.q_terms_component,
+        "term_vectors": TQ.q_term_vectors,
+        "stats_field": TQ.q_stats_field,
+        "elevate_query": TQ.q_elevate,
         # text analysis (training-data pipeline)
         "token_counts": TQ.q_token_counts,
         "doc_fingerprint": TQ.q_doc_fingerprint,
@@ -135,6 +140,10 @@ def oracle_sql() -> dict[str, str]:
         "lucene_wildcard": TQ.SQL_LUCENE_WILDCARD,
         "spellcheck": TQ.SQL_SPELLCHECK,
         "more_like_this": TQ.SQL_MLT,
+        "terms_component": TQ.SQL_TERMS,
+        "term_vectors": TQ.SQL_TVRH,
+        "stats_field": TQ.SQL_STATS,
+        "elevate_query": TQ.SQL_ELEVATE,
         "token_counts": TQ.SQL_TOKEN_COUNTS,
         "doc_fingerprint": TQ.SQL_FINGERPRINT,
         "quality_score": TQ.SQL_QUALITY,

@@ -1394,6 +1394,182 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Remaining Solr searchComponents (round 5): /terms, /tvrh, stats, /elevate
+# ---------------------------------------------------------------------------
+
+TERMS_PREFIX = "s"
+
+
+def q_terms_component(spark, sf_dir):
+    """TermsComponent (/terms handler, solrconfig.xml:1385-1397) THROUGH
+    THE ENGINE: dictionary-order enumeration of the real index's termstats
+    under a prefix with ``terms.mincount``. Distinct from
+    ``q_suggest_prefix`` (the cf-ranked suggester): this is the raw
+    df-annotated dictionary view, ``terms.sort=index``."""
+    from .index.components import terms_enum
+
+    idx = _docs_pos_index(spark, sf_dir)
+    return terms_enum(
+        idx, TERMS_PREFIX, mincount=2, limit=10, sort="index"
+    ).select("term", F.col("df").cast("long").alias("df"))
+
+
+SQL_TERMS = SQL_TOK + f"""
+SELECT w AS term, COUNT(DISTINCT doc_id) AS df FROM tok
+WHERE w LIKE '{TERMS_PREFIX}%'
+GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY term LIMIT 10
+"""
+
+
+TVRH_DOC_IDS = [0, 1, 2, 3, 4]
+
+
+def q_term_vectors(spark, sf_dir):
+    """TermVectorComponent (/tvrh, solrconfig.xml:1271-1290) THROUGH THE
+    ENGINE: per-document term vectors (tf, 1-based positions, corpus df)
+    for five documents, re-analyzed from the stored field exactly as Solr
+    does when the schema stores no term vectors (managed-schema:153-166).
+    Positions are compared as a comma-joined string (portable across the
+    two engines' array types)."""
+    from .index.components import term_vectors
+
+    idx = _docs_pos_index(spark, sf_dir)
+    dm = idx.docmap.select("doc_id", "conv_id")
+    wanted = [str(i) for i in TVRH_DOC_IDS]
+    ids = [
+        int(r["doc_id"])
+        for r in dm.filter(F.col("conv_id").isin(wanted)).collect()
+    ]
+    tv = term_vectors(idx, ids)
+    return tv.join(dm, "doc_id").select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.array_join(
+            F.transform("positions", lambda x: x.cast("string")), ","
+        ).alias("positions"),
+        F.col("df").cast("long").alias("df"),
+    )
+
+
+SQL_TVRH = SQL_TOK + f"""
+, dfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w)
+SELECT t.doc_id, t.w AS term, COUNT(*) AS tf,
+       string_agg(CAST(t.pos AS VARCHAR), ',' ORDER BY t.pos) AS positions,
+       ANY_VALUE(dfs.df) AS df
+FROM tok t JOIN dfs ON dfs.w = t.w
+WHERE t.doc_id IN ({', '.join(str(i) for i in TVRH_DOC_IDS)})
+GROUP BY t.doc_id, t.w
+"""
+
+
+def q_stats_field(spark, sf_dir):
+    """StatsComponent (solrconfig.xml:1076): the ``stats.field=n_chars`` +
+    ``stats.facet=lang`` shape through the engine's ``stats_field`` —
+    count/missing/min/max/sum from exact integer aggregation, mean/stddev
+    derived from those integer sums (Solr's StatsValuesFactory formula),
+    so both engines compute the identical IEEE expression."""
+    from .index.components import stats_field
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stats_field(docs, "n_chars", by="lang")
+    return out.select(
+        "lang",
+        F.col("count"),
+        F.col("missing"),
+        F.col("min").cast("long").alias("min"),
+        F.col("max").cast("long").alias("max"),
+        F.col("sum").cast("long").alias("sum"),
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+    )
+
+
+SQL_STATS = """
+WITH s AS (
+  SELECT lang, COUNT(n_chars) AS cnt,
+         SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS miss,
+         MIN(n_chars) AS mn, MAX(n_chars) AS mx,
+         SUM(n_chars) AS sm, SUM(n_chars * n_chars) AS ssq
+  FROM documents GROUP BY lang)
+SELECT lang,
+       CAST(cnt AS BIGINT) AS count, CAST(miss AS BIGINT) AS missing,
+       CAST(mn AS BIGINT) AS min, CAST(mx AS BIGINT) AS max,
+       CAST(sm AS BIGINT) AS sum,
+       ROUND(CAST(sm AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS mean,
+       ROUND(sqrt(CAST(ssq * cnt - sm * sm AS DOUBLE)
+                  / CAST(cnt * (cnt - 1) AS DOUBLE)), 6) AS stddev
+FROM s
+"""
+
+
+ELEVATE_IDS = [19, 2]  # editorial order; 19 does not match the query at sf0.01
+
+
+def q_elevate(spark, sf_dir):
+    """QueryElevationComponent (/elevate, solrconfig.xml:1407-1424)
+    THROUGH THE ENGINE: the BM25 disjunction of ``merge window stream``
+    with two docs pinned by uniqueKey in configured order
+    (``forceElevation``: a pinned doc that does not match still appears,
+    score 0.0; a matching pinned doc carries its exact organic score).
+    The oracle recomputes the organic BM25 table and applies the same
+    pin-then-fill ordering over rounded scores."""
+    from .index.components import elevate
+
+    idx = _docs_pos_index(spark, sf_dir)
+    hits = elevate(
+        idx,
+        " ".join(BM25_QUERY_TERMS),
+        [str(i) for i in ELEVATE_IDS],
+        k=1_000_000,
+        key="conv_id",
+    )
+    dm = idx.docmap.select("doc_id", "conv_id")
+    return (
+        hits.join(dm, "doc_id")
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            "elev_rank",
+            "elevated",
+        )
+        .orderBy(
+            F.asc_nulls_last("elev_rank"), F.desc("score"), F.asc("doc_id")
+        )
+        .limit(10)
+    )
+
+
+SQL_ELEVATE = SQL_TOK + f"""
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       WHERE w IN ({', '.join(repr(w) for w in BM25_QUERY_TERMS)})
+       GROUP BY doc_id, w),
+dfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS contrib
+  FROM tf JOIN dfs USING (w) JOIN dl ON dl.doc_id = tf.doc_id, g),
+base AS (SELECT doc_id, SUM(contrib) AS score FROM scored GROUP BY doc_id),
+elev AS (SELECT * FROM (VALUES {', '.join(f'({d}, {i})' for i, d in enumerate(ELEVATE_IDS))})
+         AS e(doc_id, erank)),
+unioned AS (
+  SELECT COALESCE(b.doc_id, e.doc_id) AS doc_id,
+         ROUND(COALESCE(b.score, 0.0), 6) AS score,
+         CAST(e.erank AS INTEGER) AS elev_rank,
+         e.erank IS NOT NULL AS elevated
+  FROM base b FULL JOIN elev e ON b.doc_id = e.doc_id)
+SELECT doc_id, score, elev_rank, elevated FROM unioned
+ORDER BY (elev_rank IS NULL), elev_rank, score DESC, doc_id LIMIT 10
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal decode (rows-only check). Round-4: half the table is
     REAL uncompressed media (PPM/BMP images, PCM WAV audio) decoded by
