@@ -44,6 +44,7 @@ def browse(
     facet_field: str | list[str] | None = None,
     facet_range: tuple | None = None,
     spell: bool = True,
+    hl: bool = False,
     mlt_docs: int = 0,
     mlt_count: int = 3,
 ) -> dict:
@@ -96,6 +97,16 @@ def browse(
             indexes, query, qf, k=start + rows, tie=tie, mm=mm, mode=mode,
             with_meta=True,
         ).offset(start)
+        if hl:
+            # the handler's highlighting section (hl.fl/hl.simple.*,
+            # solrconfig.xml:916-928): attach the excerpt column to the
+            # page rows only — k-row join, Solr's per-result snippets
+            from ..functions.queryparser import parse_query
+            from .boolean import _attach_excerpts, _hl_terms
+
+            terms = _hl_terms(parse_query(str(query)))
+            if terms:
+                page = _attach_excerpts(meta_index, page, terms)
         sp = spellcheck(meta_index, str(query)) if spell else None
         match_set = None
 

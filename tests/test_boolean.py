@@ -1313,5 +1313,14 @@ def test_browse_facade(spark, tmp_path_factory):
         == idxs["text"].n_docs
     )
     assert r0["spellcheck"] is None and r0["mlt"] == {}
+    # hl=true (solrconfig.xml:916-928): page gains an excerpt column whose
+    # snippet contains a query term; ranking unchanged
+    rh = browse(idxs, q, qf, rows=5, tie=0.1, mm=0, hl=True)
+    hrows = rh["response"].collect()
+    assert [(x["doc_id"], x["score"]) for x in hrows] == want_page
+    assert all(
+        x["excerpt"] and (t1 in x["excerpt"] or t2 in x["excerpt"])
+        for x in hrows
+    )
     with pytest.raises(ValueError, match="unknown facet"):
         browse(idxs, q, qf, facet_field="nope")
