@@ -189,6 +189,78 @@ def synonym_groups(
     return groups
 
 
+def field_analysis(
+    text: str,
+    *,
+    stopwords: frozenset | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    query: str | None = None,
+) -> dict:
+    """FieldAnalysisRequestHandler twin (the reference's
+    ``/analysis/field`` handler, conf/solr/docs/conf/solrconfig.xml:1018):
+    a stage-by-stage breakdown of the analysis chain over ``text``, plus
+    the query chain over ``query`` when given, with Solr's
+    ``analysis.showmatch`` markers on index tokens that survive to a final
+    query token.
+
+    Stages mirror the engine's chains exactly (module docstring): the
+    index chain is normalize -> tokenize -> stop; the query chain adds the
+    synonym expansion (managed-schema:548-553 — query side only). Each
+    token carries its 1-based position and [start, end) offsets into the
+    NORMALIZED text (the fold is 1:1 so lengths are preserved; the
+    de-hyphenation join is the one reference transform that shifts
+    offsets, exactly as Solr's charFilters shift theirs). StopFilter
+    removal keeps the original positions of the survivors (position gaps,
+    like Lucene's posInc); synonym expansions share the source token's
+    position. Driver-side pure Python by design — this is the admin/debug
+    handler, not a data-path operator."""
+
+    def _norm(t: str) -> str:
+        s = t.translate(str.maketrans(_FOLD_SRC, _FOLD_DST))
+        s = _DEHYPH_PY.sub("", s)
+        return s.replace("\n", " ").lower()
+
+    def _chain(raw: str, is_query: bool, match_set: set | None):
+        norm = _norm(raw or "")
+        toks = [
+            {
+                "text": m.group(0),
+                "pos": i + 1,
+                "start": m.start(),
+                "end": m.end(),
+            }
+            for i, m in enumerate(_TOKEN_RE_PY.finditer(norm))
+        ]
+        stages = [
+            {"stage": "normalize", "text": norm},
+            {"stage": "tokenize", "tokens": [dict(t) for t in toks]},
+        ]
+        kept = [t for t in toks if not (stopwords and t["text"] in stopwords)]
+        stages.append({"stage": "stop", "tokens": [dict(t) for t in kept]})
+        if is_query:
+            expanded = []
+            for t in kept:
+                g = synonym_groups([t["text"]], synonyms)[0]
+                for term in sorted(g):
+                    expanded.append({**t, "text": term})
+            stages.append({"stage": "synonyms", "tokens": expanded})
+        if match_set is not None:
+            for st in stages[1:]:
+                for t in st["tokens"]:
+                    t["match"] = t["text"] in match_set
+        return stages
+
+    match_set = None
+    query_stages = None
+    if query is not None:
+        query_stages = _chain(query, True, None)
+        match_set = {t["text"] for t in query_stages[-1]["tokens"]}
+    return {
+        "index": _chain(text, False, match_set),
+        "query": query_stages,
+    }
+
+
 def expand_synonyms(
     tokens: list[str], synonyms: dict[str, list[str]] | None
 ) -> list[str]:

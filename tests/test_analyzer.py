@@ -101,3 +101,46 @@ def test_synonym_hook_query_side_only(spark):
     df = spark.createDataFrame(pd.DataFrame({"text": ["Pixima GB"]}))
     got = df.select(tokens_expr(F.col("text")).alias("t")).head()
     assert got["t"] == ["pixima", "gb"]
+
+
+def test_field_analysis_handler():
+    """/analysis/field twin: stage-by-stage streams, offsets into the
+    normalized text, stop gaps, query-side synonyms, showmatch markers."""
+    from parser_indexer_py_spark.functions.analyzer import field_analysis
+
+    syn = {"gb": ["gb", "gigabyte"]}
+    r = field_analysis(
+        "The Flat-\nScreen has 4 GB",
+        stopwords=frozenset({"the", "has"}),
+        synonyms=syn,
+        query="THE GB",
+    )
+    idx = {s["stage"]: s for s in r["index"]}
+    # normalize: fold + de-hyphenation join + lowercase
+    assert idx["normalize"]["text"] == "the flatscreen has 4 gb"
+    toks = idx["tokenize"]["tokens"]
+    assert [t["text"] for t in toks] == ["the", "flatscreen", "has", "4", "gb"]
+    # offsets recover the token from the normalized text
+    norm = idx["normalize"]["text"]
+    assert all(norm[t["start"]:t["end"]] == t["text"] for t in toks)
+    assert [t["pos"] for t in toks] == [1, 2, 3, 4, 5]
+    # stop: survivors keep their original positions (position gaps)
+    stop = idx["stop"]["tokens"]
+    assert [(t["text"], t["pos"]) for t in stop] == [
+        ("flatscreen", 2), ("4", 4), ("gb", 5)
+    ]
+    # index chain has no synonym stage; query chain does
+    assert "synonyms" not in idx
+    q = {s["stage"]: s for s in r["query"]}
+    qfinal = q["synonyms"]["tokens"]
+    assert [t["text"] for t in qfinal] == ["gb", "gigabyte"]
+    assert all(t["pos"] == 2 for t in qfinal)  # share the source position
+    # showmatch: index tokens matching a FINAL query token are marked
+    assert [t["text"] for t in stop if t["match"]] == ["gb"]
+    assert all("match" not in t for t in q["tokenize"]["tokens"])
+    # no query: query section absent, no match markers
+    r2 = field_analysis("plain text")
+    assert r2["query"] is None
+    assert all(
+        "match" not in t for t in r2["index"][1]["tokens"]
+    )
