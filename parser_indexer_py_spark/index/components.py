@@ -22,6 +22,10 @@ declarative DataFrame plan over the explicit index tables:
   (``solrconfig.xml:1407-1424``): editorial results pinned above the
   organic ranking in configured order, with Solr's ``forceElevation``
   and ``[elevated]`` marker semantics.
+- ``cluster_results`` — ClusteringComponent, the ``/clustering`` handler
+  (``solrconfig.xml:1297-1366``): top-k result clustering under term
+  labels — a DOCUMENTED simplified stand-in for Carrot2's Lingo (Java,
+  unavailable here); see its docstring.
 
 Scale notes: ``terms_enum`` is a pruned termstats scan (parquet min/max
 on the term column) + top-k; ``term_vectors`` broadcasts the k requested
@@ -39,7 +43,13 @@ from pyspark.sql import functions as F
 
 from .search import Index, search
 
-__all__ = ["terms_enum", "term_vectors", "stats_field", "elevate"]
+__all__ = [
+    "terms_enum",
+    "term_vectors",
+    "stats_field",
+    "elevate",
+    "cluster_results",
+]
 
 
 def terms_enum(
@@ -244,3 +254,95 @@ def elevate(
             F.asc_nulls_last("elev_rank"), F.desc("score"), F.asc("doc_id")
         )
     return out
+
+
+def cluster_results(
+    index: Index,
+    query: str,
+    k: int = 20,
+    *,
+    clusters: int = 5,
+    mode: str = "full",
+    **search_kw,
+) -> DataFrame:
+    """ClusteringComponent twin (the ``/clustering`` handler,
+    ``conf/solr/docs/conf/solrconfig.xml:1297-1366``): group the top-k
+    search results under descriptive term labels.
+
+    DOCUMENTED SIMPLIFICATION: the reference registers Carrot2's Lingo
+    algorithm (Java-only, not available here). This implements the
+    label-driven spirit of Carrot2's STC/Lingo family with a
+    deterministic one-pass rule — each result doc is labeled by its most
+    DISTINCTIVE term (argmax tf·ln(N/df) over the doc's term vector,
+    query terms excluded since they describe the whole result set, ties
+    broken by term asc), the ``clusters``-1 largest labels become
+    clusters and the remainder fold into Carrot2's ``Other Topics``
+    bucket. Deterministic, exact-testable, and honest about not being
+    Lingo.
+
+    Returns (label, doc_id, size) — one row per result doc, ``size`` the
+    doc-count of its cluster; ordered by (size desc, label asc, doc_id).
+    Plan shape: one search + one k-row term-vector job; everything after
+    the top-k is broadcast-sized."""
+    from ..functions.analyzer import analyze_text
+
+    top = search(index, query, k=k, with_meta=False, mode=mode, **search_kw)
+    ids = [int(r["doc_id"]) for r in top.select("doc_id").collect()]
+    if not ids:
+        return index.spark.createDataFrame(
+            [], "label string, doc_id long, size long"
+        )
+    qterms = set(analyze_text(query))
+    tv = term_vectors(index, ids, with_df=True, with_positions=False)
+    n = float(index.n_docs)
+    scored = (
+        tv.filter(~F.col("term").isin(list(qterms)))
+        .withColumn(
+            "w", F.col("tf").cast("double") * F.log(F.lit(n) / F.col("df"))
+        )
+    )
+    # deterministic argmax per doc: min over struct(-w, term) picks the
+    # largest w and, on ties, the alphabetically first term
+    best = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("w")).alias("nw"), F.col("term"))
+            ).alias("b")
+        )
+        .select("doc_id", F.col("b.term").alias("label"))
+    )
+    # a doc whose every term is a query term has no candidate label —
+    # it goes straight to the Other Topics bucket
+    best = (
+        top.select("doc_id")
+        .join(best, "doc_id", "left")
+        .withColumn("label", F.coalesce("label", F.lit("Other Topics")))
+    )
+    from pyspark.sql import Window
+
+    # rank labels by raw size; ≤k rows reach this window — the
+    # single-partition sort is bounded by the page size, not the corpus
+    sizes = best.groupBy("label").agg(F.count("*").alias("sz"))
+    rnk = F.row_number().over(Window.orderBy(F.desc("sz"), F.asc("label")))
+    keep = (
+        sizes.withColumn("rnk", rnk)
+        .filter(F.col("rnk") < clusters)
+        .select("label", F.lit(True).alias("_keep"))
+    )
+    folded = (
+        best.join(F.broadcast(keep), "label", "left")
+        .withColumn(
+            "label",
+            F.when(F.col("_keep"), F.col("label")).otherwise(
+                F.lit("Other Topics")
+            ),
+        )
+        .select("doc_id", "label")
+    )
+    fsz = folded.groupBy("label").agg(F.count("*").alias("size"))
+    return (
+        folded.join(F.broadcast(fsz), "label")
+        .select("label", "doc_id", "size")
+        .orderBy(F.desc("size"), F.asc("label"), F.asc("doc_id"))
+    )

@@ -140,3 +140,42 @@ def test_elevate_by_key_and_errors(index):
         elevate(index, "x", ["no-such-conv"], key="conv_id")
     with pytest.raises(ValueError, match="duplicate"):
         elevate(index, "x", [1, 1])
+
+
+def test_cluster_results(index, tok_pdf):
+    import math
+
+    from parser_indexer_py_spark.index.components import cluster_results
+
+    df_by_term = tok_pdf.groupby("term")["doc_id"].nunique()
+    hot = df_by_term.idxmax()
+    got = cluster_results(index, hot, k=15, clusters=4).toPandas()
+    top_ids = set(
+        search(index, hot, k=15, with_meta=False).toPandas()["doc_id"]
+    )
+    # every result doc appears exactly once
+    assert sorted(got["doc_id"]) == sorted(top_ids)
+    # at most `clusters` labels incl. the Other Topics bucket; never the
+    # query term itself as a label
+    labels = set(got["label"])
+    assert len(labels) <= 4 and hot not in labels
+    # size column is the actual per-label doc count
+    assert (
+        got.groupby("label")["doc_id"].transform("size") == got["size"]
+    ).all()
+    # labels are each doc's argmax tf*ln(N/df) non-query term (unless
+    # folded into Other Topics)
+    n_docs = tok_pdf["doc_id"].nunique()
+    sub = tok_pdf[tok_pdf["doc_id"].isin(top_ids) & (tok_pdf["term"] != hot)]
+    tfd = sub.groupby(["doc_id", "term"]).size().reset_index(name="tf")
+    tfd["w"] = [
+        tf * math.log(n_docs / df_by_term[t])
+        for t, tf in zip(tfd["term"], tfd["tf"])
+    ]
+    exp_label = {}
+    for d, grp in tfd.groupby("doc_id"):
+        grp = grp.sort_values(["w", "term"], ascending=[False, True])
+        exp_label[d] = grp["term"].iloc[0]
+    for _, row in got.iterrows():
+        if row["label"] != "Other Topics":
+            assert row["label"] == exp_label[row["doc_id"]]
