@@ -303,3 +303,56 @@ def test_index_stream_infers_positions(spark, tmp_path_factory):
     if len(toks) == 2:
         res = search_segments_df(seg, f"{toks[0]} {toks[1]}", 5, phrase=True)
         res.collect()  # must not raise (positions available everywhere)
+
+
+def test_components_over_merged_view(spark, dirs):
+    """Round-5b: the searchComponent twins (index/components.py) work
+    unchanged over the duck-typed MergedSegmentsView and agree with the
+    monolithic batch index on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from parser_indexer_py_spark.index.components import (
+        term_vectors,
+        terms_enum,
+    )
+    from parser_indexer_py_spark.streaming.merged import MergedSegmentsView
+
+    seg = SegmentedIndex(spark, dirs["idx"])
+    view = MergedSegmentsView(seg)
+    batch_idx = load_index(spark, dirs["batch"])
+
+    a = terms_enum(view, "", mincount=2, limit=30, sort="index").toPandas()
+    b = terms_enum(
+        batch_idx, "", mincount=2, limit=30, sort="index"
+    ).toPandas()
+    assert list(a["term"]) == list(b["term"])
+    assert list(a["df"]) == list(b["df"])
+
+    # same doc (by conversation key) -> identical term vector, despite
+    # the segment-local vs global docID difference
+    key = (
+        batch_idx.docmap.select("conv_id", "turn_idx", "doc_id")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    vid = (
+        view.docmap.filter(
+            (F.col("conv_id") == key["conv_id"])
+            & (F.col("turn_idx") == key["turn_idx"])
+        )
+        .select("doc_id")
+        .collect()[0]["doc_id"]
+    )
+    tv_b = term_vectors(batch_idx, [key["doc_id"]]).toPandas()
+    tv_v = term_vectors(view, [int(vid)]).toPandas()
+
+    def canon(df):
+        return sorted(
+            (t, int(tf), tuple(p), int(d))
+            for t, tf, p, d in zip(
+                df["term"], df["tf"], df["positions"], df["df"]
+            )
+        )
+
+    assert canon(tv_b) == canon(tv_v) and len(tv_b) > 0
