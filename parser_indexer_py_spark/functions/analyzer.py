@@ -261,6 +261,40 @@ def field_analysis(
     }
 
 
+def document_analysis(
+    docs: list[dict],
+    *,
+    id_field: str = "id",
+    stopwords: frozenset | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    query: str | None = None,
+) -> dict:
+    """DocumentAnalysisRequestHandler twin (``/analysis/document``,
+    conf/solr/docs/conf/solrconfig.xml:1053): per-field analysis
+    breakdowns for whole documents, keyed by the uniqueKey field, with
+    the same ``q``/``analysis.showmatch`` support as the field handler.
+    Returns ``{doc_key: {field: field_analysis_result}}``; the query
+    chain is analyzed once and shared (Solr analyzes it per request, not
+    per field)."""
+    out: dict = {}
+    for doc in docs:
+        if id_field not in doc:
+            raise ValueError(
+                f"document missing uniqueKey field {id_field!r}"
+            )
+        key = doc[id_field]
+        if key in out:
+            raise ValueError(f"duplicate uniqueKey {key!r}")
+        out[key] = {
+            f: field_analysis(
+                v, stopwords=stopwords, synonyms=synonyms, query=query
+            )
+            for f, v in doc.items()
+            if f != id_field and isinstance(v, str)
+        }
+    return out
+
+
 def expand_synonyms(
     tokens: list[str], synonyms: dict[str, list[str]] | None
 ) -> list[str]:

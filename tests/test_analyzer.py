@@ -144,3 +144,27 @@ def test_field_analysis_handler():
     assert all(
         "match" not in t for t in r2["index"][1]["tokens"]
     )
+
+
+def test_document_analysis_handler():
+    from parser_indexer_py_spark.functions.analyzer import document_analysis
+
+    docs = [
+        {"id": "d1", "title": "Flat Screen", "text": "4 GB of RAM", "n": 7},
+        {"id": "d2", "title": "Other"},
+    ]
+    r = document_analysis(docs, query="gb")
+    assert set(r) == {"d1", "d2"}
+    # string fields analyzed, non-strings and the uniqueKey skipped
+    assert set(r["d1"]) == {"title", "text"}
+    toks = {s["stage"]: s for s in r["d1"]["text"]["index"]}
+    assert [t["text"] for t in toks["tokenize"]["tokens"]] == [
+        "4", "gb", "of", "ram"
+    ]
+    assert [t["text"] for t in toks["stop"]["tokens"] if t["match"]] == ["gb"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing uniqueKey"):
+        document_analysis([{"title": "x"}])
+    with _pytest.raises(ValueError, match="duplicate"):
+        document_analysis([{"id": "a"}, {"id": "a"}])
