@@ -313,10 +313,14 @@ def cluster_results(
         .select("doc_id", F.col("b.term").alias("label"))
     )
     # a doc whose every term is a query term has no candidate label —
-    # it goes straight to the Other Topics bucket
+    # it goes straight to the Other Topics bucket. The page ids were
+    # already collected above; reuse them instead of re-executing the
+    # search inside this plan
+    ids_df = index.spark.createDataFrame(
+        [(int(d),) for d in ids], "doc_id long"
+    )
     best = (
-        top.select("doc_id")
-        .join(best, "doc_id", "left")
+        ids_df.join(best, "doc_id", "left")
         .withColumn("label", F.coalesce("label", F.lit("Other Topics")))
     )
     from pyspark.sql import Window
