@@ -179,3 +179,14 @@ def test_cluster_results(index, tok_pdf):
     for _, row in got.iterrows():
         if row["label"] != "Other Topics":
             assert row["label"] == exp_label[row["doc_id"]]
+
+
+def test_elevate_page_is_one_action_two_subtrees(index, tok_pdf):
+    """The elevate plan unions the organic and pinned search subtrees
+    into ONE lazy action (they execute concurrently — the measured-best
+    shape; see the docstring's rejected driver-merge note)."""
+    df_by_term = tok_pdf.groupby("term")["doc_id"].nunique()
+    hot = df_by_term.idxmax()
+    out = elevate(index, hot, [0], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan, plan[:2000]
