@@ -16,6 +16,12 @@ Subcommands:
   select  — Solr-style request: Lucene classic q (groups/fuzzy/phrases),
             fq, pagination, sort, facet.field / facet.range, grouping, hl
   gen     — write a deterministic synthetic transcripts corpus
+  terms   — /terms handler: term-dictionary enumeration (prefix, mincount)
+  tvrh    — /tvrh handler: per-document term vectors
+  stats   — StatsComponent: stats.field over a docmap column (+ stats.facet)
+  elevate — /elevate handler: editorial pins above the organic ranking
+  cluster — /clustering handler: label-clustered top-k results
+  analyze — /analysis/field handler: stage-by-stage analyzer breakdown
 
 In local mode the session factory propagates PYTHONPATH so --py-files is
 optional; on a cluster the zip is required (executors have no repo checkout).
@@ -88,7 +94,64 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--convs", type=int, required=True)
     g.add_argument("--out", required=True)
 
+    t = sub.add_parser("terms")
+    t.add_argument("--index", required=True)
+    t.add_argument("--prefix", default="")
+    t.add_argument("--mincount", type=int, default=1)
+    t.add_argument("--limit", type=int, default=10)
+    t.add_argument("--sort", choices=["count", "index"], default="count")
+
+    tv = sub.add_parser("tvrh")
+    tv.add_argument("--index", required=True)
+    tv.add_argument("--docs", required=True, help="comma-separated doc ids")
+    tv.add_argument("--no-positions", action="store_true")
+
+    st = sub.add_parser("stats")
+    st.add_argument("--index", required=True)
+    st.add_argument("--field", required=True)
+    st.add_argument("--facet", default=None, help="stats.facet group field")
+
+    el = sub.add_parser("elevate")
+    el.add_argument("--index", required=True)
+    el.add_argument("--query", required=True)
+    el.add_argument(
+        "--ids", required=True,
+        help="comma-separated pinned ids, editorial order",
+    )
+    el.add_argument(
+        "--key", default=None,
+        help="docmap column the ids refer to (default: internal doc ids)",
+    )
+    el.add_argument("-k", type=int, default=10)
+    el.add_argument("--no-force", action="store_true")
+    el.add_argument("--mode", choices=["full", "pruned"], default="full")
+
+    cl = sub.add_parser("cluster")
+    cl.add_argument("--index", required=True)
+    cl.add_argument("--query", required=True)
+    cl.add_argument("-k", type=int, default=20)
+    cl.add_argument("--clusters", type=int, default=5)
+    cl.add_argument("--mode", choices=["full", "pruned"], default="full")
+
+    an = sub.add_parser("analyze")
+    an.add_argument("--text", required=True)
+    an.add_argument("-q", default=None, help="query for analysis.showmatch")
+    an.add_argument(
+        "--synonyms", default=None, help="Solr-format synonyms.txt"
+    )
+
     args = p.parse_args(argv)
+
+    if args.cmd == "analyze":
+        # driver-side debug handler: no Spark session needed
+        from .functions.analyzer import field_analysis, parse_synonyms
+
+        syn = None
+        if args.synonyms:
+            with open(args.synonyms) as f:
+                syn = parse_synonyms(f)
+        print(json.dumps(field_analysis(args.text, synonyms=syn, query=args.q)))
+        return 0
 
     from .session import get_spark
 
@@ -235,6 +298,57 @@ def main(argv: list[str] | None = None) -> int:
                 out[key] = [r.asDict() for r in df.collect()]
         out["seconds"] = round(time.time() - t0, 3)
         print(json.dumps(out, default=str))
+        return 0
+
+    if args.cmd in ("terms", "tvrh", "stats", "elevate", "cluster"):
+        from .index.search import load_index
+
+        idx = load_index(spark, args.index)
+        t0 = time.time()
+        if args.cmd == "terms":
+            from .index.components import terms_enum
+
+            df = terms_enum(
+                idx, args.prefix, mincount=args.mincount,
+                limit=args.limit, sort=args.sort,
+            )
+        elif args.cmd == "tvrh":
+            from .index.components import term_vectors
+
+            df = term_vectors(
+                idx,
+                [int(d) for d in args.docs.split(",")],
+                with_positions=not args.no_positions,
+            )
+        elif args.cmd == "stats":
+            from .index.components import stats_field
+
+            df = stats_field(idx.docmap, args.field, by=args.facet)
+        elif args.cmd == "elevate":
+            from .index.components import elevate
+
+            df = elevate(
+                idx, args.query, args.ids.split(","), k=args.k,
+                key=args.key, force=not args.no_force, mode=args.mode,
+            )
+        else:
+            from .index.components import cluster_results
+
+            df = cluster_results(
+                idx, args.query, k=args.k,
+                clusters=args.clusters, mode=args.mode,
+            )
+        rows = [r.asDict() for r in df.collect()]
+        print(
+            json.dumps(
+                {
+                    "cmd": args.cmd,
+                    "seconds": round(time.time() - t0, 3),
+                    "rows": rows,
+                },
+                default=str,
+            )
+        )
         return 0
     return 1
 
