@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fulltext / term statistics (§2.4 A6, suggester, BM25)
         "termstats_docs": TQ.q_termstats_docs,
         "suggest_prefix": TQ.q_suggest_prefix,
+        "suggest_fuzzy": TQ.q_suggest_fuzzy,
         "bm25_docs_topk": TQ.q_bm25_docs_topk,
         "phrase_search": TQ.q_phrase_search,
         "phrase_search_slop": TQ.q_phrase_search_slop,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "except_all": Q.SQL_EXCEPT_ALL,
         "termstats_docs": TQ.SQL_TERMSTATS,
         "suggest_prefix": TQ.SQL_SUGGEST,
+        "suggest_fuzzy": TQ.SQL_SUGGEST_FUZZY,
         "bm25_docs_topk": TQ.SQL_BM25_DOCS,
         "phrase_search": TQ.SQL_PHRASE,
         "phrase_search_slop": TQ.SQL_PHRASE_SLOP,

@@ -21,6 +21,7 @@ Subcommands:
   stats   — StatsComponent: stats.field over a docmap column (+ stats.facet)
   elevate — /elevate handler: editorial pins above the organic ranking
   cluster — /clustering handler: label-clustered top-k results
+  suggest — /suggest handler: fuzzy weighted completion over a docmap field
   analyze — /analysis/field handler: stage-by-stage analyzer breakdown
 
 In local mode the session factory propagates PYTHONPATH so --py-files is
@@ -125,6 +126,15 @@ def main(argv: list[str] | None = None) -> int:
     el.add_argument("-k", type=int, default=10)
     el.add_argument("--no-force", action="store_true")
     el.add_argument("--mode", choices=["full", "pruned"], default="full")
+
+    sg = sub.add_parser("suggest")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--query", required=True)
+    sg.add_argument("--field", default="text",
+                    help="docmap column used as the suggestion dictionary")
+    sg.add_argument("--weight-field", default=None)
+    sg.add_argument("--count", type=int, default=20)
+    sg.add_argument("--max-edits", type=int, default=1)
 
     cl = sub.add_parser("cluster")
     cl.add_argument("--index", required=True)
@@ -300,7 +310,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out, default=str))
         return 0
 
-    if args.cmd in ("terms", "tvrh", "stats", "elevate", "cluster"):
+    if args.cmd in ("terms", "tvrh", "stats", "elevate", "cluster", "suggest"):
         from .index.search import load_index
 
         idx = load_index(spark, args.index)
@@ -330,6 +340,14 @@ def main(argv: list[str] | None = None) -> int:
             df = elevate(
                 idx, args.query, args.ids.split(","), k=args.k,
                 key=args.key, force=not args.no_force, mode=args.mode,
+            )
+        elif args.cmd == "suggest":
+            from .index.components import suggest
+
+            df = suggest(
+                idx.docmap, args.query, field=args.field,
+                weight_field=args.weight_field, count=args.count,
+                max_edits=args.max_edits,
             )
         else:
             from .index.components import cluster_results

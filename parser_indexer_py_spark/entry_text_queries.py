@@ -86,6 +86,44 @@ GROUP BY w ORDER BY cf DESC, w LIMIT 10
 """
 
 
+def q_suggest_fuzzy(spark, sf_dir):
+    """The REAL /suggest handler twin (solrconfig.xml:1241-1264):
+    FuzzyLookupFactory over a DocumentDictionaryFactory — here the
+    ``documents`` table as the dictionary (field=text analog of ``name``,
+    weight=n_chars analog of ``price``), query ``mergw`` a one-edit typo
+    of the vocabulary word ``merge``. See index.components.suggest for
+    the Lucene-defaults semantics (maxEdits=1, nonFuzzyPrefix=1,
+    minFuzzyLength=3, exactFirst)."""
+    from .index.components import suggest
+
+    docs = _t(spark, sf_dir, "documents")
+    return suggest(
+        docs, "mergw", field="text", weight_field="n_chars", count=20
+    )
+
+
+# The oracle mirrors the component's exact predicate: on this corpus the
+# engine analyzer is the identity on ``text`` (plain lowercase
+# single-space words — asserted by the datagen), so analyzed = text; the
+# window-min levenshtein over remainder prefixes of length m±maxEdits is
+# spelled out literally (q='mergw', npf=1 -> head='m', rem='ergw', m=4).
+SQL_SUGGEST_FUZZY = """
+WITH d AS (
+  SELECT text AS suggestion, MAX(n_chars) AS weight
+  FROM documents
+  WHERE substring(text, 1, 1) = 'm'
+    AND least(
+      levenshtein(substring(text, 2, 3), 'ergw'),
+      levenshtein(substring(text, 2, 4), 'ergw'),
+      levenshtein(substring(text, 2, 5), 'ergw')
+    ) <= 1
+  GROUP BY 1
+)
+SELECT suggestion, weight FROM d
+ORDER BY weight DESC, suggestion LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: token counting, fingerprint, quality, language-ID
 # ---------------------------------------------------------------------------

@@ -26,6 +26,11 @@ declarative DataFrame plan over the explicit index tables:
   (``solrconfig.xml:1297-1366``): top-k result clustering under term
   labels — a DOCUMENTED simplified stand-in for Carrot2's Lingo (Java,
   unavailable here); see its docstring.
+- ``suggest``        — SuggestComponent, the ``/suggest`` handler
+  (``solrconfig.xml:1241-1264``): FuzzyLookupFactory completion over a
+  DocumentDictionaryFactory — full field values whose analyzed prefix
+  fuzzily matches the query, weight-ranked; see its docstring for the
+  exact Lucene-defaults semantics.
 
 Scale notes: ``terms_enum`` is a pruned termstats scan (parquet min/max
 on the term column) + top-k; ``term_vectors`` broadcasts the k requested
@@ -49,6 +54,7 @@ __all__ = [
     "stats_field",
     "elevate",
     "cluster_results",
+    "suggest",
 ]
 
 
@@ -359,3 +365,103 @@ def cluster_results(
         .select("label", "doc_id", "size")
         .orderBy(F.desc("size"), F.asc("label"), F.asc("doc_id"))
     )
+
+
+def suggest(
+    dictionary: DataFrame,
+    q: str,
+    *,
+    field: str = "text",
+    weight_field: str | None = None,
+    count: int = 20,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+    exact_first: bool = True,
+) -> DataFrame:
+    """SuggestComponent twin: the ``/suggest`` handler's
+    ``FuzzyLookupFactory`` over a ``DocumentDictionaryFactory``
+    (``conf/solr/docs/conf/solrconfig.xml:1241-1264`` — field ``name``
+    weighted by ``price``; here any ``field``/``weight_field`` of the
+    ``dictionary`` DataFrame). Returns ``(suggestion, weight)`` — the top
+    ``count`` full field values whose ANALYZED form begins with a fuzzy
+    match of the analyzed query, ranked weight desc (suggestion asc
+    tie-break; Lucene compares weight then surface bytes).
+
+    Lucene FuzzySuggester semantics, with its defaults:
+
+    - the query and each dictionary entry are analyzed with the engine
+      analyzer (the ``suggestAnalyzerFieldType=text_general`` line) and
+      space-joined; a dictionary entry matches when SOME PREFIX of its
+      analyzed form is within ``max_edits`` (default 1) Levenshtein edits
+      of the analyzed query,
+    - the first ``non_fuzzy_prefix`` (default 1) characters must match
+      exactly and edits never span into them (the distance is computed on
+      the remainders, exactly like Lucene's automaton construction),
+    - queries shorter than ``min_fuzzy_length`` (default 3) analyzed
+      chars are matched by exact prefix only,
+    - ``exact_first``: an entry whose whole analyzed form equals the
+      query outranks everything (AnalyzingSuggester's exactFirst=true).
+
+    DOCUMENTED DEVIATION (same as index/spell.py): plain Levenshtein, no
+    transpositions — Lucene's default ``transpositions=true`` counts a
+    swap as one edit (Damerau), here it costs two.
+
+    Determinism: duplicate surface forms collapse to one row keeping the
+    max weight (Lucene's DocumentDictionary may emit duplicates whose
+    relative order is segment-dependent — not reproducible, so not
+    mirrored).
+
+    Scale shape: the prefix-of-analyzed distance needs only prefixes
+    whose length is within ``max_edits`` of the query's (longer or
+    shorter prefixes are already > ``max_edits`` away by the length
+    bound), so the match predicate is a constant-size ``least()`` of
+    ``levenshtein`` calls on short substrings — whole-stage-codegen'd,
+    no UDF, no join. The exact-prefix guard filters BEFORE the dedup
+    groupBy, so the shuffle carries only matching suggestions, and the
+    final top-``count`` is a TakeOrderedAndProject."""
+    from ..functions.analyzer import analyze_text, tokens_expr
+
+    qa = " ".join(analyze_text(q))
+    if not qa:
+        raise ValueError("suggest: query analyzes to nothing")
+    if max_edits not in (0, 1, 2):
+        raise ValueError("max_edits must be 0, 1 or 2 (Lucene's hard cap)")
+
+    analyzed = F.array_join(tokens_expr(F.col(field)), " ")
+    w = (
+        F.col(weight_field).cast("long")
+        if weight_field is not None
+        else F.lit(0).cast("long")
+    )
+    d = dictionary.select(
+        F.col(field).alias("suggestion"),
+        analyzed.alias("analyzed"),
+        w.alias("weight"),
+    ).filter(F.length("analyzed") > 0)
+
+    if len(qa) < min_fuzzy_length or max_edits == 0:
+        cond = F.col("analyzed").startswith(qa)
+    else:
+        npf = min(non_fuzzy_prefix, len(qa))
+        head, rem = qa[:npf], qa[npf:]
+        m = len(rem)
+        if npf:
+            d = d.filter(F.substring("analyzed", 1, npf) == head)
+        s_rem = F.substring(F.col("analyzed"), npf + 1, m + max_edits)
+        dists = [
+            F.levenshtein(F.substring(s_rem, 1, L), F.lit(rem))
+            for L in range(max(0, m - max_edits), m + max_edits + 1)
+        ]
+        dist = dists[0] if len(dists) == 1 else F.least(*dists)
+        cond = dist <= max_edits
+    d = d.filter(cond)
+
+    # duplicate surface forms -> one row, max weight (determinism note)
+    d = d.groupBy("suggestion").agg(
+        F.max("weight").alias("weight"), F.max("analyzed").alias("analyzed")
+    )
+    order = [F.desc("weight"), F.asc("suggestion")]
+    if exact_first:
+        order = [F.desc(F.col("analyzed") == qa)] + order
+    return d.orderBy(*order).limit(count).select("suggestion", "weight")

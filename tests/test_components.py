@@ -190,3 +190,132 @@ def test_elevate_page_is_one_action_two_subtrees(index, tok_pdf):
     out = elevate(index, hot, [0], k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# SuggestComponent (suggest) — FuzzyLookupFactory over DocumentDictionary
+# ---------------------------------------------------------------------------
+
+def _brute_suggest(entries, q, *, max_edits=1, npf=1, min_fuzzy=3,
+                   count=20, exact_first=True):
+    """Reference FuzzySuggester: entries = [(surface, analyzed, weight)];
+    match iff some prefix of analyzed is within max_edits of q, the first
+    npf chars exact (distance computed on the remainders)."""
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def matches(an):
+        if len(q) < min_fuzzy or max_edits == 0:
+            return an.startswith(q)
+        k = min(npf, len(q))
+        if an[:k] != q[:k]:
+            return False
+        rem, srem = q[k:], an[k:]
+        return any(
+            lev(srem[:L], rem) <= max_edits
+            for L in range(0, len(srem) + 1)
+        )
+
+    best = {}
+    for surface, an, w in entries:
+        if matches(an):
+            prev = best.get(surface)
+            if prev is None or w > prev[0]:
+                best[surface] = (w, an)
+    rows = [
+        (s, w, an == q if exact_first else False)
+        for s, (w, an) in best.items()
+    ]
+    rows.sort(key=lambda r: (not r[2], -r[1], r[0]))
+    return [(s, w) for s, w, _ in rows[:count]]
+
+
+@pytest.fixture(scope="module")
+def suggest_dict(spark):
+    rows = [
+        ("window scan merge", 10),
+        ("window scan batch", 30),
+        ("window scan batch", 7),     # duplicate surface, lower weight
+        ("windows are nice", 25),
+        ("wandow scan", 40),          # 1 edit inside the fuzzy region
+        ("mindow scan", 99),          # first char differs -> excluded
+        ("win", 5),                   # short entry: prefix of the query
+        ("wi", 3),
+        ("table scan", 50),
+        ("window", 12),               # exact analyzed == query test uses q="window"
+    ]
+    return spark.createDataFrame(rows, "name string, price long")
+
+
+def test_suggest_matches_bruteforce(suggest_dict):
+    from parser_indexer_py_spark.index.components import suggest
+
+    entries = [
+        (r["name"], r["name"], r["price"])
+        for r in suggest_dict.collect()
+    ]  # analyzer is identity on these plain strings
+    for q, kw in [
+        ("window", {}),                      # exactFirst fires on "window"
+        ("windoe", {}),                      # trailing typo
+        ("wndow", {}),                       # deletion
+        ("wi", {}),                          # < minFuzzyLength -> exact prefix
+        ("window scan", {"max_edits": 2}),
+        ("window", {"max_edits": 0}),        # pure prefix mode
+        ("window", {"exact_first": False}),
+    ]:
+        got = [
+            (r["suggestion"], r["weight"])
+            for r in suggest(
+                suggest_dict, q, field="name", weight_field="price", **kw
+            ).collect()
+        ]
+        exp = _brute_suggest(
+            entries, q,
+            max_edits=kw.get("max_edits", 1),
+            exact_first=kw.get("exact_first", True),
+        )
+        assert got == exp, f"q={q!r} kw={kw}: {got} != {exp}"
+
+
+def test_suggest_npf_blocks_first_char_edit(suggest_dict):
+    from parser_indexer_py_spark.index.components import suggest
+
+    got = {
+        r["suggestion"]
+        for r in suggest(
+            suggest_dict, "window", field="name", weight_field="price"
+        ).collect()
+    }
+    assert "wandow scan" in got          # edit beyond the non-fuzzy prefix
+    assert "mindow scan" not in got      # edit ON the non-fuzzy prefix
+    assert "window scan batch" in got
+
+
+def test_suggest_dedupes_max_weight(suggest_dict):
+    from parser_indexer_py_spark.index.components import suggest
+
+    rows = {
+        r["suggestion"]: r["weight"]
+        for r in suggest(
+            suggest_dict, "window scan", field="name", weight_field="price"
+        ).collect()
+    }
+    assert rows["window scan batch"] == 30
+
+
+def test_suggest_errors(suggest_dict):
+    from parser_indexer_py_spark.index.components import suggest
+
+    with pytest.raises(ValueError, match="max_edits"):
+        suggest(suggest_dict, "window", field="name", max_edits=3)
+    with pytest.raises(ValueError, match="analyzes to nothing"):
+        suggest(suggest_dict, "...", field="name")
