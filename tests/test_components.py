@@ -319,3 +319,57 @@ def test_suggest_errors(suggest_dict):
         suggest(suggest_dict, "window", field="name", max_edits=3)
     with pytest.raises(ValueError, match="analyzes to nothing"):
         suggest(suggest_dict, "...", field="name")
+
+
+def test_suggest_fuzz_vs_bruteforce(spark):
+    """Seeded randomized gate: tiny alphabet forces dense edit-distance
+    collisions; engine must equal the all-prefix brute force on every
+    (dictionary, query, params) draw. Surfaces exercise the analyzer
+    (uppercase + fold chars), so analyzed != surface on some entries."""
+    import numpy as np
+
+    from parser_indexer_py_spark.functions.analyzer import analyze_text
+    from parser_indexer_py_spark.index.components import suggest
+
+    rng = np.random.default_rng(20260817)
+    alpha = list("abc")
+    decorations = ["", "", "", "X", "•"]  # occasional case/fold noise
+
+    for trial in range(3):
+        entries_raw = []
+        for i in range(40):
+            n_words = int(rng.integers(1, 4))
+            words = [
+                "".join(
+                    alpha[int(j)]
+                    for j in rng.integers(0, len(alpha), rng.integers(1, 6))
+                )
+                for _ in range(n_words)
+            ]
+            deco = decorations[int(rng.integers(0, len(decorations)))]
+            surface = deco + " ".join(words)
+            entries_raw.append((surface, int(rng.integers(0, 50))))
+        dict_df = spark.createDataFrame(
+            entries_raw, "name string, price long"
+        )
+        entries = [
+            (s, " ".join(analyze_text(s)), w) for s, w in entries_raw
+        ]
+        queries = ["ab", "abc", "acb ba", "aaaa", "cab", "abba"]
+        for q in queries:
+            me = int(rng.integers(0, 3))
+            npf = int(rng.integers(1, 3))
+            got = [
+                (r["suggestion"], r["weight"])
+                for r in suggest(
+                    dict_df, q, field="name", weight_field="price",
+                    max_edits=me, non_fuzzy_prefix=npf, count=10,
+                ).collect()
+            ]
+            exp = _brute_suggest(
+                entries, " ".join(analyze_text(q)),
+                max_edits=me, npf=npf, count=10,
+            )
+            assert got == exp, (
+                f"trial={trial} q={q!r} me={me} npf={npf}: {got} != {exp}"
+            )
