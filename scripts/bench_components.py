@@ -35,6 +35,7 @@ def main() -> None:
         cluster_results,
         elevate,
         stats_field,
+        suggest,
         term_vectors,
         terms_enum,
     )
@@ -61,6 +62,9 @@ def main() -> None:
         lambda: elevate(idx, "bace cedi", [first_ids[0], first_ids[1]], k=10),
     )
     run("cluster_results_k20", lambda: cluster_results(idx, "bace cedi", k=20))
+    # /suggest over the full 6.5M-doc docmap as the dictionary: the whole
+    # cost is one codegen'd scan + TakeOrderedAndProject (no join/UDF)
+    run("suggest_fuzzy", lambda: suggest(idx.docmap, "jekide", field="text", count=20))
 
 
 if __name__ == "__main__":
