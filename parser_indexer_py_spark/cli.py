@@ -22,6 +22,8 @@ Subcommands:
   elevate — /elevate handler: editorial pins above the organic ranking
   cluster — /clustering handler: label-clustered top-k results
   suggest — /suggest handler: fuzzy weighted completion over a docmap field
+            (or --dict, a prebuilt pruned dictionary)
+  build-suggest — build the suggester dictionary parquet (suggest.build)
   analyze — /analysis/field handler: stage-by-stage analyzer breakdown
 
 In local mode the session factory propagates PYTHONPATH so --py-files is
@@ -135,6 +137,15 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--weight-field", default=None)
     sg.add_argument("--count", type=int, default=20)
     sg.add_argument("--max-edits", type=int, default=1)
+    sg.add_argument("--dict", default=None,
+                    help="prebuilt dictionary parquet (build-suggest "
+                         "output) — the pruned serving path")
+
+    sb = sub.add_parser("build-suggest")
+    sb.add_argument("--index", required=True)
+    sb.add_argument("--out", required=True)
+    sb.add_argument("--field", default="text")
+    sb.add_argument("--weight-field", default=None)
 
     cl = sub.add_parser("cluster")
     cl.add_argument("--index", required=True)
@@ -310,6 +321,22 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out, default=str))
         return 0
 
+    if args.cmd == "build-suggest":
+        from .index.components import build_suggest_dict
+        from .index.search import load_index
+
+        idx = load_index(spark, args.index)
+        t0 = time.time()
+        build_suggest_dict(
+            idx.docmap, args.out, field=args.field,
+            weight_field=args.weight_field,
+        )
+        print(json.dumps({
+            "cmd": "build-suggest", "out": args.out,
+            "seconds": round(time.time() - t0, 3),
+        }))
+        return 0
+
     if args.cmd in ("terms", "tvrh", "stats", "elevate", "cluster", "suggest"):
         from .index.search import load_index
 
@@ -344,11 +371,18 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "suggest":
             from .index.components import suggest
 
-            df = suggest(
-                idx.docmap, args.query, field=args.field,
-                weight_field=args.weight_field, count=args.count,
-                max_edits=args.max_edits,
-            )
+            if args.dict:
+                df = suggest(
+                    spark.read.parquet(args.dict), args.query,
+                    count=args.count, max_edits=args.max_edits,
+                    prebuilt=True,
+                )
+            else:
+                df = suggest(
+                    idx.docmap, args.query, field=args.field,
+                    weight_field=args.weight_field, count=args.count,
+                    max_edits=args.max_edits,
+                )
         else:
             from .index.components import cluster_results
 

@@ -30,7 +30,10 @@ declarative DataFrame plan over the explicit index tables:
   (``solrconfig.xml:1241-1264``): FuzzyLookupFactory completion over a
   DocumentDictionaryFactory — full field values whose analyzed prefix
   fuzzily matches the query, weight-ranked; see its docstring for the
-  exact Lucene-defaults semantics.
+  exact Lucene-defaults semantics. ``build_suggest_dict`` is the
+  ``buildOnStartup``/``suggest.build`` analog: a deduped,
+  analyzed-sorted parquet dictionary whose range layout turns the
+  lookup's prefix guard into a pushed, file-pruning range predicate.
 
 Scale notes: ``terms_enum`` is a pruned termstats scan (parquet min/max
 on the term column) + top-k; ``term_vectors`` broadcasts the k requested
@@ -55,6 +58,7 @@ __all__ = [
     "elevate",
     "cluster_results",
     "suggest",
+    "build_suggest_dict",
 ]
 
 
@@ -367,6 +371,64 @@ def cluster_results(
     )
 
 
+def _prefix_upper(p: str) -> str | None:
+    """Smallest string ordering above every string prefixed by ``p`` (the
+    right edge of the prefix range), or None at the codepoint ceiling.
+    Skips the surrogate block so the literal stays valid UTF-8."""
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i]) + 1
+        if 0xD800 <= c <= 0xDFFF:
+            c = 0xE000
+        if c <= 0x10FFFF:
+            return p[:i] + chr(c)
+    return None
+
+
+def build_suggest_dict(
+    dictionary: DataFrame,
+    out: str,
+    *,
+    field: str = "text",
+    weight_field: str | None = None,
+    n_partitions: int | None = None,
+) -> None:
+    """Build the suggester's lookup structure once — Solr's
+    ``buildOnStartup=true`` / ``suggest.build`` analog
+    (``conf/solr/docs/conf/solrconfig.xml:1249``; Lucene builds the FST at
+    commit, not per lookup). Writes ``(suggestion, analyzed, weight)``
+    parquet, deduped, RANGE-partitioned and sorted by ``analyzed`` so
+    every file's parquet min/max tightly brackets one analyzed-prefix
+    range — a :func:`suggest` lookup with ``prebuilt=True`` turns its
+    non-fuzzy-prefix guard into a pushed string-range predicate and scans
+    only the files whose range intersects the query prefix, instead of
+    re-analyzing the whole corpus per keystroke."""
+    from ..functions.analyzer import tokens_expr
+
+    w = (
+        F.col(weight_field).cast("long")
+        if weight_field is not None
+        else F.lit(0).cast("long")
+    )
+    d = (
+        dictionary.select(
+            F.col(field).alias("suggestion"),
+            F.array_join(tokens_expr(F.col(field)), " ").alias("analyzed"),
+            w.alias("weight"),
+        )
+        .filter(F.length("analyzed") > 0)
+        .groupBy("suggestion", "analyzed")
+        .agg(F.max("weight").alias("weight"))
+    )
+    if n_partitions is None:
+        n_partitions = dictionary.sparkSession.sparkContext.defaultParallelism
+    (
+        d.repartitionByRange(n_partitions, "analyzed")
+        .sortWithinPartitions("analyzed")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
 def suggest(
     dictionary: DataFrame,
     q: str,
@@ -378,6 +440,7 @@ def suggest(
     non_fuzzy_prefix: int = 1,
     min_fuzzy_length: int = 3,
     exact_first: bool = True,
+    prebuilt: bool = False,
 ) -> DataFrame:
     """SuggestComponent twin: the ``/suggest`` handler's
     ``FuzzyLookupFactory`` over a ``DocumentDictionaryFactory``
@@ -419,7 +482,17 @@ def suggest(
     ``levenshtein`` calls on short substrings — whole-stage-codegen'd,
     no UDF, no join. The exact-prefix guard filters BEFORE the dedup
     groupBy, so the shuffle carries only matching suggestions, and the
-    final top-``count`` is a TakeOrderedAndProject."""
+    final top-``count`` is a TakeOrderedAndProject.
+
+    ``prebuilt=True``: ``dictionary`` is a :func:`build_suggest_dict`
+    output (read back from parquet) instead of raw documents. The
+    analysis projection and the dedup groupBy are skipped (done at build
+    time), and the non-fuzzy-prefix guard is expressed as a string RANGE
+    predicate ``head <= analyzed < next(head)`` — pushed to the parquet
+    scan, where the build's range-partition-and-sort layout lets row-group
+    min/max statistics prune every file outside the prefix range. That is
+    the per-keystroke serving path: touched bytes ∝ matching prefix
+    range, not corpus size."""
     from ..functions.analyzer import analyze_text, tokens_expr
 
     qa = " ".join(analyze_text(q))
@@ -428,26 +501,41 @@ def suggest(
     if max_edits not in (0, 1, 2):
         raise ValueError("max_edits must be 0, 1 or 2 (Lucene's hard cap)")
 
-    analyzed = F.array_join(tokens_expr(F.col(field)), " ")
-    w = (
-        F.col(weight_field).cast("long")
-        if weight_field is not None
-        else F.lit(0).cast("long")
-    )
-    d = dictionary.select(
-        F.col(field).alias("suggestion"),
-        analyzed.alias("analyzed"),
-        w.alias("weight"),
-    ).filter(F.length("analyzed") > 0)
+    if prebuilt:
+        d = dictionary.select("suggestion", "analyzed", "weight")
+    else:
+        w = (
+            F.col(weight_field).cast("long")
+            if weight_field is not None
+            else F.lit(0).cast("long")
+        )
+        d = dictionary.select(
+            F.col(field).alias("suggestion"),
+            F.array_join(tokens_expr(F.col(field)), " ").alias("analyzed"),
+            w.alias("weight"),
+        ).filter(F.length("analyzed") > 0)
+
+    def _range_guard(df: DataFrame, prefix: str) -> DataFrame:
+        """Prefix guard as a sarg-able range — pushed to parquet when the
+        analyzed column is stored (prebuilt); plain codegen filter when
+        it is computed (raw mode)."""
+        hi = _prefix_upper(prefix)
+        guard = F.col("analyzed") >= prefix
+        if hi is not None:
+            guard = guard & (F.col("analyzed") < hi)
+        else:  # codepoint ceiling: range is one-sided, add exact check
+            guard = guard & F.col("analyzed").startswith(prefix)
+        return df.filter(guard)
 
     if len(qa) < min_fuzzy_length or max_edits == 0:
+        d = _range_guard(d, qa)
         cond = F.col("analyzed").startswith(qa)
     else:
         npf = min(non_fuzzy_prefix, len(qa))
         head, rem = qa[:npf], qa[npf:]
         m = len(rem)
         if npf:
-            d = d.filter(F.substring("analyzed", 1, npf) == head)
+            d = _range_guard(d, head)
         s_rem = F.substring(F.col("analyzed"), npf + 1, m + max_edits)
         dists = [
             F.levenshtein(F.substring(s_rem, 1, L), F.lit(rem))
@@ -457,10 +545,13 @@ def suggest(
         cond = dist <= max_edits
     d = d.filter(cond)
 
-    # duplicate surface forms -> one row, max weight (determinism note)
-    d = d.groupBy("suggestion").agg(
-        F.max("weight").alias("weight"), F.max("analyzed").alias("analyzed")
-    )
+    if not prebuilt:
+        # duplicate surface forms -> one row, max weight (determinism
+        # note); prebuilt dictionaries are deduped at build time
+        d = d.groupBy("suggestion").agg(
+            F.max("weight").alias("weight"),
+            F.max("analyzed").alias("analyzed"),
+        )
     order = [F.desc("weight"), F.asc("suggestion")]
     if exact_first:
         order = [F.desc(F.col("analyzed") == qa)] + order

@@ -373,3 +373,54 @@ def test_suggest_fuzz_vs_bruteforce(spark):
             assert got == exp, (
                 f"trial={trial} q={q!r} me={me} npf={npf}: {got} != {exp}"
             )
+
+
+def test_suggest_prebuilt_equals_raw_and_pushes_range(suggest_dict, tmp_path):
+    """build_suggest_dict + prebuilt lookup == raw lookup, and the
+    prefix guard reaches the parquet scan as a pushed range predicate
+    over the sorted dictionary (the buildOnStartup serving path)."""
+    from parser_indexer_py_spark.index.components import (
+        build_suggest_dict,
+        suggest,
+    )
+    from parser_indexer_py_spark.plans.explain_audit import (
+        assert_pushed_filter,
+        assert_take_ordered,
+    )
+
+    out = str(tmp_path / "sugg_dict")
+    build_suggest_dict(
+        suggest_dict, out, field="name", weight_field="price", n_partitions=3
+    )
+    spark = suggest_dict.sparkSession
+    pre = spark.read.parquet(out)
+
+    for q, kw in [
+        ("window", {}),
+        ("windoe", {}),
+        ("wi", {}),                     # exact-prefix (short) path
+        ("window scan", {"max_edits": 2}),
+        ("window", {"exact_first": False}),
+    ]:
+        raw = suggest(
+            suggest_dict, q, field="name", weight_field="price", **kw
+        ).collect()
+        built = suggest(pre, q, prebuilt=True, **kw).collect()
+        assert [tuple(r) for r in built] == [tuple(r) for r in raw], (
+            f"q={q!r} kw={kw}"
+        )
+
+    df = suggest(pre, "windoe", prebuilt=True)
+    assert_pushed_filter(df, "GreaterThanOrEqual(analyzed,w)")
+    assert_pushed_filter(df, "LessThan(analyzed,x)")
+    assert_take_ordered(df)
+
+
+def test_prefix_upper_edges():
+    from parser_indexer_py_spark.index.components import _prefix_upper
+
+    assert _prefix_upper("ab") == "ac"
+    assert _prefix_upper("az") == "a{"
+    assert _prefix_upper("a" + chr(0x10FFFF)) == "b"
+    assert _prefix_upper(chr(0x10FFFF)) is None
+    assert _prefix_upper(chr(0xD7FF)) == chr(0xE000)
