@@ -356,3 +356,25 @@ def test_components_over_merged_view(spark, dirs):
         )
 
     assert canon(tv_b) == canon(tv_v) and len(tv_b) > 0
+
+
+def test_suggest_over_merged_view(spark, dirs):
+    """/suggest over the segments view's unioned docmap equals the
+    monolithic batch index's dictionary (same surfaces, same weights)."""
+    from parser_indexer_py_spark.functions.analyzer import analyze_text
+    from parser_indexer_py_spark.index.components import suggest
+    from parser_indexer_py_spark.streaming.merged import MergedSegmentsView
+
+    seg = SegmentedIndex(spark, dirs["idx"])
+    view = MergedSegmentsView(seg)
+    batch_idx = load_index(spark, dirs["batch"])
+
+    first = batch_idx.docmap.orderBy("doc_id").limit(1).collect()[0]["text"]
+    tok = analyze_text(first)[0]
+    if len(tok) >= 4:
+        q = tok[:-1] + ("x" if tok[-1] != "x" else "y")  # 1-edit typo
+    else:
+        q = tok  # too short for a safe typo: exact-prefix path
+    a = suggest(view.docmap, q, field="text", count=15).toPandas()
+    b = suggest(batch_idx.docmap, q, field="text", count=15).toPandas()
+    assert list(a["suggestion"]) == list(b["suggestion"]) and len(a) > 0
