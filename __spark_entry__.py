@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": TQ.q_term_vectors,
         "stats_field": TQ.q_stats_field,
         "elevate_query": TQ.q_elevate,
+        "debug_explain": TQ.q_debug_explain,
         # text analysis (training-data pipeline)
         "token_counts": TQ.q_token_counts,
         "doc_fingerprint": TQ.q_doc_fingerprint,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "term_vectors": TQ.SQL_TVRH,
         "stats_field": TQ.SQL_STATS,
         "elevate_query": TQ.SQL_ELEVATE,
+        "debug_explain": TQ.SQL_DEBUG_EXPLAIN,
         "token_counts": TQ.SQL_TOKEN_COUNTS,
         "doc_fingerprint": TQ.SQL_FINGERPRINT,
         "quality_score": TQ.SQL_QUALITY,

@@ -2043,3 +2043,67 @@ WITH ex AS (
 SELECT va, vb, ROUND(dot / (na * nb), 6) AS cosine
 FROM pr WHERE ROUND(dot / (na * nb), 6) >= {COS_TAU}
 """
+
+
+# ---------------------------------------------------------------------------
+# DebugComponent (debugQuery=true) — per-(doc, term) score Explanation
+# ---------------------------------------------------------------------------
+
+# two-term disjunction; k=all docs makes the explained page tie-free, so
+# the engine's internal-docID tiebreak can never disagree with the
+# oracle's external-doc_id ordering at a page boundary
+DEBUG_EXPLAIN_QUERY = "merge stream"
+
+
+def q_debug_explain(spark, sf_dir):
+    """Solr DebugComponent twin THROUGH THE ENGINE: ``debugQuery=true``
+    renders a per-document Lucene ``Explanation`` tree; the reference
+    wires ``solr.DebugComponent`` into every SearchHandler
+    (conf/solr/docs/conf/solrconfig.xml:1072-1078). index.debug.explain
+    emits the flattened rows — (doc, term, tf, df, idf, contrib, score)
+    with contrib from the SAME Arrow block decoder the search path scores
+    with, so the explanation is bit-identical to the score it explains.
+    The DuckDB oracle recomputes the whole BM25 breakdown from the token
+    table: idf = ln(1+(N-df+0.5)/(df+0.5)), contrib = idf*tf*(k1+1)/
+    (tf+k1*(1-b+b*dl/avgdl)), score = per-doc sum."""
+    from .index.debug import explain
+
+    idx = _docs_pos_index(spark, sf_dir)
+    ex = explain(idx, DEBUG_EXPLAIN_QUERY, k=1_000_000)
+    dm = idx.docmap.select("doc_id", "conv_id")
+    return (
+        ex.join(F.broadcast(dm), "doc_id")
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            "term",
+            "tf",
+            "df",
+            "idf",
+            "contrib",
+            "score",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term"))
+    )
+
+
+SQL_DEBUG_EXPLAIN = SQL_TOK + """
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       WHERE w IN ('merge', 'stream') GROUP BY doc_id, w),
+dfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf, dfs.df,
+         ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5)) AS idf,
+         ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS contrib
+  FROM tf JOIN dfs USING (w) JOIN dl ON dl.doc_id = tf.doc_id, g),
+tot AS (SELECT doc_id, SUM(contrib) AS s FROM scored GROUP BY doc_id)
+SELECT s.doc_id, s.w AS term, CAST(s.tf AS BIGINT) AS tf,
+       CAST(s.df AS BIGINT) AS df, ROUND(s.idf, 6) AS idf,
+       ROUND(s.contrib, 6) AS contrib, ROUND(t.s, 6) AS score
+FROM scored s JOIN tot t USING (doc_id)
+ORDER BY score DESC, doc_id, term
+"""
