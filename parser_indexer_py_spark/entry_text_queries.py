@@ -2107,3 +2107,67 @@ SELECT s.doc_id, s.w AS term, CAST(s.tf AS BIGINT) AS tf,
 FROM scored s JOIN tot t USING (doc_id)
 ORDER BY score DESC, doc_id, term
 """
+
+
+# ---------------------------------------------------------------------------
+# cursorMark deep paging — page 3 of a cursor walk
+# ---------------------------------------------------------------------------
+
+CURSOR_QUERY = "merge stream"
+CURSOR_ROWS = 5
+
+
+def q_cursor_deep_page(spark, sf_dir):
+    """Solr cursorMark deep paging THROUGH THE ENGINE: walk two cursor
+    marks (pages 1-2) of the match set of ``'merge stream'`` sorted by the
+    uniqueKey (``conv_id asc`` — Solr requires the sort to end with the
+    uniqueKey; a unique sort also makes every page boundary tie-free, so
+    the oracle's OFFSET view is exactly equivalent), then return page 3.
+    Each page compiles to a CONSTANT rows-bounded TakeOrderedAndProject —
+    the cursor filters strictly past the previous page's last sort
+    position instead of growing an offset heap (index.boolean.cursor_page;
+    plan-asserted in tests/test_cursor.py). The DuckDB oracle recomputes
+    the BM25 match set and reads the same page with LIMIT/OFFSET."""
+    from .index.boolean import cursor_page
+
+    idx = _docs_pos_index(spark, sf_dir)
+    mark = "*"
+    for _ in range(2):
+        out = cursor_page(
+            idx, CURSOR_QUERY, rows=CURSOR_ROWS,
+            sort="conv_id asc", cursor_mark=mark,
+        )
+        mark = out["next_cursor_mark"]()
+    page = cursor_page(
+        idx, CURSOR_QUERY, rows=CURSOR_ROWS,
+        sort="conv_id asc", cursor_mark=mark,
+    )["response"]
+    return (
+        page.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CURSOR_PAGE = SQL_TOK + f"""
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       WHERE w IN ('merge', 'stream') GROUP BY doc_id, w),
+dfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS contrib
+  FROM tf JOIN dfs USING (w) JOIN dl ON dl.doc_id = tf.doc_id, g),
+tot AS (SELECT doc_id, SUM(contrib) AS s FROM scored GROUP BY doc_id),
+page AS (
+  SELECT doc_id, ROUND(s, 6) AS score FROM tot
+  ORDER BY CAST(doc_id AS VARCHAR) ASC
+  LIMIT {CURSOR_ROWS} OFFSET {2 * CURSOR_ROWS})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score FROM page ORDER BY doc_id
+"""

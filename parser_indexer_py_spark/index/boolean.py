@@ -1288,3 +1288,148 @@ def select(
         "range_facets": range_facets,
         "groups": groups,
     }
+
+
+# ---------------------------------------------------------------------------
+# cursorMark deep paging (Solr's Deep Paging with a Cursor)
+# ---------------------------------------------------------------------------
+
+def encode_cursor(values: list) -> str:
+    """Opaque cursorMark token: url-safe base64 of the JSON-encoded sort
+    key values of a page's last row. Floats round-trip exactly (json uses
+    repr), so an equality predicate against the re-evaluated score is
+    sound; timestamps are carried as their ``str()`` form and cast back."""
+    import base64
+    import json
+
+    return base64.urlsafe_b64encode(
+        json.dumps(values, separators=(",", ":")).encode()
+    ).decode()
+
+
+def decode_cursor(mark: str) -> list:
+    import base64
+    import json
+
+    try:
+        out = json.loads(base64.urlsafe_b64decode(mark.encode()))
+        if not isinstance(out, list):
+            raise ValueError("not a list")
+        return out
+    except Exception as e:
+        raise ValueError(f"malformed cursorMark {mark!r}") from e
+
+
+def _cursor_after(keys: list, vals: list):
+    """Strictly-after predicate for a lexicographic (mixed-direction) sort
+    position: OR over key prefixes of (all earlier keys equal) AND (this
+    key strictly past the cursor value). The trailing unique doc_id key
+    guarantees strict progress, so no row is ever returned twice."""
+    pred = F.lit(False)
+    eq = F.lit(True)
+    for (name, direction, dtype), v in zip(keys, vals):
+        lit = F.lit(v)
+        if dtype.startswith("timestamp"):
+            lit = lit.cast(dtype)
+        c = F.col(name)
+        pred = pred | (eq & ((c > lit) if direction == "asc" else (c < lit)))
+        eq = eq & (c == lit)
+    return pred
+
+
+def cursor_page(
+    index: Index,
+    q: str = "*:*",
+    *,
+    rows: int = 10,
+    sort: str | None = None,
+    cursor_mark: str = "*",
+    fq: str | list[str] | None = None,
+    q_op: str = "OR",
+    fl: list[str] | None = None,
+    field_indexes: dict | None = None,
+) -> dict:
+    """Solr cursorMark deep paging (the CursorMark API every SearchHandler
+    supports; Solr requires the sort to end with the uniqueKey — satisfied
+    by construction here because _parse_sort always appends the ascending
+    doc_id tiebreak, and relevance sort is (score desc, doc_id asc)).
+
+    ``cursor_mark="*"`` starts the walk; each response carries a
+    ``next_cursor_mark`` CALLABLE that runs the (rows-bounded) page job
+    and returns the token for the next call — when it returns the mark
+    you passed, the walk is done (Solr's end-of-results contract). Solr
+    forbids ``start`` with a cursor; this API doesn't take one.
+
+    Why this exists at 100 TB: ``select(start=N)`` pages with
+    orderBy().limit(N+rows).offset(N) — the distributed top-k heap grows
+    with the DEPTH of the page, so page 10,000 sorts 100,010 rows per
+    partition. The cursor page instead filters to rows strictly after the
+    cursor position and takes ``limit(rows)`` — TakeOrderedAndProject of
+    a CONSTANT ``rows`` elements per partition regardless of depth
+    (plan-asserted in tests), which is why Solr mandates cursors for
+    export-style deep walks. Scores are deterministic re-evaluations
+    (the same fold plan), so the float equality inside the
+    strictly-after predicate is exact."""
+    if int(rows) <= 0:
+        raise ValueError("cursor paging needs rows > 0")
+    pq = flatten_query(parse_query(q, default_op=q_op))
+    scored = _scored_docs(index, pq, field_indexes=field_indexes)
+    if scored is None:
+        raise ValueError(f"q {q!r} parses to an empty query")
+    if fq:
+        scored = _apply_fq(index, scored, fq, q_op, field_indexes)
+    meta_cols = ["doc_id", "conv_id", "turn_idx", "role"]
+    if sort:
+        order, sort_fields = _parse_sort(index, sort)
+        keys = []
+        for part in sort.split(","):
+            fld, direction = part.split()
+            if fld != "score" and fld not in meta_cols:
+                meta_cols.append(fld)
+            keys.append((fld, direction))
+        keys.append(("doc_id", "asc"))
+        joined = scored.join(index.docmap.select(*meta_cols), "doc_id", "left")
+        dtypes = dict(joined.dtypes)
+        keys = [(n, d, dtypes[n]) for n, d in keys]
+        if cursor_mark != "*":
+            vals = decode_cursor(cursor_mark)
+            if len(vals) != len(keys):
+                raise ValueError(
+                    f"cursorMark carries {len(vals)} keys, sort has {len(keys)}"
+                )
+            joined = joined.filter(_cursor_after(keys, vals))
+        resp = joined.orderBy(*order).limit(int(rows))
+    else:
+        order = [F.desc("score"), F.asc("doc_id")]
+        keys = [("score", "desc", "double"), ("doc_id", "asc", "bigint")]
+        if cursor_mark != "*":
+            vals = decode_cursor(cursor_mark)
+            if len(vals) != 2:
+                raise ValueError("relevance cursorMark carries (score, doc_id)")
+            scored = scored.filter(_cursor_after(keys, vals))
+        # page FIRST (rows-bounded heap), then attach metadata
+        resp = (
+            scored.orderBy(*order)
+            .limit(int(rows))
+            .join(index.docmap.select(*meta_cols), "doc_id", "left")
+            .orderBy(*order)
+        )
+
+    key_names = [n for n, _, _ in keys]
+    page_keys = resp.select(*key_names)
+
+    def next_cursor_mark() -> str:
+        tail = page_keys.collect()  # bounded: <= rows
+        if not tail:
+            return cursor_mark
+        last = tail[-1]
+        vals = []
+        for n, _, dtype in keys:
+            v = last[n]
+            vals.append(str(v) if dtype.startswith("timestamp") else v)
+        return encode_cursor(vals)
+
+    return {
+        "response": _apply_fl(resp, fl),
+        "next_cursor_mark": next_cursor_mark,
+    }
