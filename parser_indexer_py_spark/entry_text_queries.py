@@ -2171,3 +2171,82 @@ page AS (
   LIMIT {CURSOR_ROWS} OFFSET {2 * CURSOR_ROWS})
 SELECT CAST(doc_id AS BIGINT) AS doc_id, score FROM page ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# facet.pivot — hierarchical facets over the match set
+# ---------------------------------------------------------------------------
+
+PIVOT_QUERY = "merge stream"
+PIVOT_LONG = 300  # n_chars >= 300 -> 'long' (median split of documents)
+
+
+def _docs_meta_index(spark, sf_dir):
+    """Docs index whose docmap carries REAL categorical metadata for the
+    facet surfaces: role := lang, tool := n_chars length class. Cached by
+    manifest resume like _docs_pos_index (no positions — facets don't
+    need them)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .index.build import build_index
+    from .index.search import load_index
+    from .shipping import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("lang").alias("role"),
+        "text",
+        F.when(F.col("n_chars") >= PIVOT_LONG, "long")
+        .otherwise("short")
+        .alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"pi_docs_midx_{key}")
+    build_index(spark, src, out, n_buckets=8, salt=4, n_chunks=1)
+    return load_index(spark, out)
+
+
+def q_facet_pivot(spark, sf_dir):
+    """Solr facet.pivot THROUGH THE ENGINE: hierarchical
+    ``facet.pivot=lang,length-class`` counts over the FULL match set of
+    ``'merge stream'`` (select() evaluates the match set once; the pivot
+    is ONE leaf-level shuffle, parents re-aggregate the already-tiny leaf
+    — index.boolean.select facet_pivot). Flat rendering: one row per
+    (lang, size_class) with both levels' counts, facet.sort=count order.
+    The DuckDB oracle recomputes the match set and both count levels."""
+    idx = _docs_meta_index(spark, sf_dir)
+    from .index.boolean import select as solr_select
+
+    piv = solr_select(
+        idx, PIVOT_QUERY, rows=0,
+        facet_pivot=("role", "tool"), facet_limit=20,
+    )["pivot_facets"]
+    return piv.select(
+        F.col("role").alias("lang"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("tool").alias("size_class"),
+        F.col("n2").cast("long").alias("n2"),
+    )
+
+
+SQL_FACET_PIVOT = SQL_TOK + f"""
+, m AS (SELECT DISTINCT doc_id FROM tok WHERE w IN ('merge', 'stream')),
+meta AS (
+  SELECT doc_id, lang,
+         CASE WHEN n_chars >= {PIVOT_LONG} THEN 'long' ELSE 'short' END
+         AS size_class
+  FROM documents),
+n2 AS (SELECT lang, size_class, COUNT(*) AS n2
+       FROM m JOIN meta USING (doc_id) GROUP BY lang, size_class),
+n1 AS (SELECT lang, SUM(n2) AS n1 FROM n2 GROUP BY lang)
+SELECT n2.lang, CAST(n1.n1 AS BIGINT) AS n1, n2.size_class,
+       CAST(n2.n2 AS BIGINT) AS n2
+FROM n2 JOIN n1 USING (lang)
+ORDER BY n1 DESC, lang, n2 DESC, size_class
+"""

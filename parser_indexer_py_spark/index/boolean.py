@@ -1098,6 +1098,7 @@ def select(
     facet_field: str | None = None,
     facet_limit: int = 10,
     facet_range: tuple | None = None,
+    facet_pivot: tuple | list | None = None,
     group_field: str | None = None,
     group_limit: int = 1,
     hl: bool = False,
@@ -1120,7 +1121,10 @@ def select(
     is the default operator (see parse_query);
     ``facet_range=(field, start, end, gap)`` adds ``"range_facets"``
     (counts per [lo, lo+gap) bucket — the /browse facet.range shape,
-    solrconfig.xml:898-908); ``group_field``/``group_limit`` add
+    solrconfig.xml:898-908); ``facet_pivot=(f1, f2[, f3])`` adds
+    ``"pivot_facets"`` (Solr facet.pivot hierarchical counts, flattened:
+    one row per combination with each level's count, facet.sort=count
+    ordering and per-level ``facet_limit``); ``group_field``/``group_limit`` add
     ``"groups"`` (Solr result grouping: top-N docs per field value by
     relevance, `rank_in_group` column). Lazy like everything
     else: each value is an unevaluated DataFrame; no count job runs
@@ -1142,6 +1146,7 @@ def select(
     needs_match_set = (
         facet_field is not None
         or facet_range is not None
+        or facet_pivot is not None
         or group_field is not None
         or sort is not None
     )
@@ -1162,6 +1167,7 @@ def select(
             "response": resp,
             "facets": None,
             "range_facets": None,
+            "pivot_facets": None,
             "groups": None,
         }
     pq = flatten_query(pq)  # match-set path evaluates here; fast path
@@ -1240,6 +1246,58 @@ def select(
             .agg(F.count("*").alias("n"))
             .orderBy(F.asc("bucket"))
         )
+    pivot_facets = None
+    if facet_pivot is not None:
+        # Solr facet.pivot=f1,f2[,f3] (hierarchical facets): nested value
+        # counts over the FULL match set, rendered flat — one row per
+        # deepest present combination, each level carrying its own count
+        # (n1 >= n2 >= n3, since docmap fields are single-valued).
+        # Plan: ONE shuffle aggregates the leaf (f1..fk) counts — every
+        # parent level re-aggregates that already-tiny result, and the
+        # per-level facet.limit ranks run over facet-cardinality rows,
+        # never over the match set.
+        flds = list(facet_pivot)
+        if not 2 <= len(flds) <= 3:
+            raise ValueError("facet.pivot takes 2 or 3 fields")
+        for f in flds:
+            if f not in index.docmap.columns:
+                raise ValueError(f"unknown facet.pivot field {f!r}")
+        if len(set(flds)) != len(flds):
+            raise ValueError("facet.pivot fields must be distinct")
+        from pyspark.sql import Window
+
+        leaf = (
+            scored.select("doc_id")
+            .join(index.docmap.select("doc_id", *flds), "doc_id")
+            .groupBy(*flds)
+            .agg(F.count("*").alias(f"n{len(flds)}"))
+        )
+        out = leaf
+        for lvl in range(len(flds) - 1, 0, -1):
+            prefix = flds[:lvl]
+            totals = leaf.groupBy(*prefix).agg(
+                F.sum(f"n{len(flds)}").alias(f"n{lvl}")
+            )
+            out = out.join(F.broadcast(totals), prefix)
+        # per-level facet.limit: keep the top values at every depth
+        # (count desc, value asc — Solr's facet.sort=count ordering)
+        for lvl in range(1, len(flds) + 1):
+            parent = flds[: lvl - 1]
+            w = Window.partitionBy(
+                *[F.col(c) for c in parent] or [F.lit(0)]
+            ).orderBy(F.desc(f"n{lvl}"), F.asc(flds[lvl - 1]))
+            out = (
+                out.withColumn("_rk", F.dense_rank().over(w))
+                .filter(F.col("_rk") <= int(facet_limit))
+                .drop("_rk")
+            )
+        ordered = []
+        for lvl in range(1, len(flds) + 1):
+            ordered += [F.desc(f"n{lvl}"), F.asc(flds[lvl - 1])]
+        sel = []
+        for lvl in range(1, len(flds) + 1):
+            sel += [flds[lvl - 1], f"n{lvl}"]
+        pivot_facets = out.select(*sel).orderBy(*ordered)
     groups = None
     if group_field is not None:
         # Solr result grouping (group=true&group.field=...): top
@@ -1286,6 +1344,7 @@ def select(
         "response": resp,
         "facets": facets,
         "range_facets": range_facets,
+        "pivot_facets": pivot_facets,
         "groups": groups,
     }
 

@@ -1324,3 +1324,56 @@ def test_browse_facade(spark, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="unknown facet"):
         browse(idxs, q, qf, facet_field="nope")
+
+
+def test_select_facet_pivot_two_level(bindex, boracle, qterms):
+    import collections
+
+    t1, _, _ = qterms
+    piv = select(
+        bindex, t1, rows=0, facet_pivot=("role", "tool"), facet_limit=20
+    )["pivot_facets"]
+    got = [(r["role"], r["n1"], r["tool"], r["n2"]) for r in piv.collect()]
+    dm = {
+        r["doc_id"]: (r["role"], r["tool"])
+        for r in bindex.docmap.select("doc_id", "role", "tool").collect()
+    }
+    match = list(boracle.postings[t1])
+    n2 = collections.Counter(dm[d] for d in match)
+    n1 = collections.Counter(dm[d][0] for d in match)
+    want = sorted(
+        ((r, n1[r], t, c) for (r, t), c in n2.items()),
+        key=lambda x: (-x[1], x[0], -x[3], x[2]),
+    )
+    assert got == want
+    # hierarchy invariant: child counts sum to the parent count
+    sums = collections.Counter()
+    for r, _, _, c in got:
+        sums[r] += c
+    assert all(sums[r] == n1[r] for r in sums)
+
+
+def test_select_facet_pivot_limit_per_level(bindex, boracle, qterms):
+    t1, _, _ = qterms
+    piv = select(
+        bindex, t1, rows=0, facet_pivot=("role", "tool"), facet_limit=1
+    )["pivot_facets"]
+    rows = piv.collect()
+    # one parent value survives, with exactly its single top child
+    assert len(rows) == 1
+    full = select(
+        bindex, t1, rows=0, facet_pivot=("role", "tool"), facet_limit=20
+    )["pivot_facets"].collect()
+    assert (
+        rows[0]["role"] == full[0]["role"]
+        and rows[0]["tool"] == full[0]["tool"]
+    )
+
+
+def test_select_facet_pivot_contracts(bindex):
+    with pytest.raises(ValueError):
+        select(bindex, "*:*", facet_pivot=("role",))
+    with pytest.raises(ValueError):
+        select(bindex, "*:*", facet_pivot=("role", "role"))
+    with pytest.raises(ValueError):
+        select(bindex, "*:*", facet_pivot=("role", "nope"))
