@@ -129,6 +129,39 @@ def main() -> None:
         lambda: search(idx, "bace cedi", k=10, role="assistant").collect(),
     )
 
+    # ---- round-5c surfaces: debugQuery / facet.pivot / cursorMark ----------
+    from parser_indexer_py_spark.index.boolean import (
+        cursor_page,
+        encode_cursor,
+        select as solr_select,
+    )
+    from parser_indexer_py_spark.index.debug import explain
+
+    run("debug_explain", lambda: explain(idx, "bace cedi", k=10).collect())
+    run(
+        "facet_pivot",
+        lambda: solr_select(
+            idx, "bace", rows=0, facet_pivot=("role", "tool"), facet_limit=20
+        )["pivot_facets"].collect(),
+    )
+    # deep-page A/B at depth 10k of the hot-term match set: offset's heap
+    # and driver CollectLimit carry depth+rows rows, the cursor page stays
+    # rows-bounded (mark positioned by an untimed boundary lookup)
+    _b = solr_select(idx, "bace", rows=1, start=9_999)["response"].collect()[0]
+    _mark = encode_cursor([_b["score"], _b["doc_id"]])
+    run(
+        "deep_page_offset_10k",
+        lambda: solr_select(idx, "bace", rows=10, start=10_000)[
+            "response"
+        ].collect(),
+    )
+    run(
+        "deep_page_cursor_10k",
+        lambda: cursor_page(idx, "bace", rows=10, cursor_mark=_mark)[
+            "response"
+        ].collect(),
+    )
+
     # ---- positional index + phrase search (round-3 capability) -------------
     # separate build so the headline index_build stays comparable across
     # rounds; the delta between the two numbers IS the positional payload

@@ -66,6 +66,64 @@ def main() -> None:
     # cost is one codegen'd scan + TakeOrderedAndProject (no join/UDF)
     run("suggest_fuzzy", lambda: suggest(idx.docmap, "jekide", field="text", count=20))
 
+    # round-5c surfaces -----------------------------------------------------
+    from parser_indexer_py_spark.index.boolean import cursor_page
+    from parser_indexer_py_spark.index.boolean import select as solr_select
+    from parser_indexer_py_spark.index.debug import explain
+
+    run("debug_explain_k10", lambda: explain(idx, "bace cedi", k=10))
+    run(
+        "facet_pivot_role_tool",
+        lambda: solr_select(
+            idx, "bace", rows=0, facet_pivot=("role", "tool"), facet_limit=20
+        )["pivot_facets"],
+    )
+
+    # deep paging A/B at depth 100k over the hot-term match set: the
+    # offset page's top-k heap (and driver CollectLimit) carry
+    # depth+rows rows; the cursor page stays rows-bounded. The cursor
+    # mark is positioned from an UNTIMED offset page so both timed runs
+    # return the identical 10 docs (asserted).
+    depth = 100_000
+    boundary = solr_select(idx, "bace", rows=1, start=depth - 1)[
+        "response"
+    ].collect()[0]
+    from parser_indexer_py_spark.index.boolean import encode_cursor
+
+    mark = encode_cursor([boundary["score"], boundary["doc_id"]])
+
+    def timed(name, thunk):
+        t0 = time.time()
+        out = thunk()
+        print(
+            json.dumps(
+                {
+                    "component": name,
+                    "sec": round(time.time() - t0, 2),
+                    "rows": len(out),
+                    "n_docs": idx.n_docs,
+                }
+            ),
+            flush=True,
+        )
+        return out
+
+    off = timed(
+        "deep_page_offset_100k",
+        lambda: solr_select(idx, "bace", rows=10, start=depth)[
+            "response"
+        ].collect(),
+    )
+    cur = timed(
+        "deep_page_cursor_100k",
+        lambda: cursor_page(idx, "bace", rows=10, cursor_mark=mark)[
+            "response"
+        ].collect(),
+    )
+    assert [r["doc_id"] for r in off] == [r["doc_id"] for r in cur], (
+        "cursor page != offset page at depth 100k"
+    )
+
 
 if __name__ == "__main__":
     main()
