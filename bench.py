@@ -147,11 +147,12 @@ def main() -> None:
     # deep-page A/B at depth 10k of the hot-term match set: offset's heap
     # and driver CollectLimit carry depth+rows rows, the cursor page stays
     # rows-bounded (mark positioned by an untimed boundary lookup)
-    _b = solr_select(idx, "bace", rows=1, start=9_999)["response"].collect()[0]
+    _depth = min(10_000, idx.n_docs // 2)  # tiny-SF guard: stay inside the match set
+    _b = solr_select(idx, "bace", rows=1, start=_depth - 1)["response"].collect()[0]
     _mark = encode_cursor([_b["score"], _b["doc_id"]])
     run(
         "deep_page_offset_10k",
-        lambda: solr_select(idx, "bace", rows=10, start=10_000)[
+        lambda: solr_select(idx, "bace", rows=10, start=_depth)[
             "response"
         ].collect(),
     )

@@ -2250,3 +2250,44 @@ SELECT n2.lang, CAST(n1.n1 AS BIGINT) AS n1, n2.size_class,
 FROM n2 JOIN n1 USING (lang)
 ORDER BY n1 DESC, lang, n2 DESC, size_class
 """
+
+
+# ---------------------------------------------------------------------------
+# facet.query — arbitrary-sub-query facet counts
+# ---------------------------------------------------------------------------
+
+FQ_BASE = "merge stream"
+FQ_FACETS = ["window", "+window +join", "sort"]
+
+
+def q_facet_query(spark, sf_dir):
+    """Solr facet.query THROUGH THE ENGINE: counts of the base match set
+    (``'merge stream'``, OR semantics) that ALSO match each facet.query
+    sub-query — a single-term, a conjunctive ``+window +join``, and
+    another single-term. Score-neutral semi-joins, all labels in one lazy
+    union DataFrame (index.boolean.select facet_query). The DuckDB oracle
+    recomputes base and sub match sets from the token table."""
+    idx = _docs_pos_index(spark, sf_dir)
+    from .index.boolean import select as solr_select
+
+    qf = solr_select(idx, FQ_BASE, rows=0, facet_query=FQ_FACETS)[
+        "query_facets"
+    ]
+    return qf.select(
+        "facet_query", F.col("n").cast("long").alias("n")
+    ).orderBy("facet_query")
+
+
+SQL_FACET_QUERY = SQL_TOK + """
+, base AS (SELECT DISTINCT doc_id FROM tok WHERE w IN ('merge', 'stream')),
+c1 AS (SELECT 'window' AS facet_query, COUNT(*) AS n FROM base
+       WHERE doc_id IN (SELECT doc_id FROM tok WHERE w = 'window')),
+c2 AS (SELECT '+window +join' AS facet_query, COUNT(*) AS n FROM base
+       WHERE doc_id IN (SELECT doc_id FROM tok WHERE w = 'window')
+         AND doc_id IN (SELECT doc_id FROM tok WHERE w = 'join')),
+c3 AS (SELECT 'sort' AS facet_query, COUNT(*) AS n FROM base
+       WHERE doc_id IN (SELECT doc_id FROM tok WHERE w = 'sort'))
+SELECT facet_query, CAST(n AS BIGINT) AS n FROM (
+  SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+ORDER BY facet_query
+"""

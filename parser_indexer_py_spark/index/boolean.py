@@ -1099,6 +1099,7 @@ def select(
     facet_limit: int = 10,
     facet_range: tuple | None = None,
     facet_pivot: tuple | list | None = None,
+    facet_query: list | None = None,
     group_field: str | None = None,
     group_limit: int = 1,
     hl: bool = False,
@@ -1124,7 +1125,10 @@ def select(
     solrconfig.xml:898-908); ``facet_pivot=(f1, f2[, f3])`` adds
     ``"pivot_facets"`` (Solr facet.pivot hierarchical counts, flattened:
     one row per combination with each level's count, facet.sort=count
-    ordering and per-level ``facet_limit``); ``group_field``/``group_limit`` add
+    ordering and per-level ``facet_limit``); ``facet_query=[q1, ...]``
+    adds ``"query_facets"`` (Solr facet.query: per-sub-query match-set
+    counts — score-neutral semi-joins, one lazy union DataFrame);
+    ``group_field``/``group_limit`` add
     ``"groups"`` (Solr result grouping: top-N docs per field value by
     relevance, `rank_in_group` column). Lazy like everything
     else: each value is an unevaluated DataFrame; no count job runs
@@ -1147,6 +1151,7 @@ def select(
         facet_field is not None
         or facet_range is not None
         or facet_pivot is not None
+        or facet_query is not None
         or group_field is not None
         or sort is not None
     )
@@ -1168,6 +1173,7 @@ def select(
             "facets": None,
             "range_facets": None,
             "pivot_facets": None,
+            "query_facets": None,
             "groups": None,
         }
     pq = flatten_query(pq)  # match-set path evaluates here; fast path
@@ -1246,6 +1252,32 @@ def select(
             .agg(F.count("*").alias("n"))
             .orderBy(F.asc("bucket"))
         )
+    query_facets = None
+    if facet_query is not None:
+        # Solr facet.query: for each sub-query, the count of match-set
+        # docs ALSO matching it (score-neutral semi-join, like fq). All
+        # labels ride ONE lazy union-of-aggregates DataFrame; each leg is
+        # a partial-aggregating count over a semi-join, so nothing wider
+        # than (doc_id) ever shuffles.
+        if isinstance(facet_query, str):
+            raise ValueError("facet_query takes a list of query strings")
+        legs = []
+        base_ids = scored.select("doc_id")
+        for s in facet_query:
+            sub = _scored_docs(
+                index, parse_query(s, default_op=q_op),
+                field_indexes=field_indexes,
+            )
+            if sub is None:
+                raise ValueError(f"facet.query {s!r} parses to an empty query")
+            legs.append(
+                base_ids.join(sub.select("doc_id"), "doc_id", "left_semi")
+                .agg(F.count("*").alias("n"))
+                .select(F.lit(s).alias("facet_query"), "n")
+            )
+        query_facets = legs[0]
+        for leg in legs[1:]:
+            query_facets = query_facets.unionByName(leg)
     pivot_facets = None
     if facet_pivot is not None:
         # Solr facet.pivot=f1,f2[,f3] (hierarchical facets): nested value
@@ -1345,6 +1377,7 @@ def select(
         "facets": facets,
         "range_facets": range_facets,
         "pivot_facets": pivot_facets,
+        "query_facets": query_facets,
         "groups": groups,
     }
 

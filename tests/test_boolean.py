@@ -1447,3 +1447,29 @@ def test_round5c_surfaces_on_segments(spark, tmp_path_factory):
         key=lambda x: (-x[1], x[0], -x[3], x[2]),
     )
     assert got == want_piv
+
+
+def test_select_facet_query(bindex, boracle, qterms):
+    t1, t2, t3 = qterms
+    qf = select(
+        bindex, t1, rows=0, facet_query=[t2, f"+{t2} +{t3}", "role:user"]
+    )["query_facets"]
+    got = {r["facet_query"]: r["n"] for r in qf.collect()}
+    base = set(boracle.postings[t1])
+    want = {
+        t2: len(base & set(boracle.postings[t2])),
+        f"+{t2} +{t3}": len(
+            base & set(boracle.postings[t2]) & set(boracle.postings[t3])
+        ),
+        "role:user": len(
+            {d for d in base if boracle.roles[d] == "user"}
+        ),
+    }
+    assert got == want
+
+
+def test_select_facet_query_contracts(bindex):
+    with pytest.raises(ValueError):
+        select(bindex, "*:*", facet_query="not a list")
+    with pytest.raises(ValueError):
+        select(bindex, "*:*", facet_query=[""])
