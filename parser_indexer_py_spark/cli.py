@@ -92,6 +92,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     sel.add_argument("--hl", action="store_true")
     sel.add_argument("--mode", choices=["full", "pruned"], default="pruned")
+    sel.add_argument(
+        "--facet-pivot", default=None, help="comma-separated fields (2-3)"
+    )
+    sel.add_argument(
+        "--facet-query", action="append", default=None,
+        help="repeatable facet.query sub-query",
+    )
+    sel.add_argument(
+        "--cursor-mark", default=None,
+        help="'*' or a mark from a previous page; switches to cursorMark "
+        "deep paging (start must stay 0) and prints next_cursor_mark",
+    )
 
     g = sub.add_parser("gen")
     g.add_argument("--convs", type=int, required=True)
@@ -153,6 +165,11 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("-k", type=int, default=20)
     cl.add_argument("--clusters", type=int, default=5)
     cl.add_argument("--mode", choices=["full", "pruned"], default="full")
+
+    ex = sub.add_parser("explain")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("-k", type=int, default=10)
 
     an = sub.add_parser("analyze")
     an.add_argument("--text", required=True)
@@ -279,11 +296,44 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    if args.cmd == "explain":
+        from .index.debug import explain
+        from .index.search import load_index
+
+        idx = load_index(spark, args.index)
+        t0 = time.time()
+        rows = [r.asDict() for r in explain(idx, args.query, k=args.k).collect()]
+        print(json.dumps({
+            "q": args.query, "explain": rows,
+            "seconds": round(time.time() - t0, 3),
+        }, default=str))
+        return 0
+
     if args.cmd == "select":
         from .index.boolean import select
         from .index.search import load_index
 
         idx = load_index(spark, args.index)
+        if args.cursor_mark is not None:
+            from .index.boolean import cursor_page
+
+            if args.start:
+                raise SystemExit("cursorMark paging forbids --start")
+            t0 = time.time()
+            out = cursor_page(
+                idx, args.q, rows=args.rows, sort=args.sort,
+                cursor_mark=args.cursor_mark, fq=args.fq,
+                q_op=args.q_op,
+                fl=args.fl.split(",") if args.fl else None,
+            )
+            resp = [r.asDict() for r in out["response"].collect()]
+            print(json.dumps({
+                "q": args.q,
+                "response": resp,
+                "next_cursor_mark": out["next_cursor_mark"](),
+                "seconds": round(time.time() - t0, 3),
+            }, default=str))
+            return 0
         fr = None
         if args.facet_range:
             fld, lo, hi, gap = args.facet_range.split(":")
@@ -300,6 +350,10 @@ def main(argv: list[str] | None = None) -> int:
             q_op=args.q_op,
             facet_field=args.facet_field,
             facet_range=fr,
+            facet_pivot=(
+                args.facet_pivot.split(",") if args.facet_pivot else None
+            ),
+            facet_query=args.facet_query,
             group_field=args.group_field,
             hl=args.hl,
             mode=args.mode,
@@ -309,7 +363,8 @@ def main(argv: list[str] | None = None) -> int:
             out["response"] = [
                 r.asDict() for r in res["response"].collect()
             ]
-        for key in ("facets", "range_facets", "groups"):
+        for key in ("facets", "range_facets", "pivot_facets",
+                    "query_facets", "groups"):
             if res[key] is not None:
                 df = res[key]
                 if key == "groups":
