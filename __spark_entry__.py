@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cursor_deep_page": TQ.q_cursor_deep_page,
         "facet_pivot": TQ.q_facet_pivot,
         "facet_query": TQ.q_facet_query,
+        "export_sorted": TQ.q_export_sorted,
         # text analysis (training-data pipeline)
         "token_counts": TQ.q_token_counts,
         "doc_fingerprint": TQ.q_doc_fingerprint,
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "cursor_deep_page": TQ.SQL_CURSOR_PAGE,
         "facet_pivot": TQ.SQL_FACET_PIVOT,
         "facet_query": TQ.SQL_FACET_QUERY,
+        "export_sorted": TQ.SQL_EXPORT_SORTED,
         "token_counts": TQ.SQL_TOKEN_COUNTS,
         "doc_fingerprint": TQ.SQL_FINGERPRINT,
         "quality_score": TQ.SQL_QUALITY,

@@ -171,6 +171,15 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--query", required=True)
     ex.add_argument("-k", type=int, default=10)
 
+    xp = sub.add_parser("export")
+    xp.add_argument("--index", required=True)
+    xp.add_argument("-q", required=True)
+    xp.add_argument("--out", required=True)
+    xp.add_argument("--sort", required=True, help="non-score Solr sort")
+    xp.add_argument("--fq", action="append", default=None)
+    xp.add_argument("--fl", default=None, help="comma-separated columns")
+    xp.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+
     an = sub.add_parser("analyze")
     an.add_argument("--text", required=True)
     an.add_argument("-q", default=None, help="query for analysis.showmatch")
@@ -294,6 +303,20 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "export":
+        from .index.export import export_results
+        from .index.search import load_index
+
+        idx = load_index(spark, args.index)
+        t0 = time.time()
+        res = export_results(
+            idx, args.q, args.out, sort=args.sort, fq=args.fq,
+            fl=args.fl.split(",") if args.fl else None, fmt=args.format,
+        )
+        res["seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(res))
         return 0
 
     if args.cmd == "explain":

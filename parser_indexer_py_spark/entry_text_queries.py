@@ -2291,3 +2291,48 @@ SELECT facet_query, CAST(n AS BIGINT) AS n FROM (
   SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
 ORDER BY facet_query
 """
+
+
+# ---------------------------------------------------------------------------
+# /export — full sorted match-set export
+# ---------------------------------------------------------------------------
+
+EXPORT_QUERY = "merge stream"
+
+
+def q_export_sorted(spark, sf_dir):
+    """Solr's implicit /export handler THROUGH THE ENGINE: write the FULL
+    match set of ``'merge stream'`` as a globally range-sorted file set
+    (sort=conv_id asc — /export requires an explicit non-score docValues
+    sort; index.export.export_results), then read the files back and
+    return (doc_id, lang). The written artifact IS what's validated: the
+    DuckDB oracle recomputes the match set + metadata directly, so any
+    row lost or duplicated by the export write breaks the equality."""
+    import os
+    import tempfile
+
+    from .index.export import export_results
+
+    idx = _docs_meta_index(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="pi_export_"), "files")
+    res = export_results(
+        idx, EXPORT_QUERY, out, sort="conv_id asc",
+        fl=["doc_id", "conv_id", "role"],
+    )
+    assert res["rows"] > 0
+    back = spark.read.parquet(out)
+    return (
+        back.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.col("role").alias("lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_EXPORT_SORTED = SQL_TOK + """
+, m AS (SELECT DISTINCT doc_id FROM tok WHERE w IN ('merge', 'stream'))
+SELECT d.doc_id, d.lang
+FROM m JOIN documents d USING (doc_id)
+ORDER BY d.doc_id
+"""
