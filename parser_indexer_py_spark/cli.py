@@ -84,6 +84,19 @@ def main(argv: list[str] | None = None) -> int:
     sel.add_argument(
         "--facet-range", default=None, help="field:start:end:gap"
     )
+    sel.add_argument(
+        "--facet-mincount", type=int, default=0,
+        help="drop facet values counting below this (facet.mincount)",
+    )
+    sel.add_argument(
+        "--facet-missing", action="store_true",
+        help="append the NULL-value bucket after the ranked values",
+    )
+    sel.add_argument(
+        "--facet-range-other", default=None,
+        help="comma list from before,after,between — or 'all' "
+        "(facet.range.other; needs --facet-range)",
+    )
     sel.add_argument("--group-field", default=None)
     sel.add_argument(
         "--group-rows", type=int, default=100,
@@ -372,7 +385,13 @@ def main(argv: list[str] | None = None) -> int:
             fl=args.fl.split(",") if args.fl else None,
             q_op=args.q_op,
             facet_field=args.facet_field,
+            facet_mincount=args.facet_mincount,
+            facet_missing=args.facet_missing,
             facet_range=fr,
+            facet_range_other=(
+                "all" if args.facet_range_other == "all"
+                else args.facet_range_other.split(",")
+            ) if args.facet_range_other else None,
             facet_pivot=(
                 args.facet_pivot.split(",") if args.facet_pivot else None
             ),
@@ -386,8 +405,8 @@ def main(argv: list[str] | None = None) -> int:
             out["response"] = [
                 r.asDict() for r in res["response"].collect()
             ]
-        for key in ("facets", "range_facets", "pivot_facets",
-                    "query_facets", "groups"):
+        for key in ("facets", "range_facets", "range_other",
+                    "pivot_facets", "query_facets", "groups"):
             if res[key] is not None:
                 df = res[key]
                 if key == "groups":

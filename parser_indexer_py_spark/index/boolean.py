@@ -1097,7 +1097,10 @@ def select(
     q_op: str = "OR",
     facet_field: str | None = None,
     facet_limit: int = 10,
+    facet_mincount: int = 0,
+    facet_missing: bool = False,
     facet_range: tuple | None = None,
+    facet_range_other: tuple | list | None = None,
     facet_pivot: tuple | list | None = None,
     facet_query: list | None = None,
     group_field: str | None = None,
@@ -1147,6 +1150,8 @@ def select(
     ``mode='pruned'``. Anything needing the whole match set evaluates
     it once and derives every response section from it."""
     pq = parse_query(q, default_op=q_op)
+    if facet_range_other is not None and facet_range is None:
+        raise ValueError("facet_range_other requires facet_range")
     needs_match_set = (
         facet_field is not None
         or facet_range is not None
@@ -1172,6 +1177,7 @@ def select(
             "response": resp,
             "facets": None,
             "range_facets": None,
+            "range_other": None,
             "pivot_facets": None,
             "query_facets": None,
             "groups": None,
@@ -1221,14 +1227,40 @@ def select(
     if facet_field is not None:
         if facet_field not in index.docmap.columns:
             raise ValueError(f"unknown facet field {facet_field!r}")
-        facets = (
+        counted = (
             scored.select("doc_id")
             .join(index.docmap.select("doc_id", facet_field), "doc_id")
             .groupBy(facet_field)
             .agg(F.count("*").alias("n"))
+        )
+        # Solr facet.field semantics: NULL (missing) is never a ranked
+        # value — it is excluded from the list, and facet.missing=true
+        # appends one missing-count bucket AFTER the limited values
+        # (also subject to mincount). The /browse handler configures
+        # facet.mincount=1 + facet.missing=true (solrconfig.xml:889-895).
+        facets = (
+            counted.filter(F.col(facet_field).isNotNull())
+            .filter(F.col("n") >= int(facet_mincount))
             .orderBy(F.desc("n"), F.asc(facet_field))
             .limit(facet_limit)
         )
+        if facet_missing:
+            # Solr returns the missing bucket even at count 0 (it only
+            # disappears under mincount), so aggregate to exactly one row
+            # rather than filtering — an empty NULL group must still
+            # surface as n=0.
+            miss = (
+                counted.filter(F.col(facet_field).isNull())
+                .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
+                .select(
+                    F.lit(None)
+                    .cast(index.docmap.schema[facet_field].dataType)
+                    .alias(facet_field),
+                    "n",
+                )
+                .filter(F.col("n") >= int(facet_mincount))
+            )
+            facets = facets.unionByName(miss)
     range_facets = None
     if facet_range is not None:
         # Solr facet.range (the reference's /browse wires it with explicit
@@ -1251,6 +1283,47 @@ def select(
             .groupBy(bucket.alias("bucket"))
             .agg(F.count("*").alias("n"))
             .orderBy(F.asc("bucket"))
+        )
+    range_other = None
+    if facet_range_other is not None:
+        # Solr facet.range.other: out-of-range companions to facet.range —
+        # 'before' counts v < start, 'after' counts v >= end, 'between'
+        # counts start <= v < end (the in-range total). 'all' = all three.
+        # One partial-aggregating pass over the match set produces every
+        # requested label (conditional sums), then a tiny literal-stack
+        # unpivot yields (other, n) rows in Solr's before/after/between
+        # order — no per-label job, no second shuffle.
+        labels = (
+            ["before", "after", "between"]
+            if facet_range_other == "all"
+            or list(facet_range_other) == ["all"]
+            else [str(s) for s in facet_range_other]
+        )
+        bad = set(labels) - {"before", "after", "between"}
+        if bad or not labels:
+            raise ValueError(
+                "facet_range_other takes 'all' or a list from "
+                f"{{'before','after','between'}}, got {sorted(bad)}"
+            )
+        fld, lo, hi, _gap = facet_range
+        v = F.col(fld)
+        cnt = {
+            "before": F.sum(F.when(v < lo, 1).otherwise(0)),
+            "after": F.sum(F.when(v >= hi, 1).otherwise(0)),
+            "between": F.sum(F.when((v >= lo) & (v < hi), 1).otherwise(0)),
+        }
+        one = (
+            scored.select("doc_id")
+            .join(index.docmap.select("doc_id", fld), "doc_id")
+            .agg(*[cnt[s].alias(s) for s in labels])
+        )
+        order = {"before": 0, "after": 1, "between": 2}
+        stack = ", ".join(
+            f"'{s}', coalesce({s}, 0L)"
+            for s in sorted(set(labels), key=order.get)
+        )
+        range_other = one.selectExpr(
+            f"stack({len(set(labels))}, {stack}) as (other, n)"
         )
     query_facets = None
     if facet_query is not None:
@@ -1376,6 +1449,7 @@ def select(
         "response": resp,
         "facets": facets,
         "range_facets": range_facets,
+        "range_other": range_other,
         "pivot_facets": pivot_facets,
         "query_facets": query_facets,
         "groups": groups,

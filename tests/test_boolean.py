@@ -753,6 +753,83 @@ def test_select_facet_range(bindex, boracle, qterms):
         select(bindex, t1, facet_range=("turn_idx", 40, 0, 10))
 
 
+def test_select_facet_mincount_and_missing(bindex, boracle, qterms):
+    """facet.mincount prunes ranked values, facet.missing appends the
+    NULL bucket AFTER them (Solr /browse wires mincount=1+missing=true,
+    solrconfig.xml facet defaults). `tool` is NULL on non-tool turns, so
+    both branches exercise real data."""
+    from collections import Counter
+
+    t1, _, _ = qterms
+    match = set(boracle.postings[t1])
+    meta = {
+        int(r["doc_id"]): r["tool"]
+        for r in bindex.docmap.select("doc_id", "tool").collect()
+    }
+    vals = Counter(meta[d] for d in match)
+    n_null = vals.pop(None, 0)
+    assert n_null > 0  # fixture sanity: tool IS null on most turns
+    mc = 2
+    res = select(
+        bindex, t1, rows=0, facet_field="tool", facet_limit=100,
+        facet_mincount=mc, facet_missing=True,
+    )
+    rows = [(r["tool"], r["n"]) for r in res["facets"].collect()]
+    want_ranked = sorted(
+        ((v, n) for v, n in vals.items() if n >= mc),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert rows[:-1] == want_ranked
+    assert rows[-1] == (None, n_null)  # missing bucket, appended last
+    # a never-null field still surfaces an n=0 missing bucket at
+    # mincount=0 and drops it at mincount=1 (Solr returns null:0)
+    r0 = select(
+        bindex, t1, rows=0, facet_field="role", facet_missing=True
+    )["facets"].collect()
+    assert (r0[-1]["role"], r0[-1]["n"]) == (None, 0)
+    r1 = select(
+        bindex, t1, rows=0, facet_field="role", facet_mincount=1,
+        facet_missing=True,
+    )["facets"].collect()
+    assert all(r["role"] is not None for r in r1)
+
+
+def test_select_facet_range_other(bindex, boracle, qterms):
+    """facet.range.other: before/after/between companions of
+    facet.range, counted over the full match set in one aggregate."""
+    t1, _, _ = qterms
+    match = set(boracle.postings[t1])
+    meta = {
+        int(r["doc_id"]): int(r["turn_idx"])
+        for r in bindex.docmap.select("doc_id", "turn_idx").collect()
+    }
+    lo, hi = 5, 15
+    want = {
+        "before": sum(1 for d in match if meta[d] < lo),
+        "after": sum(1 for d in match if meta[d] >= hi),
+        "between": sum(1 for d in match if lo <= meta[d] < hi),
+    }
+    assert want["before"] and want["after"] and want["between"]
+    res = select(
+        bindex, t1, rows=0, facet_range=("turn_idx", lo, hi, 5),
+        facet_range_other="all",
+    )["range_other"]
+    rows = [(r["other"], r["n"]) for r in res.collect()]
+    assert rows == [(s, want[s]) for s in ("before", "after", "between")]
+    sub = select(
+        bindex, t1, rows=0, facet_range=("turn_idx", lo, hi, 5),
+        facet_range_other=["after"],
+    )["range_other"].collect()
+    assert [(r["other"], r["n"]) for r in sub] == [("after", want["after"])]
+    with pytest.raises(ValueError):
+        select(bindex, t1, rows=0, facet_range_other="all")
+    with pytest.raises(ValueError):
+        select(
+            bindex, t1, rows=0, facet_range=("turn_idx", lo, hi, 5),
+            facet_range_other=["sideways"],
+        )
+
+
 def test_select_grouping(bindex, boracle, qterms):
     t1, _, _ = qterms
     res = select(bindex, t1, rows=0, group_field="role", group_limit=2)
