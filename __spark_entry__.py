@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_pivot": TQ.q_facet_pivot,
         "facet_query": TQ.q_facet_query,
         "export_sorted": TQ.q_export_sorted,
+        "highlight_snippets": TQ.q_highlight_snippets,
         # text analysis (training-data pipeline)
         "token_counts": TQ.q_token_counts,
         "doc_fingerprint": TQ.q_doc_fingerprint,
@@ -156,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_pivot": TQ.SQL_FACET_PIVOT,
         "facet_query": TQ.SQL_FACET_QUERY,
         "export_sorted": TQ.SQL_EXPORT_SORTED,
+        "highlight_snippets": TQ.SQL_HIGHLIGHT,
         "token_counts": TQ.SQL_TOKEN_COUNTS,
         "doc_fingerprint": TQ.SQL_FINGERPRINT,
         "quality_score": TQ.SQL_QUALITY,

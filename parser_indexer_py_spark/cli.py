@@ -104,6 +104,8 @@ def main(argv: list[str] | None = None) -> int:
         "distinct field value — unbounded on a big corpus)",
     )
     sel.add_argument("--hl", action="store_true")
+    sel.add_argument("--hl-fragsize", type=int, default=100)
+    sel.add_argument("--hl-snippets", type=int, default=1)
     sel.add_argument("--mode", choices=["full", "pruned"], default="pruned")
     sel.add_argument(
         "--facet-pivot", default=None, help="comma-separated fields (2-3)"
@@ -398,6 +400,8 @@ def main(argv: list[str] | None = None) -> int:
             facet_query=args.facet_query,
             group_field=args.group_field,
             hl=args.hl,
+            hl_fragsize=args.hl_fragsize,
+            hl_snippets=args.hl_snippets,
             mode=args.mode,
         )
         out = {"q": args.q}
@@ -406,7 +410,8 @@ def main(argv: list[str] | None = None) -> int:
                 r.asDict() for r in res["response"].collect()
             ]
         for key in ("facets", "range_facets", "range_other",
-                    "pivot_facets", "query_facets", "groups"):
+                    "pivot_facets", "query_facets", "groups",
+                    "highlighting"):
             if res[key] is not None:
                 df = res[key]
                 if key == "groups":

@@ -2336,3 +2336,67 @@ SELECT d.doc_id, d.lang
 FROM m JOIN documents d USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# HighlightComponent twin (solrconfig.xml:1075, :1427-1530): best-fragment
+# query-term tag highlighting through the engine's pure-Catalyst
+# fragmenter/formatter (index/highlight.py), oracled by spelling the SAME
+# deterministic rules out in SQL — exclusive prefix-sum token offsets,
+# floor(offset/fragsize) GapFragmenter buckets, (distinct terms, matches,
+# position) WeightedFragListBuilder ranking, <em> HtmlFormatter tags.
+# ---------------------------------------------------------------------------
+
+HL_TERMS = ["merge", "window"]
+HL_FRAGSIZE = 100
+HL_SNIPPETS = 2
+
+
+def q_highlight_snippets(spark, sf_dir):
+    """Solr highlighting over the documents table: top-2 best fragments
+    per matching doc for q='merge window', hl.fragsize=100,
+    hl.simple.pre=<em>/post=</em>."""
+    from .index.highlight import highlight_fragments
+
+    docs = _t(spark, sf_dir, "documents")
+    out = highlight_fragments(
+        docs, HL_TERMS, fragsize=HL_FRAGSIZE, snippets=HL_SNIPPETS
+    )
+    # row_number is int32 in Spark, BIGINT in DuckDB — align widths
+    return out.withColumn(
+        "snippet_rank", F.col("snippet_rank").cast("long")
+    )
+
+
+SQL_HIGHLIGHT = """
+WITH tok AS (
+  SELECT doc_id, w, pos FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents) t WHERE length(w) > 0
+), off AS (
+  SELECT doc_id, w, pos,
+         COALESCE(SUM(length(w) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM tok
+), fr AS (
+  SELECT doc_id, w, pos,
+         CAST(FLOOR(start / 100.0) AS BIGINT) AS frag,
+         (lower(w) IN ('merge', 'window')) AS m
+  FROM off
+), agg AS (
+  SELECT doc_id, frag,
+         string_agg(CASE WHEN m THEN '<em>' || w || '</em>' ELSE w END,
+                    ' ' ORDER BY pos) AS snippet,
+         COUNT(DISTINCT CASE WHEN m THEN lower(w) END) AS n_terms,
+         COUNT(*) FILTER (WHERE m) AS n_matches
+  FROM fr GROUP BY doc_id, frag
+)
+SELECT doc_id, snippet_rank, snippet FROM (
+  SELECT doc_id, snippet,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+           ORDER BY n_terms DESC, n_matches DESC, frag ASC) AS snippet_rank
+  FROM agg WHERE n_terms > 0)
+WHERE snippet_rank <= 2
+"""

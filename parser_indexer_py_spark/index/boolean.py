@@ -578,6 +578,26 @@ def _hl_terms(pq: ParsedQuery) -> list[str]:
     return sorted(terms)
 
 
+def _hl_section(
+    index, resp, pq, hl, fragsize, snippets, pre, post, alternate
+):
+    """select()'s ``highlighting`` response section: the HighlightComponent
+    twin over the page rows, or None when hl is off / nothing to
+    highlight / rows=0. Lazy like every other section — consuming it
+    re-derives the page doc_ids from the (lazy) response plan."""
+    if not hl or resp is None:
+        return None
+    terms = _hl_terms(pq)
+    if not terms:
+        return None
+    from .highlight import highlighting
+
+    return highlighting(
+        index, resp, terms, fragsize=fragsize, snippets=snippets, pre=pre,
+        post=post, alternate=alternate,
+    )
+
+
 def _empty_result(index: Index, with_meta: bool) -> DataFrame:
     """Empty result with the SAME schema a non-empty call returns — a
     caller selecting conv_id on an empty result must not crash."""
@@ -1106,6 +1126,11 @@ def select(
     group_field: str | None = None,
     group_limit: int = 1,
     hl: bool = False,
+    hl_fragsize: int = 100,
+    hl_snippets: int = 1,
+    hl_pre: str = "<em>",
+    hl_post: str = "</em>",
+    hl_alternate: bool = False,
     mode: str = "full",
     field_indexes: dict | None = None,
 ) -> dict:
@@ -1115,7 +1140,11 @@ def select(
 
     - ``"response"``: the result page DataFrame (rows/start pagination
       over the scored order, metadata attached; ``hl=True`` adds the F11
-      excerpt column — Solr highlighting's k-row analog),
+      excerpt column AND a ``"highlighting"`` section — the REAL
+      HighlightComponent twin (index/highlight.py): per-page-doc tagged
+      snippets under ``hl_fragsize``/``hl_snippets``/``hl_pre``/
+      ``hl_post``, with ``hl_alternate`` as the hl.alternateField
+      fallback — solrconfig.xml:916-928, :1427-1530),
     - ``"facets"``: value counts of ``facet_field`` over the ENTIRE
       matching doc set (not the page), like facet.field with rows=0
       (mte-samplequeries.md:54-90), or None.
@@ -1181,6 +1210,10 @@ def select(
             "pivot_facets": None,
             "query_facets": None,
             "groups": None,
+            "highlighting": _hl_section(
+                index, resp, pq, hl, hl_fragsize, hl_snippets, hl_pre,
+                hl_post, hl_alternate,
+            ),
         }
     pq = flatten_query(pq)  # match-set path evaluates here; fast path
     scored = _scored_docs(  # left flattening to boolean_search
@@ -1453,6 +1486,10 @@ def select(
         "pivot_facets": pivot_facets,
         "query_facets": query_facets,
         "groups": groups,
+        "highlighting": _hl_section(
+            index, resp, pq, hl, hl_fragsize, hl_snippets, hl_pre, hl_post,
+            hl_alternate,
+        ),
     }
 
 

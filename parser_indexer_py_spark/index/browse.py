@@ -54,7 +54,9 @@ def browse(
          "facets":       {field: DataFrame(value, n)} over the MATCH SET,
          "range_facets": DataFrame(lo, n) or None,
          "spellcheck":   spellcheck() dict for the query terms or None,
-         "mlt":          {doc_id: DataFrame} for the top mlt_docs results}
+         "mlt":          {doc_id: DataFrame} for the top mlt_docs results,
+         "highlighting": DataFrame(doc_id, snippets) with the /browse
+                         highlight defaults (hl=True + a query), or None}
 
     ``query=None`` (or empty/whitespace) is ``q.alt=*:*``: a constant
     score-1.0 page over the corpus with facets — the handler's landing
@@ -73,6 +75,7 @@ def browse(
             raise ValueError(f"unknown facet field {f!r}")
 
     match_all = query is None or not str(query).strip()
+    hl_section = None
     if match_all:
         # q.alt=*:* — MatchAllDocsQuery at constant score
         match_set = meta_index.docmap.select(
@@ -98,15 +101,23 @@ def browse(
             with_meta=True,
         ).offset(start)
         if hl:
-            # the handler's highlighting section (hl.fl/hl.simple.*,
-            # solrconfig.xml:916-928): attach the excerpt column to the
-            # page rows only — k-row join, Solr's per-result snippets
+            # the handler's highlighting section (solrconfig.xml:916-928):
+            # the excerpt column on the page rows (k-row join) PLUS the
+            # real HighlightComponent section with the /browse defaults —
+            # hl.simple.pre=<b>, f.content.hl.snippets=3 / fragsize=200,
+            # hl.alternateField + maxAlternateFieldLength=750
             from ..functions.queryparser import parse_query
             from .boolean import _attach_excerpts, _hl_terms
+            from .highlight import highlighting as _highlighting
 
             terms = _hl_terms(parse_query(str(query)))
             if terms:
                 page = _attach_excerpts(meta_index, page, terms)
+                hl_section = _highlighting(
+                    meta_index, page, terms, fragsize=200, snippets=3,
+                    pre="<b>", post="</b>", alternate=True,
+                    max_alternate=750,
+                )
         sp = spellcheck(meta_index, str(query)) if spell else None
         match_set = None
 
@@ -170,4 +181,5 @@ def browse(
         "range_facets": range_facets,
         "spellcheck": sp,
         "mlt": mlt,
+        "highlighting": hl_section,
     }

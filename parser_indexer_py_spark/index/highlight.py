@@ -1,0 +1,196 @@
+"""Solr HighlightComponent twin — REAL query-term tag highlighting.
+
+The reference wires ``solr.HighlightComponent`` into every SearchHandler
+(conf/solr/docs/conf/solrconfig.xml:1075) and configures it extensively at
+:1427-1530: a default GapFragmenter with ``hl.fragsize=100``, an
+HtmlFormatter with ``hl.simple.pre=<em>`` / ``hl.simple.post=</em>``, and
+a WeightedFragListBuilder picking the best-scoring fragments. The /browse
+handler turns it on (:916-928) with ``hl.simple.pre=<b>``,
+``f.content.hl.snippets=3``, ``f.content.hl.fragsize=200``, and the
+``hl.alternateField`` / ``hl.maxAlternateFieldLength=750`` fallback for
+results whose highlighted field has no query-term match.
+
+This module is that component re-expressed as ONE Catalyst plan (no UDF,
+whole-stage-codegen'd string ops):
+
+- **Fragmentation** (GapFragmenter analog, documented determinism): the
+  text is split on single spaces; each token's start offset is the
+  exclusive prefix sum of ``len(token)+1``; a token belongs to fragment
+  ``floor(start_offset / fragsize)``. ``fragsize=0`` = the whole field as
+  one fragment (Solr's ``f.title.hl.fragsize=0`` semantics). Lucene's
+  GapFragmenter opens a new fragment when the accumulated length crosses
+  ``fragsize`` — offset-bucketing is the same boundary rule expressed
+  shuffle-free, and never splits mid-token.
+- **Match rule**: a token matches when its lowercase form equals a query
+  term. (Lucene highlights analyzed tokens via stored offsets; on this
+  engine's corpora the analyzer is the identity on single-space lowercase
+  text, so whole-token equality IS the analyzed match — documented
+  simplification, same convention as the component twins' oracles.)
+- **Fragment scoring** (WeightedFragListBuilder analog): fragments are
+  ranked by (distinct matched terms DESC, total matches DESC, fragment
+  position ASC) and the top ``snippets`` fragments with >= 1 match are
+  returned, matched tokens wrapped in ``pre``/``post``.
+- **alternateField**: page rows with NO matching fragment fall back to
+  the raw untagged field value truncated to ``max_alternate`` chars
+  (``hl.alternateField`` + ``hl.maxAlternateFieldLength``).
+
+Scale note: highlighting is a PAGE operation — ``highlighting()`` joins
+the k result rows back to their stored text and fragments only those, so
+cost is O(k * doc_len) regardless of corpus size (same regime as Solr,
+which highlights only the returned page).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["highlight_fragments", "highlighting", "highlight_text"]
+
+
+def highlight_fragments(
+    df: DataFrame,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fragsize: int = 100,
+    snippets: int = 1,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """Best-fragment highlighting over ``df[text_col]`` → one row per
+    (id, snippet_rank) with the tagged snippet. Rows whose text contains
+    no query term produce NO output rows (Solr returns an empty snippet
+    list for them; see :func:`highlighting` for the alternateField
+    fallback). Pure Catalyst — split/posexplode/window/groupBy, no UDF."""
+    if not terms:
+        raise ValueError("highlight_fragments needs at least one term")
+    if fragsize < 0 or snippets < 1:
+        raise ValueError("fragsize must be >= 0 and snippets >= 1")
+    lterms = sorted({t.lower() for t in terms})
+
+    toks = (
+        df.select(
+            id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
+        )
+        .filter(F.length("w") > 0)
+    )
+    prev = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    start = F.coalesce(F.sum(F.length("w") + F.lit(1)).over(prev), F.lit(0))
+    frag = (
+        F.floor(start / F.lit(fragsize)) if fragsize > 0 else F.lit(0)
+    ).cast("long")
+    toks = toks.select(
+        id_col,
+        "pos",
+        "w",
+        frag.alias("frag"),
+        F.lower(F.col("w")).isin(lterms).alias("m"),
+    )
+    frags = toks.groupBy(id_col, "frag").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w", "m"))),
+                lambda s: F.when(
+                    s["m"], F.concat(F.lit(pre), s["w"], F.lit(post))
+                ).otherwise(s["w"]),
+            ),
+            " ",
+        ).alias("snippet"),
+        F.size(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("m"), F.lower(F.col("w"))))
+            )
+        ).alias("n_terms"),
+        F.sum(F.col("m").cast("long")).alias("n_matches"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.desc("n_terms"), F.desc("n_matches"), F.asc("frag")
+        )
+    )
+    return (
+        frags.filter(F.col("n_terms") > 0)
+        .withColumn("snippet_rank", rank)
+        .filter(F.col("snippet_rank") <= snippets)
+        .select(id_col, "snippet_rank", "snippet")
+    )
+
+
+def highlighting(
+    index,
+    page: DataFrame,
+    terms: list[str],
+    *,
+    fragsize: int = 100,
+    snippets: int = 1,
+    pre: str = "<em>",
+    post: str = "</em>",
+    alternate: bool = False,
+    max_alternate: int = 750,
+) -> DataFrame:
+    """The response's ``highlighting`` section for a result page: join the
+    page's doc_ids back to their stored text (k-row join against the
+    docmap — text never flows through scoring) and return one row per
+    page doc: ``(doc_id, snippets array<string>)``. With
+    ``alternate=True``, docs with no matching fragment get a single
+    untagged snippet = the raw text truncated to ``max_alternate`` chars
+    (hl.alternateField on the highlighted field itself +
+    hl.maxAlternateFieldLength, solrconfig.xml:920-928); otherwise they
+    get an empty array, like Solr's empty per-doc highlight entry."""
+    ids = page.select("doc_id")
+    texts = ids.join(index.docmap.select("doc_id", "text"), "doc_id", "left")
+    frag_rows = highlight_fragments(
+        texts, terms, fragsize=fragsize, snippets=snippets, pre=pre, post=post
+    )
+    per_doc = frag_rows.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("snippet_rank", "snippet"))),
+            lambda s: s["snippet"],
+        ).alias("snippets")
+    )
+    out = texts.join(per_doc, "doc_id", "left")
+    if alternate:
+        fallback = F.array(F.substring(F.col("text"), 1, int(max_alternate)))
+    else:
+        fallback = F.array().cast("array<string>")
+    return out.select(
+        "doc_id", F.coalesce(F.col("snippets"), fallback).alias("snippets")
+    )
+
+
+def highlight_text(
+    text: str,
+    terms: list[str],
+    *,
+    fragsize: int = 100,
+    snippets: int = 1,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> list[str]:
+    """Pure-Python twin of :func:`highlight_fragments` for one document —
+    the pytest oracle (same fragmentation, scoring, and tie-breaks)."""
+    lterms = {t.lower() for t in terms}
+    toks = [w for w in text.split(" ") if w]
+    frags: dict[int, list[tuple[str, bool]]] = {}
+    off = 0
+    for w in toks:
+        fid = off // fragsize if fragsize > 0 else 0
+        frags.setdefault(fid, []).append((w, w.lower() in lterms))
+        off += len(w) + 1
+    scored = []
+    for fid in sorted(frags):
+        words = frags[fid]
+        n_terms = len({w.lower() for w, m in words if m})
+        n_matches = sum(1 for _, m in words if m)
+        if n_terms == 0:
+            continue
+        snippet = " ".join(
+            (pre + w + post) if m else w for w, m in words
+        )
+        scored.append((-n_terms, -n_matches, fid, snippet))
+    scored.sort()
+    return [s for *_, s in scored[:snippets]]

@@ -1399,6 +1399,13 @@ def test_browse_facade(spark, tmp_path_factory):
         x["excerpt"] and (t1 in x["excerpt"] or t2 in x["excerpt"])
         for x in hrows
     )
+    # the REAL highlighting section rides the /browse defaults
+    # (hl.simple.pre=<b>, snippets=3, fragsize=200, alternateField)
+    hl_rows = rh["highlighting"].collect()
+    assert {x["doc_id"] for x in hl_rows} == {x["doc_id"] for x in hrows}
+    assert all(len(x["snippets"]) >= 1 for x in hl_rows)  # alternate=True
+    assert any("<b>" in s for x in hl_rows for s in x["snippets"])
+    assert browse(idxs, q, qf, rows=5, mm=0)["highlighting"] is None
     with pytest.raises(ValueError, match="unknown facet"):
         browse(idxs, q, qf, facet_field="nope")
 
@@ -1550,3 +1557,48 @@ def test_select_facet_query_contracts(bindex):
         select(bindex, "*:*", facet_query="not a list")
     with pytest.raises(ValueError):
         select(bindex, "*:*", facet_query=[""])
+
+
+def test_select_highlighting_section(bindex, qterms):
+    """hl=True adds the REAL HighlightComponent section: per-page-doc
+    tagged snippets, exact-equal to the pure-Python twin on the stored
+    text; fast path and match-set path agree."""
+    from pyspark.sql import functions as F
+
+    from parser_indexer_py_spark.index.highlight import highlight_text
+
+    t1, t2, _ = qterms
+    out = select(
+        bindex, q=f"{t1} {t2}", rows=5, hl=True, hl_fragsize=40,
+        hl_snippets=2,
+    )
+    page_ids = [r["doc_id"] for r in out["response"].collect()]
+    hl_rows = {
+        r["doc_id"]: list(r["snippets"])
+        for r in out["highlighting"].collect()
+    }
+    assert set(hl_rows) == set(page_ids)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in bindex.docmap.filter(F.col("doc_id").isin(page_ids))
+        .select("doc_id", "text")
+        .collect()
+    }
+    for did, snips in hl_rows.items():
+        want = highlight_text(
+            texts[did], sorted({t1, t2}), fragsize=40, snippets=2
+        )
+        assert snips == want, did
+    assert any("<em>" in s for snips in hl_rows.values() for s in snips)
+    # match-set path (forced by a facet) produces the identical section
+    out2 = select(
+        bindex, q=f"{t1} {t2}", rows=5, hl=True, hl_fragsize=40,
+        hl_snippets=2, facet_field="role",
+    )
+    hl2 = {
+        r["doc_id"]: list(r["snippets"])
+        for r in out2["highlighting"].collect()
+    }
+    assert hl2 == hl_rows
+    # hl=False: no section
+    assert select(bindex, q=t1, rows=3)["highlighting"] is None
