@@ -118,7 +118,20 @@ def browse(
                     pre="<b>", post="</b>", alternate=True,
                     max_alternate=750,
                 )
-        sp = spellcheck(meta_index, str(query)) if spell else None
+        # the handler's spellcheck defaults (solrconfig.xml:930-944):
+        # count=5, alternativeTermCount=2, maxResultsForSuggest=5,
+        # collate + collateExtendedResults, maxCollations=3, tries=5,
+        # extendedResults=false
+        sp = (
+            spellcheck(
+                meta_index, str(query),
+                alternative_term_count=2, max_results_for_suggest=5,
+                max_collations=3, max_collation_tries=5,
+                collate_extended=True,
+            )
+            if spell
+            else None
+        )
         match_set = None
 
     facets: dict[str, DataFrame] = {}

@@ -24,7 +24,18 @@ Semantics implemented (the documented DirectSpellChecker core):
   best-first over correction combinations with at most
   ``max_collation_tries`` verification queries (Solr's
   collateExtendedResults + maxCollationTries — see ``_collations`` for
-  the conjunctive-hits rationale).
+  the conjunctive-hits rationale);
+- ``alternative_term_count`` (spellcheck.alternativeTermCount, the
+  /browse default is 2 at solrconfig.xml:936): the suggestion count for
+  checked terms that EXIST in the dictionary — Lucene's maxQueryFrequency
+  gate still applies first, exactly as in DirectSpellChecker where the
+  frequency threshold is checked in every suggest mode;
+- ``max_results_for_suggest`` (spellcheck.maxResultsForSuggest, :937):
+  suggestions only when the original query's hit count is <= the value —
+  pass ``num_found`` when the caller already knows it, otherwise a
+  conjunctive count CAPPED at value+1 rows probes it (one bounded job);
+- ``extended_results`` (spellcheck.extendedResults, :934): adds
+  ``original_freq`` (the checked term's own df) to the response.
 
 Scale shape: one termstats scan per checked term with the first-character
 prefix predicate PUSHED to the parquet term column (the same point-scan
@@ -69,6 +80,23 @@ SPELL_DEFAULTS = {
     "max_collations": 1,
     "max_collation_tries": 5,
     "collate_extended": False,
+    # /browse defaults (solrconfig.xml:934-937):
+    # spellcheck.alternativeTermCount=2 — suggestion count for query
+    # terms that EXIST in the dictionary (df > 0); 0 keeps the plain
+    # count for them (this engine's baseline already suggests for
+    # in-dictionary terms passing maxQueryFrequency — Lucene's
+    # SUGGEST_ALWAYS under the same frequency gate — so the parameter
+    # caps their count exactly as DirectSolrSpellChecker does)
+    "alternative_term_count": 0,
+    # spellcheck.maxResultsForSuggest=5 — suggest ONLY when the original
+    # query has <= this many hits (None = always). Hits are counted
+    # conjunctively (the reference handler runs mm=100% — same rationale
+    # as _collations) with the count job CAPPED at m+1 rows.
+    "max_results_for_suggest": None,
+    # the caller's known numFound (skips the capped probe job)
+    "num_found": None,
+    # spellcheck.extendedResults — adds {"original_freq": {term: df}}
+    "extended_results": False,
 }
 
 
@@ -141,8 +169,20 @@ def spellcheck(index: Index, query: str, **overrides) -> dict:
             continue
         seen.add(t)
         checked.append(t)
+    empty: dict = {"suggestions": {}, "collation": None}
+    if cfg["extended_results"]:
+        empty["original_freq"] = {}
     if not checked:
-        return {"suggestions": {}, "collation": None}
+        return empty
+    # spellcheck.maxResultsForSuggest: a query that already returns
+    # enough results gets no second-guessing at all
+    mrs = cfg["max_results_for_suggest"]
+    if mrs is not None:
+        nf = cfg["num_found"]
+        if nf is None:
+            nf = _hits_capped(index, tokens, int(mrs) + 1)
+        if int(nf) > int(mrs):
+            return empty
     # one |checked|-row point lookup for dfs (termstats term predicate)
     dfs = {
         r["term"]: int(r["df"])
@@ -153,7 +193,14 @@ def spellcheck(index: Index, query: str, **overrides) -> dict:
     max_df = cfg["max_query_frequency"] * index.n_docs
     active = [t for t in checked if dfs.get(t, 0) <= max_df]
     if not active:
-        return {"suggestions": {}, "collation": None}
+        return empty
+    # spellcheck.alternativeTermCount: in-dictionary terms get their own
+    # (usually smaller) suggestion count; absent terms keep count
+    atc = int(cfg["alternative_term_count"])
+    per_count = {
+        t: atc if (atc > 0 and dfs.get(t, 0) > 0) else int(cfg["count"])
+        for t in active
+    }
     un = reduce(
         DataFrame.unionByName, [_candidates(index, t, cfg) for t in active]
     )
@@ -162,7 +209,7 @@ def spellcheck(index: Index, query: str, **overrides) -> dict:
     )
     rows = (
         un.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= int(cfg["count"]))
+        .filter(F.col("rn") <= max(per_count.values()))
         .orderBy("checked", "rn")
         .collect()
     )
@@ -170,14 +217,20 @@ def spellcheck(index: Index, query: str, **overrides) -> dict:
         t: [] for t in active
     }
     for r in rows:
-        suggestions[r["checked"]].append(
-            (r["suggestion"], int(r["df"]), float(r["similarity"]))
-        )
+        if len(suggestions[r["checked"]]) < per_count[r["checked"]]:
+            suggestions[r["checked"]].append(
+                (r["suggestion"], int(r["df"]), float(r["similarity"]))
+            )
     top = {t: s[0][0] for t, s in suggestions.items() if s}
     collation = None
     if top:
         collation = " ".join(top.get(t, t) for t in tokens)
     out = {"suggestions": suggestions, "collation": collation}
+    if cfg["extended_results"]:
+        # spellcheck.extendedResults: the original term's own frequency
+        # beside each suggestion list (per-suggestion freq is already
+        # the df element of every triple)
+        out["original_freq"] = {t: dfs.get(t, 0) for t in active}
     if int(cfg["max_collations"]) > 1 or cfg["collate_extended"]:
         out["collations"] = _collations(
             index, tokens, suggestions, cfg
@@ -188,6 +241,24 @@ def spellcheck(index: Index, query: str, **overrides) -> dict:
             out["collations"][0]["collation"] if out["collations"] else None
         )
     return out
+
+
+def _hits_capped(index: Index, tokens, cap: int) -> int:
+    """Conjunctive hit count for the original query, CAPPED at ``cap``
+    rows — the maxResultsForSuggest probe. Counting stops at the cap
+    (limit before count), so the job cost is bounded by the cheapest
+    term's postings scan regardless of how popular the query is; the
+    conjunctive reading mirrors the reference handler's mm=100% (see
+    ``_collations`` for the full rationale)."""
+    from .search import _docs_with_any
+
+    ids = None
+    for t in dict.fromkeys(tokens):
+        d = _docs_with_any(index, [t])
+        ids = d if ids is None else ids.join(d, "doc_id", "left_semi")
+    if ids is None:
+        return 0
+    return int(ids.limit(int(cap)).count())
 
 
 def _rank_combos(n_opts: list[int], tries: int):

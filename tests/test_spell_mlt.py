@@ -119,6 +119,60 @@ def test_spell_collations_verified(sindex, soracle, typo):
     assert none["collations"] == [] and none["collation"] is None
 
 
+def test_spell_alternative_term_count(sindex, soracle, typo):
+    """spellcheck.alternativeTermCount (/browse default 2 at
+    solrconfig.xml:936): in-dictionary checked terms get at most
+    alternative_term_count suggestions (a truncation of the same ranked
+    list); absent (df=0) terms keep the full count."""
+    bad, _ = typo
+    max_df = 0.01 * sindex.n_docs
+    low = sorted(
+        t for t, p in soracle.postings.items()
+        if len(t) >= 4 and 0 < len(p) <= max_df
+    )
+    cand = next(
+        (t for t in low if len(soracle.spell_suggest(t)) >= 2), None
+    )
+    if cand is None:
+        pytest.skip("corpus has no low-df term with >= 2 suggestions")
+    plain = spellcheck(sindex, f"{cand} {bad}")
+    alt = spellcheck(sindex, f"{cand} {bad}", alternative_term_count=1)
+    # the in-dictionary term's list truncates to 1
+    assert alt["suggestions"][cand] == plain["suggestions"][cand][:1]
+    assert len(plain["suggestions"][cand]) >= 2
+    # the df=0 typo keeps the full ranked list
+    assert alt["suggestions"][bad] == plain["suggestions"][bad]
+
+
+def test_spell_max_results_for_suggest(sindex, soracle, typo):
+    """spellcheck.maxResultsForSuggest (:937): no suggestions when the
+    original query already has more hits than the threshold; num_found
+    short-circuits the probe; a 0-hit typo query still suggests."""
+    bad, _ = typo
+    # caller-supplied numFound above the threshold: silenced
+    silenced = spellcheck(
+        sindex, bad, max_results_for_suggest=5, num_found=10
+    )
+    assert silenced["suggestions"] == {} and silenced["collation"] is None
+    # at/below the threshold: suggestions as usual
+    kept = spellcheck(sindex, bad, max_results_for_suggest=5, num_found=5)
+    assert kept["suggestions"][bad] == soracle.spell_suggest(bad)
+    # probe path: the typo has zero conjunctive hits -> suggest
+    probed = spellcheck(sindex, bad, max_results_for_suggest=5)
+    assert probed["suggestions"][bad] == soracle.spell_suggest(bad)
+
+
+def test_spell_extended_results(sindex, soracle, typo):
+    """spellcheck.extendedResults (:934): the response carries each
+    checked term's own frequency beside the per-suggestion dfs."""
+    bad, _ = typo
+    res = spellcheck(sindex, bad, extended_results=True)
+    assert res["original_freq"] == {bad: 0}
+    hot = max(soracle.postings, key=lambda t: len(soracle.postings[t]))
+    quiet = spellcheck(sindex, hot, extended_results=True)
+    assert quiet["suggestions"] == {} and quiet["original_freq"] == {}
+
+
 def test_mlt_rank_identity(sindex, soracle):
     docs = sorted(soracle.docs)[:1] + sorted(soracle.docs)[50:51]
     checked = 0
