@@ -1194,16 +1194,15 @@ def select(
 
         if _is_empty(pq):
             raise ValueError(f"q {q!r} parses to an empty query")
-        resp = _apply_fl(
-            boolean_search(
-                index, q, k=start + rows, fq=fq, default_op=q_op,
-                mode=mode, with_meta=True, with_excerpt=hl,
-                field_indexes=field_indexes,
-            ).offset(start),
-            fl,
-        )
+        # keep the pre-fl page: the highlighting section joins by doc_id,
+        # which an fl projection may drop from the returned response
+        page = boolean_search(
+            index, q, k=start + rows, fq=fq, default_op=q_op,
+            mode=mode, with_meta=True, with_excerpt=hl,
+            field_indexes=field_indexes,
+        ).offset(start)
         return {
-            "response": resp,
+            "response": _apply_fl(page, fl),
             "facets": None,
             "range_facets": None,
             "range_other": None,
@@ -1211,7 +1210,7 @@ def select(
             "query_facets": None,
             "groups": None,
             "highlighting": _hl_section(
-                index, resp, pq, hl, hl_fragsize, hl_snippets, hl_pre,
+                index, page, pq, hl, hl_fragsize, hl_snippets, hl_pre,
                 hl_post, hl_alternate,
             ),
         }
@@ -1255,6 +1254,10 @@ def select(
         if hl and _hl_terms(pq):
             resp = _attach_excerpts(index, resp, _hl_terms(pq))
             resp = resp.orderBy(*order)
+    # pre-fl page for the highlighting section (needs doc_id; fl may
+    # project it away from the returned response)
+    page = resp
+    if resp is not None:
         resp = _apply_fl(resp, fl)
     facets = None
     if facet_field is not None:
@@ -1487,7 +1490,7 @@ def select(
         "query_facets": query_facets,
         "groups": groups,
         "highlighting": _hl_section(
-            index, resp, pq, hl, hl_fragsize, hl_snippets, hl_pre, hl_post,
+            index, page, pq, hl, hl_fragsize, hl_snippets, hl_pre, hl_post,
             hl_alternate,
         ),
     }

@@ -1216,11 +1216,19 @@ def test_select_fast_path_equals_match_set_path(bindex, qterms):
     # empty q still raises loudly on the fast path
     with pytest.raises(ValueError, match="empty query"):
         select(bindex, q="", rows=5)
-    # fl + hl compose on the fast path
-    resp = select(bindex, q=t1, rows=3, hl=True, fl=["conv_id", "excerpt"])[
-        "response"
-    ]
+    # fl + hl compose on the fast path — and the highlighting section
+    # still resolves even when fl projects doc_id out of the response
+    r = select(bindex, q=t1, rows=3, hl=True, fl=["conv_id", "excerpt"])
+    resp = r["response"]
     assert resp.columns == ["conv_id", "excerpt"] and resp.count() == 3
+    assert r["highlighting"].count() == 3
+    # same composition on the (facet-forced) match-set path
+    r = select(
+        bindex, q=t1, rows=3, hl=True, fl=["conv_id", "excerpt"],
+        facet_field="role",
+    )
+    assert r["response"].columns == ["conv_id", "excerpt"]
+    assert r["highlighting"].count() == 3
 
 
 def test_flatten_query_units():
