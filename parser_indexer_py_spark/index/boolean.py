@@ -660,6 +660,7 @@ def boolean_search(
     full_cutover: int | None = None,
     pool_target: int | None = None,
     field_indexes: dict | None = None,
+    require: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k for a Lucene classic-syntax query string (module docstring
     has the semantics). Returns (doc_id, score[, conv_id, turn_idx, role
@@ -678,6 +679,10 @@ def boolean_search(
     a doc must match >= that many SHOULD clauses — MUST matches never
     count toward it, and mm > #SHOULD-clauses matches nothing.
     ``default_op`` is Solr's q.op (``"AND"`` requires bare clauses).
+    ``require`` is a pre-materialized doc-set DataFrame (a ``doc_id``
+    column) semi-joined before the top-k exactly like an fq match set —
+    the injection point for cached filterCache docsets (index/caches.py);
+    both the WAND-delegated and clause-evaluator paths honor it.
 
     WAND-COMPATIBLE queries delegate to ``search()``: any query whose
     POSITIVE scoring clauses are bare terms (SHOULD and/or MUST, boosted
@@ -746,7 +751,9 @@ def boolean_search(
         # full docs-only scan + join before pruning even starts
         contain_all = must if (must and should) else None
         contain_any = [tuple(g) for g in pq.must_any] or None
-        require = None
+        # a caller-supplied require doc set (e.g. a cached filterCache
+        # docset, index/caches.py) chains exactly like an fq match set
+        require = require.select("doc_id") if require is not None else None
         # fq strings are score-neutral match-set restrictions (Solr fq)
         # — each one's doc set chains into the same required semi-join
         for s in [fq] if isinstance(fq, str) else list(fq or []):
@@ -801,6 +808,8 @@ def boolean_search(
         return _empty_result(index, with_meta)
     if fq:
         out = _apply_fq(index, out, fq, default_op, field_indexes)
+    if require is not None:
+        out = out.join(require.select("doc_id"), "doc_id", "left_semi")
     topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_meta:
         meta = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")

@@ -1,0 +1,274 @@
+"""Solr searcher-cache twins: filterCache / queryResultCache /
+documentCache (conf/solr/docs/conf/solrconfig.xml:454-481) with the
+queryResultWindowSize=20 / queryResultMaxDocsCached=200 paging policy
+(:560-565).
+
+Solr's SolrIndexSearcher owns three LRU caches keyed per searcher
+generation; this module re-expresses each with the Spark-native value
+type its semantics call for:
+
+- **filterCache** (:454, FastLRUCache size=512): fq match sets as
+  DocSets. Here the value is the fq's ``doc_id`` DataFrame PERSISTED
+  (``MEMORY_AND_DISK``) — the distributed DocSet: a repeated fq skips
+  its whole sub-query re-evaluation and semi-joins the cached set into
+  any ``q`` via ``boolean_search(require=...)``. Eviction unpersists.
+  At cluster scale this is the same win Solr gets (fq evaluation is the
+  expensive half of faceted navigation), with the set co-located where
+  the join needs it instead of on one heap.
+- **queryResultCache** (:467, size=512): the ordered ``(doc_id, score)``
+  page list for a (q, fq, sort-mode) key. Solr collects a SUPERSET of
+  the requested page — ``queryResultWindowSize=20`` rounds the collect
+  up, ``queryResultMaxDocsCached=200`` bounds what may be inserted —
+  so nearby pages (the classic next-page click) are served without a
+  new search. Implemented verbatim: the engine runs once for
+  ``ceil((start+rows)/20)*20`` rows, the id+score list is cached
+  driver-side (bounded: <= 200 tuples), and any later page inside the
+  cached prefix never launches a scoring job. An entry that exhausted
+  the match set (returned fewer rows than asked) also serves every
+  DEEPER page (they are empty by construction).
+- **documentCache** (:478, size=512): stored fields by internal doc id.
+  Values are the metadata tuples the response page carries; ids missing
+  from the cache are fetched in ONE bounded ``doc_id IN (...)`` point
+  lookup against the docmap (the same pushed-predicate point scan as
+  sources/readers.py S9), never a per-row loop.
+
+Lifecycle: like Solr, caches belong to ONE searcher generation — a
+commit (segment append, compaction, docmap update) must open fresh
+caches. ``invalidate()`` drops every entry and unpersists the cached
+docsets; it is the ``newSearcher`` event. Nothing here is wired
+implicitly: ``select()``/``boolean_search()`` stay pure, and callers
+that want Solr's caching behavior route reads through
+:class:`SearcherCaches` exactly as Solr routes them through its
+searcher."""
+
+from __future__ import annotations
+
+import math
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+__all__ = ["LRUCache", "SearcherCaches"]
+
+_MISSING = object()
+
+
+class LRUCache:
+    """Solr LRUCache/FastLRUCache twin: bounded, move-to-front on hit,
+    hit/insert/eviction stats (the cache page of Solr's admin UI), an
+    ``on_evict`` hook for entries owning external state (persisted
+    DataFrames)."""
+
+    def __init__(self, size: int, on_evict=None):
+        if size < 1:
+            raise ValueError("cache size must be >= 1")
+        self.size = int(size)
+        self._d: OrderedDict = OrderedDict()
+        self._on_evict = on_evict
+        self.hits = 0
+        self.misses = 0
+        self.inserts = 0
+        self.evictions = 0
+
+    def get(self, key):
+        v = self._d.get(key, _MISSING)
+        if v is _MISSING:
+            self.misses += 1
+            return _MISSING
+        self._d.move_to_end(key)
+        self.hits += 1
+        return v
+
+    def put(self, key, value) -> None:
+        if key in self._d:
+            old = self._d.pop(key)
+            if self._on_evict is not None and old is not value:
+                self._on_evict(old)
+        self._d[key] = value
+        self.inserts += 1
+        while len(self._d) > self.size:
+            _, old = self._d.popitem(last=False)
+            self.evictions += 1
+            if self._on_evict is not None:
+                self._on_evict(old)
+
+    def clear(self) -> None:
+        if self._on_evict is not None:
+            for v in self._d.values():
+                self._on_evict(v)
+        self._d.clear()
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "size": len(self._d),
+            "hits": self.hits,
+            "misses": self.misses,
+            "inserts": self.inserts,
+            "evictions": self.evictions,
+        }
+
+
+def _unpersist(df: DataFrame) -> None:
+    try:
+        df.unpersist()
+    except Exception:  # noqa: BLE001 — session already stopped
+        pass
+
+
+class SearcherCaches:
+    """One searcher generation's caches (see module docstring)."""
+
+    def __init__(
+        self,
+        *,
+        filter_size: int = 512,
+        query_result_size: int = 512,
+        document_size: int = 512,
+        window: int = 20,
+        max_docs_cached: int = 200,
+    ):
+        self.filter_cache = LRUCache(filter_size, on_evict=_unpersist)
+        self.query_result_cache = LRUCache(query_result_size)
+        self.document_cache = LRUCache(document_size)
+        self.window = int(window)
+        self.max_docs_cached = int(max_docs_cached)
+
+    # -- filterCache --------------------------------------------------------
+    def filter_docset(
+        self,
+        index,
+        fq: str,
+        *,
+        default_op: str = "OR",
+        field_indexes: dict | None = None,
+    ) -> DataFrame:
+        """The fq's match set as a persisted ``doc_id`` DataFrame
+        (filterCache twin). Key = (fq, q.op) — same normalization Solr
+        applies (the cache key is the parsed filter query)."""
+        key = (fq, default_op)
+        hit = self.filter_cache.get(key)
+        if hit is not _MISSING:
+            return hit
+        from ..functions.queryparser import parse_query
+        from .boolean import _scored_docs
+
+        sub = _scored_docs(
+            index, parse_query(fq, default_op=default_op),
+            field_indexes=field_indexes,
+        )
+        if sub is None:
+            raise ValueError(f"fq {fq!r} parses to an empty query")
+        docset = sub.select("doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+        self.filter_cache.put(key, docset)
+        return docset
+
+    # -- documentCache ------------------------------------------------------
+    def fetch_docs(self, index, ids: list[int]) -> dict:
+        """Stored-field rows for ``ids`` (documentCache twin): cached
+        tuples served from memory, the misses fetched in one bounded
+        ``doc_id IN (...)`` docmap point lookup."""
+        out, missing = {}, []
+        for i in ids:
+            v = self.document_cache.get(i)
+            if v is _MISSING:
+                missing.append(i)
+            else:
+                out[i] = v
+        if missing:
+            from pyspark.sql import functions as F
+
+            rows = (
+                index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
+                .filter(F.col("doc_id").isin(missing))
+                .collect()
+            )
+            for r in rows:
+                v = (r["conv_id"], r["turn_idx"], r["role"])
+                self.document_cache.put(int(r["doc_id"]), v)
+                out[int(r["doc_id"])] = v
+        return out
+
+    # -- queryResultCache ---------------------------------------------------
+    def search(
+        self,
+        index,
+        q: str,
+        *,
+        rows: int = 10,
+        start: int = 0,
+        fq=None,
+        mode: str = "full",
+        default_op: str = "OR",
+    ) -> DataFrame:
+        """A cached ``boolean_search`` page: (doc_id, score, conv_id,
+        turn_idx, role) with the engine's exact ordering. fq strings go
+        through the filterCache; the (q, fq, mode) page list through the
+        queryResultCache with Solr's window/cap policy; metadata through
+        the documentCache. Falls through to the engine verbatim when
+        caching cannot apply (start+rows beyond queryResultMaxDocsCached)."""
+        from .boolean import boolean_search
+        from .search import META_SCHEMA
+
+        fqs = tuple([fq] if isinstance(fq, str) else list(fq or []))
+        require = None
+        for s in fqs:
+            ds = self.filter_docset(
+                index, s, default_op=default_op
+            )
+            require = (
+                ds if require is None
+                else require.join(ds, "doc_id", "left_semi")
+            )
+        if rows <= 0:
+            return index.spark.createDataFrame([], META_SCHEMA)
+        need = start + rows
+        if need > self.max_docs_cached:
+            # Solr: pages beyond queryResultMaxDocsCached are never
+            # inserted — run the engine directly (fq still cached)
+            return boolean_search(
+                index, q, k=need, mode=mode, default_op=default_op,
+                require=require, with_meta=True,
+            ).offset(start)
+        key = (q, fqs, mode, default_op)
+        entry = self.query_result_cache.get(key)
+        if entry is _MISSING or (
+            len(entry["page"]) < need and not entry["exhausted"]
+        ):
+            n = min(
+                int(math.ceil(need / self.window)) * self.window,
+                self.max_docs_cached,
+            )
+            got = [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in boolean_search(
+                    index, q, k=n, mode=mode, default_op=default_op,
+                    require=require, with_meta=False,
+                ).collect()
+            ]
+            entry = {"page": got, "exhausted": len(got) < n}
+            self.query_result_cache.put(key, entry)
+        ids_scores = entry["page"][start:need]
+        meta = self.fetch_docs(index, [i for i, _ in ids_scores])
+        data = [
+            (i, s) + meta.get(i, (None, None, None))
+            for i, s in ids_scores
+        ]
+        return index.spark.createDataFrame(data, META_SCHEMA)
+
+    # -- lifecycle ----------------------------------------------------------
+    def invalidate(self) -> None:
+        """The newSearcher event: a commit (segment append, compaction,
+        docmap update) invalidates every per-searcher cache."""
+        self.filter_cache.clear()
+        self.query_result_cache.clear()
+        self.document_cache.clear()
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "filter": self.filter_cache.stats,
+            "query_result": self.query_result_cache.stats,
+            "document": self.document_cache.stats,
+        }
