@@ -257,6 +257,26 @@ class SearcherCaches:
         ]
         return index.spark.createDataFrame(data, META_SCHEMA)
 
+    # -- warming ------------------------------------------------------------
+    def warm(self, index, queries: list) -> int:
+        """QuerySenderListener twin (solrconfig.xml:585-600): run each
+        static warming query through the cached path so its window and
+        documents are primed before user traffic — the firstSearcher /
+        newSearcher event body. Each entry is a query string or a dict of
+        ``search`` kwargs (the NamedList analog: ``{"q": ..., "fq": ...,
+        "rows": ...}``). The reference config ships one firstSearcher
+        query and an empty newSearcher list; autowarmCount=0 on every
+        cache (:454-481) means there is no entry-copying autowarm to
+        mirror — static queries are the whole warming story. Returns the
+        number of queries executed."""
+        n = 0
+        for spec in queries:
+            kw = dict(spec) if isinstance(spec, dict) else {"q": spec}
+            q = kw.pop("q")
+            self.search(index, q, **kw).collect()
+            n += 1
+        return n
+
     # -- lifecycle ----------------------------------------------------------
     def invalidate(self) -> None:
         """The newSearcher event: a commit (segment append, compaction,

@@ -161,3 +161,20 @@ def test_require_param_engine_equivalence(cindex):
         b = _page(boolean_search(cindex, q, k=10, require=ds))
         assert a == b, q
     caches.invalidate()
+
+
+def test_warming_primes_caches(cindex):
+    """QuerySenderListener twin: static warming queries prime the
+    queryResultCache so the first user request is a pure cache hit."""
+    caches = SearcherCaches()
+    ran = caches.warm(
+        cindex,
+        ["bace cedi", {"q": "bace", "fq": "role:assistant", "rows": 5}],
+    )
+    assert ran == 2
+    inserts = caches.query_result_cache.stats["inserts"]
+    assert inserts == 2
+    got = _page(caches.search(cindex, "bace cedi", rows=10))
+    # served from the warmed window: no new insert, one hit
+    assert caches.query_result_cache.stats["inserts"] == inserts
+    assert got == _page(boolean_search(cindex, "bace cedi", k=10))
