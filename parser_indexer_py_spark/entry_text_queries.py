@@ -2400,3 +2400,55 @@ SELECT doc_id, snippet_rank, snippet FROM (
   FROM agg WHERE n_terms > 0)
 WHERE snippet_rank <= 2
 """
+
+
+PARENT_MOD = 200  # deterministic parent key: doc_id % PARENT_MOD
+
+
+def q_parent_rollup(spark, sf_dir):
+    """ToParentBlockJoinQuery twin THROUGH THE ENGINE (index/blockjoin.py
+    parent_search): rank parent blocks by ScoreMode=Max over their
+    matching children's BM25 scores — Lucene's block-join layout
+    (reference schema: parent docs with nested annotation children,
+    docs/mte-samplequeries.md's [child] transformer). The documents table
+    has no natural block key, so the parent is the deterministic bucket
+    doc_id % 200 (parent_field as a Column expression), recomputed
+    identically by the DuckDB oracle. max is an order-independent extreme
+    of exact per-child scores, so engine == oracle bit-for-bit."""
+    from .index.blockjoin import parent_search
+
+    idx = _docs_pos_index(spark, sf_dir)
+    expr = F.pmod(F.col("conv_id").cast("long"), F.lit(PARENT_MOD)).cast(
+        "long"
+    )
+    return parent_search(
+        idx, " ".join(BM25_QUERY_TERMS), k=10, score_mode="max",
+        parent_field=expr,
+    ).select(
+        "parent",
+        F.round("score", 6).alias("score"),
+        "n_matched",
+    )
+
+
+SQL_PARENT_ROLLUP = SQL_TOK + f"""
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       WHERE w IN ({', '.join(repr(w) for w in BM25_QUERY_TERMS)})
+       GROUP BY doc_id, w),
+dfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS contrib
+  FROM tf JOIN dfs USING (w) JOIN dl ON dl.doc_id = tf.doc_id, g),
+child AS (SELECT doc_id, SUM(contrib) AS score FROM scored GROUP BY doc_id)
+SELECT doc_id % {PARENT_MOD} AS parent,
+       ROUND(MAX(score), 6) AS score,
+       COUNT(*) AS n_matched
+FROM child GROUP BY parent
+ORDER BY MAX(score) DESC, parent LIMIT 10
+"""
