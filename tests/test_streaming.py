@@ -378,3 +378,57 @@ def test_suggest_over_merged_view(spark, dirs):
     a = suggest(view.docmap, q, field="text", count=15).toPandas()
     b = suggest(batch_idx.docmap, q, field="text", count=15).toPandas()
     assert list(a["suggestion"]) == list(b["suggestion"]) and len(a) > 0
+
+
+def test_parent_search_over_merged_view(spark, dirs):
+    """Round-5: the block-join parent query (index/blockjoin.py) over
+    the segments view equals the monolithic batch index — the parent
+    rollup keys on conv_id, so it is docID-layout-independent and the
+    merged-at-query-time global stats must reproduce the same scores."""
+    from parser_indexer_py_spark.index.blockjoin import parent_search
+    from parser_indexer_py_spark.streaming.merged import MergedSegmentsView
+
+    seg = SegmentedIndex(spark, dirs["idx"])
+    view = MergedSegmentsView(seg)
+    batch_idx = load_index(spark, dirs["batch"])
+
+    def rows(ix):
+        return [
+            (r["parent"], r["score"], r["n_matched"])
+            for r in parent_search(
+                ix, "bace cedi", k=10, score_mode="max"
+            ).collect()
+        ]
+
+    a, b = rows(view), rows(batch_idx)
+    assert a == b and len(a) == 10
+
+
+def test_searcher_caches_over_merged_view(spark, dirs):
+    """Round-5: SearcherCaches pages over the segments view equal the
+    uncached engine page on the same view, and the cached window serves
+    the follow-up page without re-searching."""
+    from parser_indexer_py_spark.index.boolean import boolean_search
+    from parser_indexer_py_spark.index.caches import SearcherCaches
+    from parser_indexer_py_spark.streaming.merged import MergedSegmentsView
+
+    seg = SegmentedIndex(spark, dirs["idx"])
+    view = MergedSegmentsView(seg)
+    caches = SearcherCaches()
+    got = [
+        (r["doc_id"], r["score"])
+        for r in caches.search(
+            view, "bace cedi", rows=10, fq="role:assistant"
+        ).collect()
+    ]
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in boolean_search(
+            view, "bace cedi", k=10, fq="role:assistant"
+        ).collect()
+    ]
+    assert got == exp and len(got) == 10
+    inserts = caches.query_result_cache.stats["inserts"]
+    caches.search(view, "bace cedi", rows=10, start=10, fq="role:assistant")
+    assert caches.query_result_cache.stats["inserts"] == inserts
+    caches.invalidate()
