@@ -356,6 +356,7 @@ def main() -> None:
         ("embedding_near_dup_lsh", TQ.q_embedding_near_dup_lsh),
         ("bm25_docs_topk", TQ.q_bm25_docs_topk),
         ("more_like_this", TQ.q_more_like_this),
+        ("parent_rollup", TQ.q_parent_rollup),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 

@@ -2452,3 +2452,40 @@ SELECT doc_id % {PARENT_MOD} AS parent,
 FROM child GROUP BY parent
 ORDER BY MAX(score) DESC, parent LIMIT 10
 """
+
+
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.2}
+SAMPLE_DEFAULT = 0.1
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Training-pipeline corpus mixing: deterministic per-language
+    hash-gate sampling (operators/sampling.py) — keep 50% of en, 20% of
+    de, 10% of everything else, decided per-row by a portable md5 gate
+    (NOT Spark's partition-seeded RNG samplers, which change the kept set
+    under repartitioning/retries — the module docstring has the scale
+    rationale). The DuckDB oracle reproduces the exact kept set."""
+    from .operators.sampling import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sample_stratified(
+            docs, "doc_id", "lang", SAMPLE_FRACTIONS,
+            default=SAMPLE_DEFAULT,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('s1#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000000
+      < CASE lang
+          WHEN 'en' THEN {int(SAMPLE_FRACTIONS['en'] * 1_000_000)}
+          WHEN 'de' THEN {int(SAMPLE_FRACTIONS['de'] * 1_000_000)}
+          ELSE {int(SAMPLE_DEFAULT * 1_000_000)}
+        END
+ORDER BY doc_id
+"""

@@ -526,3 +526,47 @@ def test_sinks_roundtrip(spark, tmp_path):
     write_csv(df, csv_dir)
     back_csv = spark.read.csv(csv_dir, header=True, inferSchema=True)
     assert sorted(map(tuple, back_csv.collect())) == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_sample_hash_gate_deterministic(spark):
+    """Hash-gate sampling is a property of the row: the kept set is
+    identical at any partitioning (what Spark's RNG samplers do NOT
+    guarantee), nested samples are monotone, and different salts give
+    independent gates."""
+    from parser_indexer_py_spark.operators.sampling import (
+        sample_hash_gate,
+        sample_stratified,
+    )
+
+    df = spark.range(0, 2000).withColumn(
+        "grp", (F.col("id") % 3).cast("string")
+    )
+
+    def kept(d, **kw):
+        return {r["id"] for r in sample_hash_gate(d, "id", **kw).collect()}
+
+    a = kept(df.repartition(1), fraction=0.3)
+    b = kept(df.repartition(7), fraction=0.3)
+    assert a == b and 0.2 < len(a) / 2000 < 0.4
+    # monotone nesting: the 10% sample is a subset of the 30% sample
+    s10 = kept(df, fraction=0.1)
+    assert s10 <= a and len(s10) < len(a)
+    # a different salt draws an (almost surely) different set
+    assert kept(df, fraction=0.3, salt="other") != a
+    # stratified: per-stratum fractions + default, same determinism
+    st = sample_stratified(
+        df, "id", "grp", {"0": 0.5, "1": 0.05}, default=0.2
+    )
+    got = {r["id"] for r in st.collect()}
+    per = {
+        g: sum(1 for i in got if i % 3 == int(g)) / (2000 / 3)
+        for g in ("0", "1", "2")
+    }
+    assert 0.4 < per["0"] < 0.6 and per["1"] < 0.12 and 0.12 < per["2"] < 0.3
+    # stratum rows ride their own fraction of the SAME gate: stratum-0's
+    # kept ids at 0.5 contain every stratum-0 id from the flat 30% sample
+    assert {i for i in a if i % 3 == 0} <= got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outside"):
+        sample_hash_gate(df, "id", 1.5)
