@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_snippets": TQ.q_highlight_snippets,
         "parent_rollup": TQ.q_parent_rollup,
         "sample_stratified": TQ.q_sample_stratified,
+        "pack_sequences": TQ.q_pack_sequences,
         # text analysis (training-data pipeline)
         "token_counts": TQ.q_token_counts,
         "doc_fingerprint": TQ.q_doc_fingerprint,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_pivot": TQ.SQL_FACET_PIVOT,
         "parent_rollup": TQ.SQL_PARENT_ROLLUP,
         "sample_stratified": TQ.SQL_SAMPLE_STRATIFIED,
+        "pack_sequences": TQ.SQL_PACK_SEQUENCES,
         "facet_query": TQ.SQL_FACET_QUERY,
         "export_sorted": TQ.SQL_EXPORT_SORTED,
         "highlight_snippets": TQ.SQL_HIGHLIGHT,

@@ -2489,3 +2489,39 @@ WHERE ('0x' || substr(md5('s1#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         END
 ORDER BY doc_id
 """
+
+
+PACK_BUDGET = 4096  # chars per packed training sequence
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-pipeline sequence packing (operators/packing.py):
+    concat-and-chunk offsets — exclusive prefix sum of n_chars in doc_id
+    order via the shuffle-free range-partition + broadcast-base pattern
+    (the same W4 machinery that assigns stable docIDs), then fixed-budget
+    sequence spans with boundary-crossing flags. The DuckDB oracle is the
+    serial window cumsum the distributed plan must equal exactly."""
+    from .operators.packing import pack_offsets
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        pack_offsets(docs, "doc_id", "n_chars", PACK_BUDGET)
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("len", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH o AS (
+  SELECT doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+  FROM documents)
+SELECT doc_id, n_chars, "offset",
+       "offset" // {PACK_BUDGET} AS seq_first,
+       ("offset" + n_chars - 1) // {PACK_BUDGET} AS seq_last,
+       "offset" // {PACK_BUDGET} != ("offset" + n_chars - 1) // {PACK_BUDGET}
+         AS crosses
+FROM o ORDER BY doc_id
+"""

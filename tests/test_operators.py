@@ -570,3 +570,40 @@ def test_sample_hash_gate_deterministic(spark):
 
     with _pytest.raises(ValueError, match="outside"):
         sample_hash_gate(df, "id", 1.5)
+
+
+def test_pack_offsets_partition_invariant(spark):
+    """Concat-and-chunk packing: the distributed range-partition +
+    broadcast-base prefix sum equals the serial cumsum at every
+    partition count, with exact DIV sequence spans."""
+    import numpy as np
+
+    from parser_indexer_py_spark.operators.packing import pack_offsets
+
+    n = 500
+    df = spark.range(0, n).withColumn(
+        "ln", (F.pmod(F.col("id") * 37 + 11, F.lit(90)) + 10).cast("long")
+    )
+    pdf = df.orderBy("id").toPandas()
+    lens = pdf["ln"].to_numpy()
+    off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    B = 256
+    exp = [
+        (int(i), int(l), int(o), int(o // B), int((o + l - 1) // B),
+         bool(o // B != (o + l - 1) // B))
+        for i, l, o in zip(pdf["id"], lens, off)
+    ]
+    for parts in (1, 3, 16):
+        got = [
+            (r["id"], r["len"], r["offset"], r["seq_first"], r["seq_last"],
+             r["crosses"])
+            for r in pack_offsets(df, "id", "ln", B, n_partitions=parts)
+            .orderBy("id")
+            .collect()
+        ]
+        assert got == exp, parts
+    # every budget window is fully covered: consecutive rows tile the
+    # stream with no gaps or overlaps
+    assert exp[-1][2] + exp[-1][1] == int(lens.sum())
+    with pytest.raises(ValueError, match="budget"):
+        pack_offsets(df, "id", "ln", 0)
