@@ -147,7 +147,10 @@ class SearcherCaches:
         """The fq's match set as a persisted ``doc_id`` DataFrame
         (filterCache twin). Key = (fq, q.op) — same normalization Solr
         applies (the cache key is the parsed filter query)."""
-        key = (fq, default_op)
+        # the key carries WHICH fields scored/filtered as indexes too:
+        # the same fq string under different field_indexes wirings is a
+        # different filter query (Solr's key is the parsed query object)
+        key = (fq, default_op, tuple(sorted(field_indexes or {})))
         hit = self.filter_cache.get(key)
         if hit is not _MISSING:
             return hit

@@ -50,6 +50,10 @@ def pack_offsets(
         n_partitions
         or df.sparkSession.sparkContext.defaultParallelism
     )
+    # the persist pins ONE range-partitioning: the counts job and the
+    # offsets job must see identical pid assignments (range sampling is
+    # not replay-stable). It stays pinned until the caller's plan is
+    # done — same lifecycle as build_index's staged persist.
     staged = (
         df.select(F.col(id_col).alias("id"), F.col(len_col).alias("len"))
         .repartitionByRange(P, "id")
@@ -57,58 +61,51 @@ def pack_offsets(
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
-    try:
-        sums = {
-            r["pid"]: int(r["s"])
-            for r in staged.groupBy("pid")
-            .agg(F.sum("len").alias("s"))
-            .collect()
-        }
-        base, acc = {}, 0
-        for pid in sorted(sums):
-            base[pid] = acc
-            acc += sums[pid]
+    sums = {
+        r["pid"]: int(r["s"])
+        for r in staged.groupBy("pid")
+        .agg(F.sum("len").alias("s"))
+        .collect()
+    }
+    base, acc = {}, 0
+    for pid in sorted(sums):
+        base[pid] = acc
+        acc += sums[pid]
 
-        def add_offsets(batches, base=base):
-            run: dict[int, int] = {}
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                pids = pdf["pid"].to_numpy()
-                lens = pdf["len"].to_numpy(dtype=np.int64)
-                out = np.empty(len(pdf), dtype=np.int64)
-                for pid_val in np.unique(pids):
-                    m = pids == pid_val
-                    start = run.get(pid_val, base[int(pid_val)])
-                    c = np.concatenate(([0], np.cumsum(lens[m])[:-1]))
-                    out[m] = start + c
-                    run[pid_val] = start + int(lens[m].sum())
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"],
-                        "len": lens,
-                        "offset": out,
-                    }
-                )
+    def add_offsets(batches, base=base):
+        run: dict[int, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pids = pdf["pid"].to_numpy()
+            lens = pdf["len"].to_numpy(dtype=np.int64)
+            out = np.empty(len(pdf), dtype=np.int64)
+            for pid_val in np.unique(pids):
+                m = pids == pid_val
+                start = run.get(pid_val, base[int(pid_val)])
+                c = np.concatenate(([0], np.cumsum(lens[m])[:-1]))
+                out[m] = start + c
+                run[pid_val] = start + int(lens[m].sum())
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "len": lens,
+                    "offset": out,
+                }
+            )
 
-        packed = staged.mapInPandas(
-            add_offsets, "id long, len long, offset long"
-        )
-        # integer DIV, not float division: offsets at the 10^12-turn
-        # scale exceed double's 2^53 exact-integer range
-        first = F.expr(f"offset DIV {int(budget)}")
-        last = F.expr(f"(offset + len - 1) DIV {int(budget)}")
-        return packed.select(
-            "id",
-            "len",
-            "offset",
-            first.alias("seq_first"),
-            last.alias("seq_last"),
-            (first != last).alias("crosses"),
-        )
-    finally:
-        # the returned plan re-reads `staged`; unpersisting here would
-        # only drop the cache flag (blocks are reclaimed lazily) — the
-        # caller materializes within the session, which is the same
-        # lifecycle build_index's staged persist has
-        pass
+    packed = staged.mapInPandas(
+        add_offsets, "id long, len long, offset long"
+    )
+    # integer DIV, not float division: offsets at the 10^12-turn
+    # scale exceed double's 2^53 exact-integer range
+    first = F.expr(f"offset DIV {int(budget)}")
+    last = F.expr(f"(offset + len - 1) DIV {int(budget)}")
+    return packed.select(
+        "id",
+        "len",
+        "offset",
+        first.alias("seq_first"),
+        last.alias("seq_last"),
+        (first != last).alias("crosses"),
+    )

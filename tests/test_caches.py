@@ -110,7 +110,7 @@ def test_filter_cache_reuse_and_eviction(cindex):
     caches.search(cindex, "cedi", rows=5, fq="role:assistant")
     assert caches.filter_cache.stats["hits"] == 1
     assert caches.filter_cache.stats["inserts"] == 1
-    ds = caches.filter_cache._d[("role:assistant", "OR")]
+    ds = caches.filter_cache._d[("role:assistant", "OR", ())]
     assert ds.storageLevel.useMemory or ds.storageLevel.useDisk
     # a second fq evicts the first (size=1) and unpersists it
     caches.search(cindex, "bace", rows=5, fq="role:user")
