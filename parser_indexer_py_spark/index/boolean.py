@@ -1126,6 +1126,7 @@ def select(
     q_op: str = "OR",
     facet_field: str | None = None,
     facet_limit: int = 10,
+    facet_sort: str = "count",
     facet_mincount: int = 0,
     facet_missing: bool = False,
     facet_range: tuple | None = None,
@@ -1134,6 +1135,7 @@ def select(
     facet_query: list | None = None,
     group_field: str | None = None,
     group_limit: int = 1,
+    group_ngroups: bool = False,
     hl: bool = False,
     hl_fragsize: int = 100,
     hl_snippets: int = 1,
@@ -1213,6 +1215,7 @@ def select(
         return {
             "response": _apply_fl(page, fl),
             "facets": None,
+            "ngroups": None,
             "range_facets": None,
             "range_other": None,
             "pivot_facets": None,
@@ -1283,10 +1286,21 @@ def select(
         # appends one missing-count bucket AFTER the limited values
         # (also subject to mincount). The /browse handler configures
         # facet.mincount=1 + facet.missing=true (solrconfig.xml:889-895).
+        if facet_sort not in ("count", "index"):
+            raise ValueError(
+                f"facet_sort {facet_sort!r} not in ('count', 'index')"
+            )
+        # facet.sort: 'count' = n desc (value asc tiebreak), 'index' =
+        # value order — Solr's two orderings; limit applies after either
+        order = (
+            [F.desc("n"), F.asc(facet_field)]
+            if facet_sort == "count"
+            else [F.asc(facet_field)]
+        )
         facets = (
             counted.filter(F.col(facet_field).isNotNull())
             .filter(F.col("n") >= int(facet_mincount))
-            .orderBy(F.desc("n"), F.asc(facet_field))
+            .orderBy(*order)
             .limit(facet_limit)
         )
         if facet_missing:
@@ -1449,6 +1463,7 @@ def select(
             sel += [flds[lvl - 1], f"n{lvl}"]
         pivot_facets = out.select(*sel).orderBy(*ordered)
     groups = None
+    ngroups = None
     if group_field is not None:
         # Solr result grouping (group=true&group.field=...): top
         # ``group_limit`` docs per field value by relevance
@@ -1458,6 +1473,21 @@ def select(
         if group_field not in gcols:
             gcols.append(group_field)
         joined = scored.join(index.docmap.select(*gcols), "doc_id")
+        if group_ngroups:
+            # group.ngroups: distinct matching group values, the NULL
+            # bucket counting as one group like Solr's grouping does
+            ngroups = joined.agg(
+                (
+                    F.countDistinct(group_field)
+                    + F.coalesce(
+                        F.max(
+                            F.when(F.col(group_field).isNull(), 1)
+                            .otherwise(0)
+                        ),
+                        F.lit(0),
+                    )
+                ).alias("ngroups")
+            )
         if int(group_limit) == 1:
             # the common top-1-per-group case: max_by with a
             # (score, -doc_id) ordering struct — PARTIAL-aggregatable
@@ -1493,6 +1523,7 @@ def select(
     return {
         "response": resp,
         "facets": facets,
+        "ngroups": ngroups,
         "range_facets": range_facets,
         "range_other": range_other,
         "pivot_facets": pivot_facets,

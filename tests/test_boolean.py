@@ -1610,3 +1610,30 @@ def test_select_highlighting_section(bindex, qterms):
     assert hl2 == hl_rows
     # hl=False: no section
     assert select(bindex, q=t1, rows=3)["highlighting"] is None
+
+
+def test_facet_sort_index_and_ngroups(bindex):
+    """Round-5d completeness: facet.sort=index (value order) and
+    group.ngroups (distinct matching groups, NULL counts as one)."""
+    r_count = select(bindex, q="bace", rows=0, facet_field="role")
+    r_index = select(
+        bindex, q="bace", rows=0, facet_field="role", facet_sort="index"
+    )
+    by_count = [(x["role"], x["n"]) for x in r_count["facets"].collect()]
+    by_index = [(x["role"], x["n"]) for x in r_index["facets"].collect()]
+    assert sorted(by_count) == by_index  # same buckets, value order
+    assert by_count == sorted(by_count, key=lambda t: (-t[1], t[0]))
+    with pytest.raises(ValueError, match="facet_sort"):
+        select(bindex, q="bace", rows=0, facet_field="role",
+               facet_sort="alpha")
+    r = select(
+        bindex, q="bace", rows=0, group_field="role", group_ngroups=True
+    )
+    n = r["ngroups"].collect()[0]["ngroups"]
+    distinct = (
+        boolean_search(bindex, "bace", k=10_000_000, with_meta=True)
+        .select("role").distinct().count()
+    )
+    assert n == distinct
+    # ngroups stays None when not requested (and on the fast path)
+    assert select(bindex, q="bace", rows=5)["ngroups"] is None
