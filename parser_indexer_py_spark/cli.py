@@ -195,6 +195,17 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("--fl", default=None, help="comma-separated columns")
     xp.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
 
+    pa = sub.add_parser("parent")
+    pa.add_argument("--index", required=True)
+    pa.add_argument("-q", required=True)
+    pa.add_argument("-k", type=int, default=10)
+    pa.add_argument(
+        "--score-mode", default="max",
+        choices=["max", "total", "avg", "min", "none"],
+    )
+    pa.add_argument("--min-children", type=int, default=1)
+    pa.add_argument("--fq", action="append", default=None)
+
     an = sub.add_parser("analyze")
     an.add_argument("--text", required=True)
     an.add_argument("-q", default=None, help="query for analysis.showmatch")
@@ -332,6 +343,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         res["seconds"] = round(time.time() - t0, 3)
         print(json.dumps(res))
+        return 0
+
+    if args.cmd == "parent":
+        from .index.blockjoin import parent_search
+        from .index.search import load_index
+
+        idx = load_index(spark, args.index)
+        rows = parent_search(
+            idx, args.q, k=args.k, score_mode=args.score_mode,
+            fq=args.fq, min_children=args.min_children,
+        ).collect()
+        for r in rows:
+            print(json.dumps({
+                "parent": r["parent"], "score": r["score"],
+                "n_matched": r["n_matched"],
+            }))
         return 0
 
     if args.cmd == "explain":
