@@ -62,8 +62,46 @@ class MergedSegmentsView:
         commits = seg.commits()
         if not commits:
             raise ValueError("no committed segments to search")
-        self.spark = seg.spark
-        self._segs = [(c, self._load(seg.spark, c["dir"])) for c in commits]
+        self._init_from_segs(
+            seg.spark, [(c, self._load(seg.spark, c["dir"])) for c in commits]
+        )
+
+    @classmethod
+    def from_roots(cls, spark, roots: list[str]) -> "MergedSegmentsView":
+        """Shard federation (the SolrCloud ``shards=`` analog): one
+        duck-typed Index over INDEPENDENTLY BUILT index roots — e.g.
+        per-day indexes built by separate jobs, queried as one corpus.
+        Exactly the segments machinery: disjoint docID ranges via
+        cumulative base offsets, df/cf/avgdl merged at query time (the
+        distributed-IDF problem SolrCloud solves with global stats), so
+        scores equal a monolithic build over the union corpus (gated in
+        tests/test_streaming.py). Construction runs ONE small agg per
+        shard for the exact dl sum (globals.json stores float avgdl;
+        BM25 needs the exact integer sum to merge losslessly)."""
+        if not roots:
+            raise ValueError("no index roots to federate")
+        view = object.__new__(cls)
+        idxs = [cls._load(spark, d) for d in roots]
+        commits, base = [], 0
+        for d, idx in zip(roots, idxs):
+            sdl = int(
+                idx.docmap.agg(F.sum("dl").alias("s")).collect()[0]["s"]
+            )
+            commits.append(
+                {
+                    "dir": d,
+                    "n_docs": idx.n_docs,
+                    "sum_dl": sdl,
+                    "base": base,
+                }
+            )
+            base += idx.n_docs
+        view._init_from_segs(spark, list(zip(commits, idxs)))
+        return view
+
+    def _init_from_segs(self, spark, segs) -> None:
+        self.spark = spark
+        self._segs = segs
         self.n_docs = int(sum(c["n_docs"] for c, _ in self._segs))
         self.avgdl = float(sum(c["sum_dl"] for c, _ in self._segs)) / float(
             self.n_docs

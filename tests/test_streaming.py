@@ -432,3 +432,50 @@ def test_searcher_caches_over_merged_view(spark, dirs):
     caches.search(view, "bace cedi", rows=10, start=10, fq="role:assistant")
     assert caches.query_result_cache.stats["inserts"] == inserts
     caches.invalidate()
+
+
+def test_federated_roots_equals_monolithic(spark, tmp_path_factory):
+    """Round-5d: MergedSegmentsView.from_roots — two INDEPENDENTLY built
+    indexes over disjoint conv ranges federate into one view whose
+    search results are rank- AND score-identical to a monolithic build
+    over the union corpus (query-time df/cf/avgdl merging — the
+    SolrCloud distributed-IDF semantics)."""
+    from parser_indexer_py_spark.datagen import generate_transcripts_pandas
+    from parser_indexer_py_spark.index.boolean import boolean_search
+    from parser_indexer_py_spark.streaming.merged import MergedSegmentsView
+
+    pdf = generate_transcripts_pandas(40)
+    conv_num = pdf["conv_id"].str[5:].astype(int)
+    roots = []
+    for i, (lo, hi) in enumerate([(0, 25), (25, 40)]):
+        chunk = spark.createDataFrame(
+            pdf[(conv_num >= lo) & (conv_num < hi)],
+            schema=TRANSCRIPT_SCHEMA,
+        )
+        out = str(tmp_path_factory.mktemp(f"fed{i}"))
+        build_index(spark, chunk, out, n_partitions=3, n_chunks=1)
+        roots.append(out)
+    mono_dir = str(tmp_path_factory.mktemp("fedmono"))
+    build_index(
+        spark,
+        spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA),
+        mono_dir,
+        n_partitions=3,
+        n_chunks=1,
+    )
+    mono = load_index(spark, mono_dir)
+    fed = MergedSegmentsView.from_roots(spark, roots)
+    assert fed.n_docs == mono.n_docs and fed.avgdl == mono.avgdl
+
+    def keyed(ix, **kw):
+        return [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in boolean_search(
+                ix, "bace cedi", k=10, with_meta=True, **kw
+            ).collect()
+        ]
+
+    assert keyed(fed) == keyed(mono)
+    assert keyed(fed, mode="pruned") == keyed(mono)
+    with pytest.raises(ValueError, match="no index roots"):
+        MergedSegmentsView.from_roots(spark, [])
