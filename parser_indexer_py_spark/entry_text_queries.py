@@ -2525,3 +2525,61 @@ SELECT doc_id, n_chars, "offset",
          AS crosses
 FROM o ORDER BY doc_id
 """
+
+
+def q_federated_search(spark, sf_dir):
+    """Shard-federated BM25 top-10 THROUGH THE ENGINE
+    (streaming/merged.py MergedSegmentsView.from_roots — the SolrCloud
+    ``shards=`` analog): the documents table split by doc_id parity into
+    TWO independently built indexes, federated at query time with merged
+    df/cf/avgdl (the distributed-IDF semantics). The DuckDB oracle
+    computes BM25 over the UNION corpus — the federation claim IS that
+    shard-local indexes score identically to a monolithic build, so the
+    monolithic oracle gates it directly."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .index.build import build_index
+    from .shipping import ship_package
+    from .streaming.merged import MergedSegmentsView
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit("").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    roots = []
+    for par in (0, 1):
+        out = os.path.join(tempfile.gettempdir(), f"pi_fed{par}_{key}")
+        build_index(
+            spark,
+            src.filter(F.pmod(F.col("doc_id"), F.lit(2)) == par),
+            out,
+            n_buckets=8,
+            salt=4,
+            n_chunks=1,
+        )
+        roots.append(out)
+    fed = MergedSegmentsView.from_roots(spark, roots)
+    from .index.search import search
+
+    hits = search(fed, " ".join(BM25_QUERY_TERMS), k=10, with_meta=True)
+    return (
+        hits.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# federation == monolithic scoring, so the oracle is the monolithic BM25
+SQL_FEDERATED_SEARCH = SQL_BM25_DOCS
