@@ -1114,6 +1114,22 @@ def edismax_qf(
     )
 
 
+def _cached_fq(index, caches, fq, default_op, field_indexes):
+    """Route fq strings through a SearcherCaches filterCache when one is
+    provided (Solr: every handler's fq hits the filterCache). Returns
+    (require_docset_or_None, remaining_fq) — with caches, ALL fq strings
+    become one intersected persisted doc set and remaining_fq is None."""
+    if caches is None or not fq:
+        return None, fq
+    req = None
+    for s in [fq] if isinstance(fq, str) else list(fq):
+        ds = caches.filter_docset(
+            index, s, default_op=default_op, field_indexes=field_indexes
+        )
+        req = ds if req is None else req.join(ds, "doc_id", "left_semi")
+    return req, None
+
+
 def select(
     index: Index,
     q: str = "*:*",
@@ -1144,6 +1160,7 @@ def select(
     hl_alternate: bool = False,
     mode: str = "full",
     field_indexes: dict | None = None,
+    caches=None,
 ) -> dict:
     """Solr ``/select`` twin — the request shape every reference sample
     query uses (docs/mte-samplequeries.md; handler defaults rows=10 at
@@ -1207,10 +1224,11 @@ def select(
             raise ValueError(f"q {q!r} parses to an empty query")
         # keep the pre-fl page: the highlighting section joins by doc_id,
         # which an fl projection may drop from the returned response
+        req, fq_eff = _cached_fq(index, caches, fq, q_op, field_indexes)
         page = boolean_search(
-            index, q, k=start + rows, fq=fq, default_op=q_op,
+            index, q, k=start + rows, fq=fq_eff, default_op=q_op,
             mode=mode, with_meta=True, with_excerpt=hl,
-            field_indexes=field_indexes,
+            field_indexes=field_indexes, require=req,
         ).offset(start)
         return {
             "response": _apply_fl(page, fl),
@@ -1233,7 +1251,11 @@ def select(
     if scored is None:
         raise ValueError(f"q {q!r} parses to an empty query")
     if fq:
-        scored = _apply_fq(index, scored, fq, q_op, field_indexes)
+        req, fq_eff = _cached_fq(index, caches, fq, q_op, field_indexes)
+        if req is not None:
+            scored = scored.join(req, "doc_id", "left_semi")
+        if fq_eff:
+            scored = _apply_fq(index, scored, fq_eff, q_op, field_indexes)
     resp = None
     if rows > 0:
         meta_cols = ["doc_id", "conv_id", "turn_idx", "role"]

@@ -178,3 +178,27 @@ def test_warming_primes_caches(cindex):
     # served from the warmed window: no new insert, one hit
     assert caches.query_result_cache.stats["inserts"] == inserts
     assert got == _page(boolean_search(cindex, "bace cedi", k=10))
+
+
+def test_select_rides_filter_cache(cindex):
+    """select(caches=...) routes fq through the filterCache on BOTH
+    paths (fast relevance page and facet-forced match set) — pages and
+    facets equal the uncached select bit-for-bit, with one filter
+    evaluation across all four requests."""
+    from parser_indexer_py_spark.index.boolean import select
+
+    caches = SearcherCaches()
+    fq = "role:assistant"
+    for kw in [{}, {"facet_field": "role"}]:
+        plain = select(cindex, q="bace cedi", rows=5, fq=fq, **kw)
+        cached = select(
+            cindex, q="bace cedi", rows=5, fq=fq, caches=caches, **kw
+        )
+        assert _page(cached["response"]) == _page(plain["response"]), kw
+        if kw:
+            a = [(r["role"], r["n"]) for r in plain["facets"].collect()]
+            b = [(r["role"], r["n"]) for r in cached["facets"].collect()]
+            assert a == b
+    assert caches.filter_cache.stats["inserts"] == 1
+    assert caches.filter_cache.stats["hits"] >= 1
+    caches.invalidate()
