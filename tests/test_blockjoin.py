@@ -119,3 +119,35 @@ def test_parent_rollup_expression_key(pindex):
 def test_parent_rollup_errors(pindex):
     with pytest.raises(ValueError, match="score_mode"):
         parent_search(pindex, "bace", score_mode="sumsq")
+
+
+def test_parent_pruned_identity(pindex):
+    """mode='pruned' (ScoreMode=Max delegation): same (parent, score)
+    ranking as the full rollup; counts exact when the match set was
+    exhausted, NULL otherwise; loud contracts for unsupported shapes."""
+    for q in ["bace cedi", "bace", "bace +cedi -wedi"]:
+        full = parent_search(pindex, q, k=10, score_mode="max").collect()
+        pruned = parent_search(
+            pindex, q, k=10, score_mode="max", mode="pruned"
+        ).collect()
+        assert [(r["parent"], r["score"]) for r in pruned] == [
+            (r["parent"], r["score"]) for r in full
+        ], q
+        for pr, fu in zip(pruned, full):
+            assert pr["n_matched"] is None or (
+                pr["n_matched"] == fu["n_matched"]
+            )
+    # fq composes on the pruned path too
+    a = parent_search(
+        pindex, "bace", k=5, fq="role:assistant", mode="pruned"
+    ).collect()
+    b = parent_search(pindex, "bace", k=5, fq="role:assistant").collect()
+    assert [(r["parent"], r["score"]) for r in a] == [
+        (r["parent"], r["score"]) for r in b
+    ]
+    with pytest.raises(ValueError, match="ScoreMode=Max"):
+        parent_search(pindex, "bace", score_mode="total", mode="pruned")
+    with pytest.raises(ValueError, match="min_children"):
+        parent_search(pindex, "bace", mode="pruned", min_children=2)
+    with pytest.raises(ValueError, match="mode"):
+        parent_search(pindex, "bace", mode="turbo")
