@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": TQ.q_sample_stratified,
         "pack_sequences": TQ.q_pack_sequences,
         "federated_search": TQ.q_federated_search,
+        "split_assign": TQ.q_split_assign,
         # text analysis (training-data pipeline)
         "token_counts": TQ.q_token_counts,
         "doc_fingerprint": TQ.q_doc_fingerprint,
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": TQ.SQL_SAMPLE_STRATIFIED,
         "pack_sequences": TQ.SQL_PACK_SEQUENCES,
         "federated_search": TQ.SQL_FEDERATED_SEARCH,
+        "split_assign": TQ.SQL_SPLIT_ASSIGN,
         "facet_query": TQ.SQL_FACET_QUERY,
         "export_sorted": TQ.SQL_EXPORT_SORTED,
         "highlight_snippets": TQ.SQL_HIGHLIGHT,

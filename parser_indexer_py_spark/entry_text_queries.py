@@ -2583,3 +2583,42 @@ def q_federated_search(spark, sf_dir):
 
 # federation == monolithic scoring, so the oracle is the monolithic BM25
 SQL_FEDERATED_SEARCH = SQL_BM25_DOCS
+
+
+SPLIT_FRACTIONS = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py
+    assign_splits): disjoint md5-gate ranges in sorted-name order — a
+    row's split is a pure function of its id (the leakage guard:
+    retries, re-runs, and later appends can never move a row across
+    splits). The DuckDB oracle carves the identical ranges."""
+    from .operators.sampling import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        assign_splits(docs, "doc_id", SPLIT_FRACTIONS)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _split_case_sql():
+    hi, arms = 0, []
+    names = sorted(SPLIT_FRACTIONS)
+    for name in names[:-1]:
+        hi += int(round(SPLIT_FRACTIONS[name] * 1_000_000))
+        arms.append(f"WHEN g < {hi} THEN '{name}'")
+    return " ".join(arms) + f" ELSE '{names[-1]}'"
+
+
+SQL_SPLIT_ASSIGN = f"""
+WITH g AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('s1#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 1000000 AS g
+  FROM documents)
+SELECT doc_id, CASE {_split_case_sql()} END AS split
+FROM g ORDER BY doc_id
+"""

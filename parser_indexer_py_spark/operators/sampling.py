@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["GATE_MOD", "sample_hash_gate", "sample_stratified"]
+__all__ = ["GATE_MOD", "assign_splits", "sample_hash_gate", "sample_stratified"]
 
 GATE_MOD = 1_000_000  # gate resolution: fractions quantize to 1e-6
 
@@ -78,3 +78,41 @@ def sample_stratified(
             F.col(strata_col) == F.lit(k), F.lit(int(round(v * GATE_MOD)))
         ).otherwise(thr)
     return df.filter(_gate(F.col(id_col), salt) < thr)
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    splits: dict,
+    *,
+    salt: str = "s1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one ``out_col`` label per
+    row, carved from DISJOINT ranges of the same md5 gate (fractions in
+    iteration-stable sorted-key order; they must sum to 1 within gate
+    resolution). Disjointness and exhaustiveness hold by construction —
+    a row is in exactly one split, on any cluster, forever; changing
+    ``salt`` reshuffles the assignment. The standard leakage guard:
+    membership is a pure function of the row id, so re-runs, retries,
+    and later incremental appends can never move a row across splits."""
+    total = sum(splits.values())
+    if abs(total - 1.0) * GATE_MOD > 1:
+        raise ValueError(f"split fractions sum to {total}, need 1.0")
+    if not splits:
+        raise ValueError("no splits given")
+    g = _gate(F.col(id_col), salt)
+    expr = None
+    hi = 0
+    names = sorted(splits)
+    for name in names[:-1]:
+        hi += int(round(splits[name] * GATE_MOD))
+        cond = g < F.lit(hi)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

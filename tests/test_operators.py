@@ -607,3 +607,29 @@ def test_pack_offsets_partition_invariant(spark):
     assert exp[-1][2] + exp[-1][1] == int(lens.sum())
     with pytest.raises(ValueError, match="budget"):
         pack_offsets(df, "id", "ln", 0)
+
+
+def test_assign_splits_disjoint_exhaustive(spark):
+    """Every row gets exactly one split; fractions land near targets;
+    assignment is invariant to partitioning; fractions must sum to 1."""
+    from parser_indexer_py_spark.operators.sampling import assign_splits
+
+    df = spark.range(0, 3000)
+    out = assign_splits(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    got = {r["id"]: r["split"] for r in out.collect()}
+    assert len(got) == 3000  # one label per row, none dropped
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.75 < c["train"] / 3000 < 0.85
+    # partitioning-invariant
+    got7 = {
+        r["id"]: r["split"]
+        for r in assign_splits(
+            df.repartition(7), "id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert got7 == got
+    with pytest.raises(ValueError, match="sum"):
+        assign_splits(df, "id", {"train": 0.9, "val": 0.2})
