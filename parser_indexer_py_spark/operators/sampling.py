@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["GATE_MOD", "assign_splits", "sample_hash_gate", "sample_stratified"]
+__all__ = [
+    "GATE_MOD",
+    "assign_splits",
+    "sample_by_column",
+    "sample_hash_gate",
+    "sample_stratified",
+]
 
 GATE_MOD = 1_000_000  # gate resolution: fractions quantize to 1e-6
 
@@ -116,3 +122,21 @@ def assign_splits(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def sample_by_column(
+    df: DataFrame, id_col: str, fraction_col, *, salt: str = "s1"
+) -> DataFrame:
+    """Per-ROW keep probability from a column or expression (values in
+    [0, 1] — e.g. a quality score driving quality-weighted downsampling):
+    keep iff ``gate(id) < fraction * GATE_MOD``. Same gate as the flat
+    sampler, so determinism, partitioning-invariance, and monotonicity
+    in the fraction all carry over; out-of-range fractions clamp."""
+    frac = (
+        F.col(fraction_col) if isinstance(fraction_col, str) else fraction_col
+    )
+    thr = F.least(
+        F.lit(GATE_MOD),
+        F.greatest(F.lit(0), (frac * GATE_MOD).cast("bigint")),
+    )
+    return df.filter(_gate(F.col(id_col), salt) < thr)

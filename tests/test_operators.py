@@ -633,3 +633,30 @@ def test_assign_splits_disjoint_exhaustive(spark):
     assert got7 == got
     with pytest.raises(ValueError, match="sum"):
         assign_splits(df, "id", {"train": 0.9, "val": 0.2})
+
+
+def test_sample_by_column(spark):
+    """Per-row keep probability: same gate as the flat sampler, so a
+    constant column equals sample_hash_gate exactly; clamping works."""
+    from parser_indexer_py_spark.operators.sampling import (
+        sample_by_column,
+        sample_hash_gate,
+    )
+
+    df = spark.range(0, 1000).withColumn(
+        "q", (F.col("id") % 100) / F.lit(100.0)
+    )
+    flat = {r["id"] for r in sample_hash_gate(df, "id", 0.3).collect()}
+    const = {
+        r["id"]
+        for r in sample_by_column(df, "id", F.lit(0.3)).collect()
+    }
+    assert const == flat
+    # keep rate rises with the per-row probability column
+    kept = {r["id"] for r in sample_by_column(df, "id", "q").collect()}
+    lo = sum(1 for i in kept if i % 100 < 20) / (1000 * 0.2)
+    hi = sum(1 for i in kept if i % 100 >= 80) / (1000 * 0.2)
+    assert lo < 0.25 and hi > 0.7
+    # clamp: fractions > 1 keep everything, < 0 keep nothing
+    assert sample_by_column(df, "id", F.lit(2.0)).count() == 1000
+    assert sample_by_column(df, "id", F.lit(-1.0)).count() == 0
