@@ -56,3 +56,35 @@ def assert_column_pruned(df: DataFrame, absent_column: str) -> None:
     assert all(not pat.search(ln) for ln in scans), (
         f"column {absent_column!r} not pruned from scan: {scans}"
     )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of DISTINCT Exchange (shuffle) operators in the physical
+    plan — the 'how many shuffles does this cost' fact the scale notes
+    claim. AQE's formatted output prints the same Exchange under both
+    '== Initial Plan ==' and '== Final Plan ==', so nodes are deduped by
+    their Arguments line (two genuinely identical shuffles in one plan
+    would collapse too — acceptable for an upper-bound assertion)."""
+    lines = plan_string(df).splitlines()
+    args = set()
+    for i, ln in enumerate(lines):
+        t = ln.strip()
+        if t.startswith("(") and t.endswith(" Exchange"):
+            for fw in lines[i + 1 : i + 6]:
+                if fw.strip().startswith("Arguments:"):
+                    import re
+
+                    args.add(
+                        re.sub(r"\[plan_id=\d+\]", "", fw.strip())
+                    )
+                    break
+            else:
+                args.add(t)
+    return len(args)
+
+
+def assert_max_exchanges(df: DataFrame, n: int) -> None:
+    got = count_exchanges(df)
+    assert got <= n, (
+        f"plan has {got} shuffles, claimed <= {n}:\n{plan_string(df)}"
+    )

@@ -180,3 +180,44 @@ def test_select_fast_path_and_qf_plans(spark, tmp_path):
     n_exchanges = p.count("Exchange")
     assert n_exchanges <= 6, f"unexpected shuffle count {n_exchanges}:\n{p}"
     assert_take_ordered(qf)
+
+
+def test_sampling_is_shuffle_free(spark):
+    """The hash-gate samplers are pure codegen filters: ZERO Exchange
+    operators in any of their plans (the scale claim in
+    operators/sampling.py's docstring, made a testable fact)."""
+    from pyspark.sql import functions as F
+
+    from parser_indexer_py_spark.operators.sampling import (
+        assign_splits,
+        sample_by_column,
+        sample_hash_gate,
+        sample_stratified,
+    )
+    from parser_indexer_py_spark.plans.explain_audit import (
+        assert_max_exchanges,
+    )
+
+    df = spark.range(0, 100).withColumn(
+        "grp", (F.col("id") % 3).cast("string")
+    )
+    assert_max_exchanges(sample_hash_gate(df, "id", 0.3), 0)
+    assert_max_exchanges(
+        sample_stratified(df, "id", "grp", {"0": 0.5}, default=0.1), 0
+    )
+    assert_max_exchanges(assign_splits(df, "id", {"a": 0.5, "b": 0.5}), 0)
+    assert_max_exchanges(sample_by_column(df, "id", F.lit(0.2)), 0)
+
+
+def test_packing_single_range_shuffle(spark):
+    """pack_offsets costs exactly ONE shuffle (the range partitioning);
+    the offset add is mapInPandas over the pinned partitions."""
+    from pyspark.sql import functions as F
+
+    from parser_indexer_py_spark.operators.packing import pack_offsets
+    from parser_indexer_py_spark.plans.explain_audit import (
+        assert_max_exchanges,
+    )
+
+    df = spark.range(0, 200).withColumn("ln", F.lit(7).cast("long"))
+    assert_max_exchanges(pack_offsets(df, "id", "ln", 64), 1)
