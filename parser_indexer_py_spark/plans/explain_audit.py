@@ -88,3 +88,11 @@ def assert_max_exchanges(df: DataFrame, n: int) -> None:
     assert got <= n, (
         f"plan has {got} shuffles, claimed <= {n}:\n{plan_string(df)}"
     )
+
+
+def assert_partial_aggregate(df: DataFrame) -> None:
+    """The groupBy must compile to a two-phase hash aggregate
+    (partial_* before the shuffle, final after) — the map-side combine
+    that keeps the shuffle one-row-per-(partition, key)."""
+    p = plan_string(df)
+    assert "partial_" in p, f"no partial aggregation phase:\n{p}"

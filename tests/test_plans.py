@@ -221,3 +221,27 @@ def test_packing_single_range_shuffle(spark):
 
     df = spark.range(0, 200).withColumn("ln", F.lit(7).cast("long"))
     assert_max_exchanges(pack_offsets(df, "id", "ln", 64), 1)
+
+
+def test_parent_rollup_partial_agg_and_topk(spark, tmp_path_factory):
+    """parent_search(full): the ScoreMode groupBy partial-aggregates
+    map-side and the final top-k is a TakeOrderedAndProject — the two
+    scale claims in index/blockjoin.py's docstring as plan facts."""
+    from parser_indexer_py_spark.datagen import generate_transcripts
+    from parser_indexer_py_spark.index.blockjoin import parent_search
+    from parser_indexer_py_spark.index.build import build_index
+    from parser_indexer_py_spark.index.search import load_index
+    from parser_indexer_py_spark.plans.explain_audit import (
+        assert_partial_aggregate,
+        assert_take_ordered,
+    )
+
+    out = str(tmp_path_factory.mktemp("pjplan"))
+    build_index(
+        spark, generate_transcripts(spark, 12, partitions=2), out,
+        n_partitions=2, n_chunks=1,
+    )
+    idx = load_index(spark, out)
+    plan_df = parent_search(idx, "bace cedi", k=5, score_mode="max")
+    assert_partial_aggregate(plan_df)
+    assert_take_ordered(plan_df)
