@@ -94,8 +94,10 @@ def pack_offsets(
                 }
             )
 
+    # the order key keeps its own type (numeric id, string key, ...)
+    id_type = staged.schema["id"].dataType.simpleString()
     packed = staged.mapInPandas(
-        add_offsets, "id long, len long, offset long"
+        add_offsets, f"id {id_type}, len long, offset long"
     )
     # integer DIV, not float division: offsets at the 10^12-turn
     # scale exceed double's 2^53 exact-integer range
