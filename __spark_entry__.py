@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": TQ.q_pack_sequences,
         "federated_search": TQ.q_federated_search,
         "split_assign": TQ.q_split_assign,
+        "wordbreak": TQ.q_wordbreak,
         # text analysis (training-data pipeline)
         "token_counts": TQ.q_token_counts,
         "doc_fingerprint": TQ.q_doc_fingerprint,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": TQ.SQL_PACK_SEQUENCES,
         "federated_search": TQ.SQL_FEDERATED_SEARCH,
         "split_assign": TQ.SQL_SPLIT_ASSIGN,
+        "wordbreak": TQ.SQL_WORDBREAK,
         "facet_query": TQ.SQL_FACET_QUERY,
         "export_sorted": TQ.SQL_EXPORT_SORTED,
         "highlight_snippets": TQ.SQL_HIGHLIGHT,

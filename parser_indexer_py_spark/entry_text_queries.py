@@ -2622,3 +2622,45 @@ WITH g AS (
 SELECT doc_id, CASE {_split_case_sql()} END AS split
 FROM g ORDER BY doc_id
 """
+
+
+WORDBREAK_TERM = "windowmerge"  # OOV compound of two dictionary terms
+
+
+def q_wordbreak(spark, sf_dir):
+    """WordBreakSolrSpellChecker twin THROUGH THE ENGINE
+    (index/spell.py wordbreak; the reference's second registered
+    spellchecker at solrconfig.xml:1147-1155): every split of an
+    out-of-vocabulary compound whose BOTH halves (>= 2 chars) are
+    dictionary terms, ranked min-df desc then left part asc. The DuckDB
+    oracle enumerates the identical split positions over the token
+    dictionary."""
+    from .index.spell import wordbreak
+
+    idx = _docs_pos_index(spark, sf_dir)
+    res = wordbreak(idx, WORDBREAK_TERM)
+    rows = [
+        (WORDBREAK_TERM, left, right, int(mdf))
+        for (left, right, mdf) in res["breaks"].get(WORDBREAK_TERM, [])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "term string, left_part string, right_part string, min_df long",
+    ).orderBy(F.desc("min_df"), "left_part")
+
+
+SQL_WORDBREAK = SQL_TOK + f"""
+, dict AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+pos AS (SELECT i FROM range(2, {len(WORDBREAK_TERM) - 2 + 1}) r(i)),
+cand AS (
+  SELECT substr('{WORDBREAK_TERM}', 1, i) AS l,
+         substr('{WORDBREAK_TERM}', i + 1) AS r
+  FROM pos)
+SELECT '{WORDBREAK_TERM}' AS term, cand.l AS left_part,
+       cand.r AS right_part, LEAST(dl.df, dr.df) AS min_df
+FROM cand
+JOIN dict dl ON dl.w = cand.l
+JOIN dict dr ON dr.w = cand.r
+WHERE NOT EXISTS (SELECT 1 FROM dict WHERE w = '{WORDBREAK_TERM}')
+ORDER BY min_df DESC, left_part
+"""
