@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_search": TQ.q_federated_search,
         "split_assign": TQ.q_split_assign,
         "wordbreak": TQ.q_wordbreak,
+        "cluster_results": TQ.q_cluster_results,
         # text analysis (training-data pipeline)
         "token_counts": TQ.q_token_counts,
         "doc_fingerprint": TQ.q_doc_fingerprint,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "federated_search": TQ.SQL_FEDERATED_SEARCH,
         "split_assign": TQ.SQL_SPLIT_ASSIGN,
         "wordbreak": TQ.SQL_WORDBREAK,
+        "cluster_results": TQ.SQL_CLUSTER_RESULTS,
         "facet_query": TQ.SQL_FACET_QUERY,
         "export_sorted": TQ.SQL_EXPORT_SORTED,
         "highlight_snippets": TQ.SQL_HIGHLIGHT,

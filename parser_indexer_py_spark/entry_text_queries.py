@@ -2664,3 +2664,80 @@ JOIN dict dr ON dr.w = cand.r
 WHERE NOT EXISTS (SELECT 1 FROM dict WHERE w = '{WORDBREAK_TERM}')
 ORDER BY min_df DESC, left_part
 """
+
+
+CLUSTER_QUERY_TERMS = ("merge", "window")
+
+
+def q_cluster_results(spark, sf_dir):
+    """ClusteringComponent twin THROUGH THE ENGINE (components.py
+    cluster_results — the documented deterministic Lingo stand-in over
+    the /clustering handler's result page): top-20 docs for the query,
+    each labeled by its most distinctive non-query term (argmax
+    tf*ln(N/df), ties term asc), top-3 labels kept as clusters, the rest
+    folded into 'Other Topics'. The DuckDB oracle replays the identical
+    rule over the token table."""
+    from .index.components import cluster_results
+
+    idx = _docs_pos_index(spark, sf_dir)
+    out = cluster_results(
+        idx, " ".join(CLUSTER_QUERY_TERMS), k=20, clusters=4
+    )
+    m = idx.docmap.select(
+        F.col("doc_id").alias("iid"),
+        F.col("conv_id").cast("long").alias("doc_id"),
+    )
+    return (
+        out.withColumnRenamed("doc_id", "iid")
+        .join(m, "iid")
+        .select("label", "doc_id", "size")
+        .orderBy(F.desc("size"), "label", "doc_id")
+    )
+
+
+SQL_CLUSTER_RESULTS = SQL_TOK + f"""
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+qtf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+        WHERE w IN {CLUSTER_QUERY_TERMS!r} GROUP BY doc_id, w),
+qdfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM qtf GROUP BY w),
+scored AS (
+  SELECT qtf.doc_id,
+         ln(1.0 + (g.n - qdfs.df + 0.5) / (qdfs.df + 0.5))
+         * (qtf.tf * 2.2)
+         / (qtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS contrib
+  FROM qtf JOIN qdfs USING (w) JOIN dl ON dl.doc_id = qtf.doc_id, g),
+top AS (SELECT doc_id FROM
+          (SELECT doc_id, SUM(contrib) AS st FROM scored GROUP BY doc_id)
+        ORDER BY st DESC, doc_id LIMIT 20),
+ttf AS (SELECT t.doc_id, t.w, COUNT(*) AS tf
+        FROM tok t JOIN top USING (doc_id)
+        WHERE t.w NOT IN {CLUSTER_QUERY_TERMS!r}
+        GROUP BY t.doc_id, t.w),
+gdf AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+wts AS (SELECT ttf.doc_id, ttf.w,
+               ttf.tf * ln((SELECT n FROM g) * 1.0 / gdf.df) AS wt
+        FROM ttf JOIN gdf USING (w)),
+lab AS (SELECT doc_id, w AS label FROM
+          (SELECT doc_id, w,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY wt DESC, w) AS rn
+           FROM wts)
+        WHERE rn = 1),
+lab2 AS (SELECT t.doc_id, COALESCE(l.label, 'Other Topics') AS label
+         FROM top t LEFT JOIN lab l USING (doc_id)),
+sz AS (SELECT label, COUNT(*) AS s FROM lab2 GROUP BY label),
+keep AS (SELECT label FROM
+           (SELECT label, ROW_NUMBER() OVER (ORDER BY s DESC, label) AS rn
+            FROM sz)
+         WHERE rn < 4),
+fold AS (SELECT doc_id,
+                CASE WHEN label IN (SELECT label FROM keep) THEN label
+                     ELSE 'Other Topics' END AS label
+         FROM lab2),
+fsz AS (SELECT label, COUNT(*) AS size FROM fold GROUP BY label)
+SELECT f.label, f.doc_id, fsz.size
+FROM fold f JOIN fsz USING (label)
+ORDER BY size DESC, label, doc_id
+"""
