@@ -179,14 +179,23 @@ def browse(
 
     mlt: dict[int, DataFrame] = {}
     if mlt_docs > 0 and not match_all:
-        from .mlt import more_like_this
+        from .mlt import more_like_this, more_like_this_qf
 
         top_ids = [
             int(r["doc_id"])
             for r in page.select("doc_id").limit(mlt_docs).collect()
         ]
         for d in top_ids:
-            mlt[d] = more_like_this(meta_index, d, count=mlt_count)
+            # the handler's mlt.qf lists the same fields as qf
+            # (solrconfig.xml:880-885): multi-field requests run the
+            # qf-weighted multi-field MLT, single-field stays as before
+            if len(indexes) > 1:
+                mlt[d] = more_like_this_qf(
+                    indexes, d, qf, count=mlt_count,
+                    meta_field="text" if "text" in indexes else None,
+                )
+            else:
+                mlt[d] = more_like_this(meta_index, d, count=mlt_count)
 
     return {
         "response": page,

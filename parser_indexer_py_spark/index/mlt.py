@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 from ..functions.analyzer import analyze_text
 from .search import Index
 
-__all__ = ["more_like_this", "interesting_terms", "MLT_DEFAULTS"]
+__all__ = [
+    "MLT_DEFAULTS",
+    "interesting_terms",
+    "more_like_this",
+    "more_like_this_qf",
+]
 
 # solrconfig.xml:885 (mlt.count) + Lucene MoreLikeThis public defaults
 MLT_DEFAULTS = {
@@ -144,3 +149,82 @@ def more_like_this(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(int(cfg["count"]))
     )
+
+
+def more_like_this_qf(
+    indexes: dict,
+    doc_id: int,
+    qf: dict,
+    *,
+    with_meta: bool = True,
+    meta_field: str = "text",
+    **overrides,
+) -> DataFrame:
+    """Multi-field MoreLikeThis — the /browse handler's ``mlt.qf`` shape
+    (``mlt.qf=text^0.5 ... title^10.0`` beside ``mlt.fl``,
+    conf/solr/docs/conf/solrconfig.xml:880-885): interesting terms are
+    selected PER FIELD with that field's own statistics (Lucene's
+    MoreLikeThis walks each field's term vector separately), and the
+    generated query is a flat BooleanQuery of per-field term clauses —
+    contributions SUM across fields (BooleanQuery, deliberately NOT
+    edismax's per-term DisjunctionMax), each field's clause scores
+    scaled by its qf weight. The stable docID assignment (the invariant
+    ``edismax_qf`` already relies on) makes the cross-field combine a
+    plain doc_id join. The source document is excluded.
+
+    Scale shape: one full disjunctive evaluation per field over <=
+    maxQueryTerms interesting terms (the same cost class as that
+    field's MLT alone); the weighted outer-join sum touches only docs
+    matching >= 1 selected term."""
+    from functools import reduce
+
+    from ..functions.queryparser import parse_query
+    from .boolean import _scored_docs
+
+    bad = sorted(set(qf) - set(indexes))
+    if bad or not qf:
+        raise ValueError(f"qf fields {bad or '(empty)'} not in indexes")
+    cfg = {**MLT_DEFAULTS, **overrides}
+    parts = []
+    for f in sorted(qf):
+        idx = indexes[f]
+        terms = [t for t, _ in interesting_terms(idx, doc_id, **overrides)]
+        if not terms:
+            continue
+        sub = _scored_docs(idx, parse_query(" ".join(sorted(terms))))
+        parts.append(
+            sub.select(
+                "doc_id",
+                (F.col("score") * float(qf[f])).alias(f"s_{f}"),
+            )
+        )
+    meta_index = indexes.get(meta_field) or indexes[sorted(indexes)[0]]
+    if not parts:
+        schema = (
+            "doc_id long, score double, conv_id string, turn_idx int, "
+            "role string" if with_meta else "doc_id long, score double"
+        )
+        return meta_index.spark.createDataFrame([], schema)
+    joined = reduce(
+        lambda a, b: a.join(b, "doc_id", "outer"), parts
+    )
+    score = None
+    for c in joined.columns:
+        if c == "doc_id":
+            continue
+        piece = F.coalesce(F.col(c), F.lit(0.0))
+        score = piece if score is None else score + piece
+    out = (
+        joined.select("doc_id", score.alias("score"))
+        .filter(F.col("doc_id") != int(doc_id))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(cfg["count"]))
+    )
+    if with_meta:
+        meta = meta_index.docmap.select(
+            "doc_id", "conv_id", "turn_idx", "role"
+        )
+        out = out.join(meta, "doc_id", "left").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+    return out

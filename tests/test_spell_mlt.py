@@ -314,3 +314,70 @@ def test_wordbreak(spark, tmp_path):
     wb = wordbreak(idx, "alphabeta")
     assert wb["breaks"] == {} and wb["combines"] == []
     assert wb == o.wordbreak("alphabeta")
+
+
+def test_mlt_qf_multi_field(sindex, spark, tmp_path_factory):
+    """Round-5d: multi-field MoreLikeThis (the /browse handler's mlt.qf
+    shape) — per-field interesting-term selection with per-field stats,
+    qf-weighted SUM across fields (BooleanQuery, not DisMax), source
+    excluded. Gate: engine == pandas recombination of the engine's own
+    per-field full match sets (exact — same two floats, same add
+    order)."""
+    from pyspark.sql import functions as F
+
+    from parser_indexer_py_spark.functions.queryparser import parse_query
+    from parser_indexer_py_spark.index.boolean import _scored_docs
+    from parser_indexer_py_spark.index.mlt import more_like_this_qf
+
+    title = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+    src = sindex.docmap.select(
+        "conv_id", "turn_idx", "role", title.alias("text"), "tool", "ts"
+    )
+    tdir = str(tmp_path_factory.mktemp("mltqf_title"))
+    build_index(spark, src, tdir, n_partitions=4, n_chunks=1)
+    tidx = load_index(spark, tdir)
+    idxs = {"text": sindex, "title": tidx}
+    qf = {"text": 0.5, "title": 10.0}
+    kw = {"min_term_freq": 1, "min_doc_freq": 2, "count": 5}
+    did = int(
+        sindex.docmap.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    )
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in more_like_this_qf(idxs, did, qf, **kw).collect()
+    ]
+    # oracle: engine's own per-field match sets, recombined in pandas
+    acc: dict[int, float] = {}
+    for f in sorted(qf):
+        from parser_indexer_py_spark.index.mlt import interesting_terms
+
+        terms = [t for t, _ in interesting_terms(idxs[f], did, **kw)]
+        if not terms:
+            continue
+        sub = _scored_docs(idxs[f], parse_query(" ".join(sorted(terms))))
+        for r in sub.collect():
+            acc[r["doc_id"]] = acc.get(r["doc_id"], 0.0) + (
+                r["score"] * qf[f]
+            )
+    acc.pop(did, None)
+    exp = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert abs(gs - es) < 1e-9, (gd, gs, es)
+    # contract: unknown qf field raises
+    with pytest.raises(ValueError, match="not in indexes"):
+        more_like_this_qf(idxs, did, {"body": 1.0})
+    # the /browse facade routes multi-index requests through mlt.qf
+    from parser_indexer_py_spark.index.browse import browse
+
+    r = browse(idxs, "bace cedi", qf, rows=1, mm=0, spell=False, mlt_docs=1)
+    (bid,) = r["mlt"].keys()
+    via_browse = [
+        (x["doc_id"], x["score"]) for x in r["mlt"][bid].collect()
+    ]
+    direct = [
+        (x["doc_id"], x["score"])
+        for x in more_like_this_qf(idxs, bid, qf, count=3).collect()
+    ]
+    assert via_browse == direct and len(via_browse) > 0
