@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": TQ.q_split_assign,
         "wordbreak": TQ.q_wordbreak,
         "cluster_results": TQ.q_cluster_results,
+        "mlt_qf": TQ.q_mlt_qf,
         # text analysis (training-data pipeline)
         "token_counts": TQ.q_token_counts,
         "doc_fingerprint": TQ.q_doc_fingerprint,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": TQ.SQL_SPLIT_ASSIGN,
         "wordbreak": TQ.SQL_WORDBREAK,
         "cluster_results": TQ.SQL_CLUSTER_RESULTS,
+        "mlt_qf": TQ.SQL_MLT_QF,
         "facet_query": TQ.SQL_FACET_QUERY,
         "export_sorted": TQ.SQL_EXPORT_SORTED,
         "highlight_snippets": TQ.SQL_HIGHLIGHT,

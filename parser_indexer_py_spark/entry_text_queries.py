@@ -2741,3 +2741,92 @@ SELECT f.label, f.doc_id, fsz.size
 FROM fold f JOIN fsz USING (label)
 ORDER BY size DESC, label, doc_id
 """
+
+
+def q_mlt_qf(spark, sf_dir):
+    """Multi-field MoreLikeThis THROUGH THE ENGINE (index/mlt.py
+    more_like_this_qf — the /browse handler's mlt.qf shape at
+    solrconfig.xml:880-885): interesting terms selected PER FIELD with
+    that field's statistics (mintf=1, mindf=2 so the 3-word title field
+    participates), each field's disjunctive BM25 sum scaled by its qf
+    weight and SUMMED across fields (BooleanQuery, not DisMax), source
+    doc excluded. The DuckDB oracle replays both fields' selection and
+    scoring and combines with the same weight-after-sum float order."""
+    from .index.mlt import more_like_this_qf
+
+    idxs = {
+        "text": _docs_pos_index(spark, sf_dir),
+        "title": _docs_title_index(spark, sf_dir),
+    }
+    src = idxs["text"].docmap.filter(
+        F.col("conv_id") == str(MLT_SRC_DOC)
+    ).select("doc_id").collect()[0]["doc_id"]
+    hits = more_like_this_qf(
+        idxs, int(src), QF_BOOSTS, count=1_000_000, with_meta=True,
+        min_term_freq=1, min_doc_freq=2,
+    )
+    return (
+        hits.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_MLT_QF = SQL_TOK + f"""
+, ttok AS (SELECT doc_id, w FROM tok WHERE pos <= 3),
+xdl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+tdl AS (SELECT doc_id, COUNT(*) AS dl FROM ttok GROUP BY doc_id),
+xg AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM xdl),
+tg AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM tdl),
+xsrc AS (SELECT w, COUNT(*) AS tf FROM tok WHERE doc_id = {MLT_SRC_DOC}
+         GROUP BY w HAVING COUNT(*) >= 1),
+tsrc AS (SELECT w, COUNT(*) AS tf FROM ttok WHERE doc_id = {MLT_SRC_DOC}
+         GROUP BY w HAVING COUNT(*) >= 1),
+xalldf AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+talldf AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM ttok GROUP BY w),
+xint AS (
+  SELECT xsrc.w,
+         ROUND(xsrc.tf * (ln(xg.n / (xalldf.df + 1.0)) + 1.0), 6) AS m
+  FROM xsrc JOIN xalldf USING (w), xg
+  WHERE xalldf.df >= 2
+  ORDER BY m DESC, w LIMIT 25),
+tint AS (
+  SELECT tsrc.w,
+         ROUND(tsrc.tf * (ln(tg.n / (talldf.df + 1.0)) + 1.0), 6) AS m
+  FROM tsrc JOIN talldf USING (w), tg
+  WHERE talldf.df >= 2
+  ORDER BY m DESC, w LIMIT 25),
+xtf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+        WHERE w IN (SELECT w FROM xint) GROUP BY doc_id, w),
+ttf AS (SELECT doc_id, w, COUNT(*) AS tf FROM ttok
+        WHERE w IN (SELECT w FROM tint) GROUP BY doc_id, w),
+xdfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM xtf GROUP BY w),
+tdfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM ttf GROUP BY w),
+xsc AS (
+  SELECT xtf.doc_id,
+         ln(1.0 + (xg.n - xdfs.df + 0.5) / (xdfs.df + 0.5))
+         * (xtf.tf * 2.2)
+         / (xtf.tf + 1.2 * (0.25 + 0.75 * xdl.dl / (xg.sdl * 1.0 / xg.n)))
+         AS c
+  FROM xtf JOIN xdfs USING (w) JOIN xdl ON xdl.doc_id = xtf.doc_id, xg),
+tsc AS (
+  SELECT ttf.doc_id,
+         ln(1.0 + (tg.n - tdfs.df + 0.5) / (tdfs.df + 0.5))
+         * (ttf.tf * 2.2)
+         / (ttf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / (tg.sdl * 1.0 / tg.n)))
+         AS c
+  FROM ttf JOIN tdfs USING (w) JOIN tdl ON tdl.doc_id = ttf.doc_id, tg),
+xbase AS (SELECT doc_id, SUM(c) AS s FROM xsc GROUP BY doc_id),
+tbase AS (SELECT doc_id, SUM(c) AS s FROM tsc GROUP BY doc_id),
+comb AS (
+  SELECT COALESCE(x.doc_id, t.doc_id) AS doc_id,
+         COALESCE(x.s * {QF_BOOSTS['text']}, 0.0)
+         + COALESCE(t.s * {QF_BOOSTS['title']}, 0.0) AS score
+  FROM xbase x FULL OUTER JOIN tbase t ON x.doc_id = t.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score
+FROM comb WHERE doc_id <> {MLT_SRC_DOC}
+ORDER BY score DESC, doc_id LIMIT 10
+"""
