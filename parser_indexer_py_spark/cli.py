@@ -206,6 +206,31 @@ def main(argv: list[str] | None = None) -> int:
     pa.add_argument("--min-children", type=int, default=1)
     pa.add_argument("--fq", action="append", default=None)
 
+    sm = sub.add_parser("sample")
+    sm.add_argument("--input", required=True, help="parquet path")
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--id-col", required=True)
+    sm.add_argument("--fraction", type=float, required=True)
+    sm.add_argument("--salt", default="s1")
+
+    sp2 = sub.add_parser("split")
+    sp2.add_argument("--input", required=True, help="parquet path")
+    sp2.add_argument("--out", required=True)
+    sp2.add_argument("--id-col", required=True)
+    sp2.add_argument(
+        "--splits", required=True,
+        help="name=frac,name=frac (fractions sum to 1), e.g. "
+             "train=0.98,val=0.01,test=0.01",
+    )
+    sp2.add_argument("--salt", default="s1")
+
+    pk = sub.add_parser("pack")
+    pk.add_argument("--input", required=True, help="parquet path")
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--id-col", required=True)
+    pk.add_argument("--len-col", required=True)
+    pk.add_argument("--budget", type=int, required=True)
+
     an = sub.add_parser("analyze")
     an.add_argument("--text", required=True)
     an.add_argument("-q", default=None, help="query for analysis.showmatch")
@@ -343,6 +368,64 @@ def main(argv: list[str] | None = None) -> int:
         )
         res["seconds"] = round(time.time() - t0, 3)
         print(json.dumps(res))
+        return 0
+
+    if args.cmd == "sample":
+        from .operators.sampling import sample_hash_gate
+
+        df = spark.read.parquet(args.input)
+        out = sample_hash_gate(
+            df, args.id_col, args.fraction, salt=args.salt
+        )
+        out.write.mode("errorifexists").parquet(args.out)
+        print(json.dumps({
+            "written": args.out, "rows": spark.read.parquet(args.out).count(),
+            "of": df.count(), "fraction": args.fraction,
+        }))
+        return 0
+
+    if args.cmd == "split":
+        from .operators.sampling import assign_splits
+
+        fractions = {}
+        for part in args.splits.split(","):
+            name, frac = part.split("=")
+            fractions[name.strip()] = float(frac)
+        df = spark.read.parquet(args.input)
+        out = assign_splits(df, args.id_col, fractions, salt=args.salt)
+        out.write.mode("errorifexists").partitionBy("split").parquet(args.out)
+        back = spark.read.parquet(args.out)
+        from pyspark.sql import functions as _F
+
+        per = {
+            r["split"]: r["n"]
+            for r in back.groupBy("split").agg(
+                _F.count("*").alias("n")
+            ).collect()
+        }
+        print(json.dumps({"written": args.out, "per_split": per}))
+        return 0
+
+    if args.cmd == "pack":
+        from .operators.packing import pack_offsets
+
+        df = spark.read.parquet(args.input)
+        out = pack_offsets(df, args.id_col, args.len_col, args.budget)
+        out.write.mode("errorifexists").parquet(args.out)
+        back = spark.read.parquet(args.out)
+        from pyspark.sql import functions as _F
+
+        g = back.agg(
+            _F.count("*").alias("rows"),
+            (_F.max(_F.col("offset") + _F.col("len"))).alias("stream_len"),
+            _F.max("seq_last").alias("n_seqs_minus_1"),
+        ).collect()[0]
+        print(json.dumps({
+            "written": args.out, "rows": g["rows"],
+            "stream_len": g["stream_len"],
+            "n_sequences": int(g["n_seqs_minus_1"]) + 1,
+            "budget": args.budget,
+        }))
         return 0
 
     if args.cmd == "parent":
