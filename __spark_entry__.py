@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_slop": TQ.q_phrase_search_slop,
         "lucene_query": TQ.q_lucene_query,
         "lucene_query_grouped": TQ.q_lucene_grouped,
+        "lucene_fuzzy_damerau": TQ.q_lucene_fuzzy_damerau,
         "edismax_qf": TQ.q_edismax_qf,
         "edismax_qf_pruned": TQ.q_edismax_qf_pruned,
         "lucene_fielded_scored": TQ.q_lucene_fielded_scored,
@@ -150,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search_slop": TQ.SQL_PHRASE_SLOP,
         "lucene_query": TQ.SQL_LUCENE,
         "lucene_query_grouped": TQ.SQL_LUCENE_GROUPED,
+        "lucene_fuzzy_damerau": TQ.SQL_LUCENE_DAMERAU,
         "edismax_qf": TQ.SQL_EDISMAX_QF,
         "edismax_qf_pruned": TQ.SQL_EDISMAX_QF,
         "lucene_fielded_scored": TQ.SQL_FIELDED_SCORED,

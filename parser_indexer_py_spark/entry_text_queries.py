@@ -1065,6 +1065,70 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# round-5: fuzzy with Lucene's default transpositions=true semantics —
+# 'wnidow' is 'window' with an adjacent swap: Damerau distance 1, plain
+# Levenshtein 2, so ~1 matches ONLY under the Damerau flag
+LUCENE_DAMERAU = "+merge wnidow~1"
+
+
+def q_lucene_fuzzy_damerau(spark, sf_dir):
+    """Fuzzy query with ``fuzzy_transpositions=True`` THROUGH THE ENGINE
+    (round-5: Lucene FuzzyQuery's own default counts an adjacent
+    transposition as ONE edit — LevenshteinAutomata with transpositions;
+    the classic syntax can't express the flag, so it rides the clause
+    structs like Lucene's construction-time parameter): docs must contain
+    ``merge`` (BM25-scored), plus constant 1.0 if the doc matches the
+    Damerau-distance-1 expansion of the transposed typo ``wnidow`` —
+    which is exactly {window}, unreachable at plain-Levenshtein ~1. The
+    engine computes the expansion with a length-window + 2x-levenshtein
+    JVM prefilter and an Arrow-batched Lowrance-Wagner DP; the DuckDB
+    oracle recomputes it with its own damerau_levenshtein() over the
+    distinct vocabulary."""
+    from .index.boolean import boolean_search
+
+    idx = _docs_pos_index(spark, sf_dir)
+    hits = boolean_search(
+        idx, LUCENE_DAMERAU, k=1_000_000, with_meta=True,
+        fuzzy_transpositions=True,
+    )
+    return (
+        hits.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_LUCENE_DAMERAU = SQL_TOK + """
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+mtf AS (SELECT doc_id, COUNT(*) AS tf FROM tok WHERE w = 'merge'
+        GROUP BY doc_id),
+mdf AS (SELECT COUNT(*) AS df FROM mtf),
+mscore AS (
+  SELECT mtf.doc_id,
+         ln(1.0 + (g.n - mdf.df + 0.5) / (mdf.df + 0.5))
+         * (mtf.tf * 2.2)
+         / (mtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS s
+  FROM mtf JOIN dl USING (doc_id), mdf, g),
+fterms AS (SELECT w FROM (SELECT DISTINCT w FROM tok)
+           WHERE abs(length(w) - 6) <= 1
+             AND damerau_levenshtein(w, 'wnidow') <= 1),
+fdocs AS (SELECT DISTINCT doc_id FROM tok
+          WHERE w IN (SELECT w FROM fterms))
+SELECT ms.doc_id,
+       ROUND(ms.s
+             + (CASE WHEN f.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END),
+             6) AS score
+FROM mscore ms
+LEFT JOIN fdocs f USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def _docs_title_index(spark, sf_dir):
     """Second-field index for edismax qf: 'title' = the first 3 words of
     each document (derived identically in the DuckDB oracle via pos <= 3),

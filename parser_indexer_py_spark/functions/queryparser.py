@@ -65,13 +65,18 @@ Supported grammar (documented subset of the Lucene classic parser):
   default blended-frequency rewrite is a documented deviation), with
   the same ``MAX_PREFIX_EXPANSIONS`` cap. Legacy fractional similarity
   (``term~0.8``) raises — it has been removed from Lucene itself.
-  Second documented deviation (round-4 ADVICE): distance is PLAIN
-  Levenshtein (Spark's ``levenshtein`` in ``_expand_fuzzy``, the DP twin
-  in ``oracle._levenshtein`` — engine and oracle agree exactly), while
-  Lucene FuzzyQuery defaults to ``transpositions=true`` (Damerau): a
-  transposed typo like ``wnidow~1`` matches ``window`` in Lucene but
-  needs ``~2`` here. Spark has no Damerau builtin; both twins would have
-  to change together to close this.
+  Distance defaults to PLAIN Levenshtein (Spark's ``levenshtein`` in
+  ``_expand_fuzzy``, the DP twin in ``oracle._levenshtein``);
+  ``boolean_search(fuzzy_transpositions=True)`` switches BOTH twins to
+  true Damerau-Levenshtein (adjacent transposition = one edit, the
+  Lowrance-Wagner distance DuckDB's ``damerau_levenshtein`` computes),
+  closing the round-4 documented deviation: Lucene FuzzyQuery defaults
+  to ``transpositions=true``, so a transposed typo like ``wnidow~1``
+  matches ``window`` there — and here, with the flag on. The flag
+  rides the clause structs (``with_fuzzy_transpositions``), not the
+  syntax, exactly like Lucene's construction-time parameter. The
+  remaining (default-off) difference is documented rather than silently
+  approximated.
 - ``te?t`` / ``t*st`` — wildcard terms (round 5): Lucene WildcardQuery
   with the constant-score multi-term rewrite, expanded by anchored
   pattern match over the term dictionary (a literal prefix is pushed to
@@ -103,6 +108,7 @@ __all__ = [
     "ParsedQuery",
     "parse_query",
     "flatten_query",
+    "with_fuzzy_transpositions",
 ]
 
 SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
@@ -129,12 +135,20 @@ class PrefixClause:
 
 @dataclass(frozen=True)
 class FuzzyClause:
-    """``term~N`` — constant-score edit-distance expansion."""
+    """``term~N`` — constant-score edit-distance expansion.
+
+    ``transpositions`` is Lucene FuzzyQuery's construction-time flag (not
+    part of the query syntax): True counts an adjacent transposition as
+    ONE edit (Damerau-Levenshtein), Lucene's own default. The parser
+    always emits False; ``with_fuzzy_transpositions`` rewrites a parsed
+    query to turn it on (boolean_search exposes it as
+    ``fuzzy_transpositions=True`` on both the engine and the oracle)."""
 
     term: str
     max_edits: int
     occur: str
     boost: float = 1.0
+    transpositions: bool = False
 
 
 @dataclass(frozen=True)
@@ -762,6 +776,30 @@ def flatten_query(pq: ParsedQuery) -> ParsedQuery:
         match_all=pq.match_all,
         must_any=tuple(must_any),
     )
+
+
+def with_fuzzy_transpositions(pq: ParsedQuery) -> ParsedQuery:
+    """Rewrite every FuzzyClause (recursively through groups) with
+    ``transpositions=True`` — the query-construction analog of Lucene
+    FuzzyQuery's default ``transpositions`` flag, which the classic
+    syntax cannot express. Shared plumbing like the parser itself: the
+    engine and the oracle both apply this rewrite and then EVALUATE the
+    Damerau expansion independently (boolean._expand_fuzzy's pandas-UDF
+    DP vs oracle._damerau's last-occurrence DP)."""
+    import dataclasses
+
+    out = dataclasses.replace(
+        pq,
+        fuzzies=tuple(
+            dataclasses.replace(fc, transpositions=True)
+            for fc in pq.fuzzies
+        ),
+        subs=tuple(
+            dataclasses.replace(gc, sub=with_fuzzy_transpositions(gc.sub))
+            for gc in pq.subs
+        ),
+    )
+    return out
 
 
 def _is_empty(pq: ParsedQuery) -> bool:

@@ -52,6 +52,7 @@ that AQE plans (broadcast when one side is tiny).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -64,6 +65,7 @@ from ..functions.queryparser import (
     RangeValue,
     flatten_query,
     parse_query,
+    with_fuzzy_transpositions,
 )
 from .search import (
     _DECODED_SCHEMA,
@@ -121,22 +123,86 @@ def _expand_prefix(index: Index, prefix: str) -> list[str]:
     return sorted(r["term"] for r in rows)
 
 
-def _expand_fuzzy(index: Index, term: str, max_edits: int) -> list[str]:
+def _damerau_dist(q: str, b: str) -> int:
+    """TRUE Damerau-Levenshtein (Lowrance-Wagner matrix DP): adjacent
+    transposition is ONE edit, even with later edits landing inside the
+    swapped pair — d('ca','abc') == 2, unlike the optimal-string-
+    alignment restriction's 3. This is the distance DuckDB's
+    ``damerau_levenshtein`` computes and the semantics of Lucene
+    FuzzyQuery ``transpositions=true``; gated against DuckDB on
+    exhaustive small-alphabet pairs in tests/test_fuzzy_damerau.py."""
+    m, n = len(q), len(b)
+    inf = m + n
+    # (m+2)x(n+2): row/col 0 is the "minus one" sentinel rail
+    d = [[inf] * (n + 2) for _ in range(m + 2)]
+    d[1][1] = 0
+    for i in range(1, m + 1):
+        d[i + 1][1] = i
+    for j in range(1, n + 1):
+        d[1][j + 1] = j
+    last_row: dict[str, int] = {}
+    for i in range(1, m + 1):
+        last_col = 0
+        for j in range(1, n + 1):
+            i1 = last_row.get(b[j - 1], 0)
+            j1 = last_col
+            cost = 0 if q[i - 1] == b[j - 1] else 1
+            if cost == 0:
+                last_col = j
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,            # substitute / match
+                d[i + 1][j] + 1,           # insert
+                d[i][j + 1] + 1,           # delete
+                d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),
+            )
+        last_row[q[i - 1]] = i
+    return d[m + 1][n + 1]
+
+
+def _damerau_filter_udf(term: str, max_edits: int):
+    """Arrow-batched true Damerau-Levenshtein keep-mask against a constant
+    query term (``_damerau_dist``). Spark has no Damerau builtin, so this
+    is the one place the fuzzy path leaves codegen — it runs only on
+    candidates that survive the JVM-side length window AND the
+    ``levenshtein <= 2*max_edits`` prefilter (a transposition costs at
+    most two plain-Levenshtein substitutions, so lev <= 2*DL always;
+    fuzz-verified exhaustively on a 2-letter alphabet), a vanishing
+    fraction of the dictionary."""
+
+    @F.pandas_udf("boolean")
+    def keep(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: _damerau_dist(term, t) <= max_edits)
+
+    return keep
+
+
+def _expand_fuzzy(
+    index: Index, term: str, max_edits: int, transpositions: bool = False
+) -> list[str]:
     """Lucene FuzzyQuery rewrite step: the dictionary terms within
-    ``max_edits`` Levenshtein distance (prefixLength=0, Lucene's default,
+    ``max_edits`` edit distance (prefixLength=0, Lucene's default,
     so the scan covers the whole term dictionary — vocabulary-sized, with
     the |len(a)-len(b)| <= maxEdits window pushed to the parquet term
-    column stats). Capped at MAX_PREFIX_EXPANSIONS like every multi-term
-    rewrite. ``max_edits == 0`` matches the exact term only."""
+    column stats; transpositions never change length, so the window
+    holds for both distances). Capped at MAX_PREFIX_EXPANSIONS like
+    every multi-term rewrite. ``max_edits == 0`` matches the exact term
+    only. ``transpositions=True`` is Lucene FuzzyQuery's own default
+    semantics (Damerau): the JVM ``levenshtein`` becomes a 2x prefilter
+    and the exact Damerau DP (``_damerau_filter_udf``) decides."""
     if max_edits == 0:
         return [term]
     dist = F.levenshtein(F.col("term"), F.lit(term))
-    rows = (
-        index.termstats.filter(
-            F.abs(F.length("term") - F.lit(len(term))) <= max_edits
+    cand = index.termstats.filter(
+        F.abs(F.length("term") - F.lit(len(term))) <= max_edits
+    )
+    if transpositions:
+        cand = cand.filter(dist <= 2 * max_edits).filter(
+            _damerau_filter_udf(term, max_edits)(F.col("term"))
         )
-        .filter(dist <= max_edits)
-        .select("term")
+    else:
+        cand = cand.filter(dist <= max_edits)
+    rows = (
+        cand.select("term")
         .limit(MAX_PREFIX_EXPANSIONS + 1)
         .collect()
     )
@@ -205,7 +271,9 @@ def _exclusion_docs(
         if fc.occur == MUST_NOT:
             parts.append(
                 _docs_with_any(
-                    index, _expand_fuzzy(index, fc.term, fc.max_edits)
+                    index, _expand_fuzzy(
+                index, fc.term, fc.max_edits, fc.transpositions
+            )
                 )
             )
     for wc in pq.wildcards:
@@ -397,7 +465,9 @@ def _scored_docs(
         # constant-score multi-term rewrite, like prefixes (queryparser
         # docstring documents the deviation from Lucene's blended rewrite)
         docs = _docs_with_any(
-            index, _expand_fuzzy(index, fc.term, fc.max_edits)
+            index, _expand_fuzzy(
+                index, fc.term, fc.max_edits, fc.transpositions
+            )
         )
         pieces.append(
             (
@@ -534,7 +604,9 @@ def _scored_docs(
         if fc.occur == MUST_NOT:
             out = out.join(
                 _docs_with_any(
-                    index, _expand_fuzzy(index, fc.term, fc.max_edits)
+                    index, _expand_fuzzy(
+                index, fc.term, fc.max_edits, fc.transpositions
+            )
                 ),
                 "doc_id",
                 "left_anti",
@@ -661,10 +733,16 @@ def boolean_search(
     pool_target: int | None = None,
     field_indexes: dict | None = None,
     require: DataFrame | None = None,
+    fuzzy_transpositions: bool = False,
 ) -> DataFrame:
     """Top-k for a Lucene classic-syntax query string (module docstring
     has the semantics). Returns (doc_id, score[, conv_id, turn_idx, role
     [, excerpt]]), ties broken by ascending doc_id like every other path.
+
+    ``fuzzy_transpositions=True`` evaluates every ``term~N`` clause with
+    true Damerau-Levenshtein distance (adjacent transposition = one
+    edit) — Lucene FuzzyQuery's own default. Default False keeps plain
+    Levenshtein (the documented deviation in functions/queryparser.py).
 
     ``field_indexes`` makes ``field:value`` clauses in ``q`` SCORE
     against that field's own index instead of filtering on a docmap
@@ -701,6 +779,8 @@ def boolean_search(
     applies to delegable queries; the clause evaluator is always a full
     evaluation."""
     pq = parse_query(query, default_op=default_op)
+    if fuzzy_transpositions:
+        pq = with_fuzzy_transpositions(pq)
     if min_should_match == 0:
         # Lucene's BooleanQuery rewrite: simple nested groups fold into
         # this level (shared flatten_query — the oracle applies the same

@@ -160,18 +160,23 @@ class BM25Oracle:
             )
         return terms
 
-    def _fuzzy_terms(self, term: str, max_edits: int) -> list[str]:
+    def _fuzzy_terms(
+        self, term: str, max_edits: int, transpositions: bool = False
+    ) -> list[str]:
         """Twin of index.boolean._expand_fuzzy (prefixLength=0 dictionary
-        scan, length-window + Levenshtein, maxClauseCount cap)."""
+        scan, length-window + Levenshtein, maxClauseCount cap);
+        ``transpositions=True`` switches to true Damerau-Levenshtein
+        (``_damerau``), the twin of the engine's pandas-UDF DP."""
         from ..functions.queryparser import MAX_PREFIX_EXPANSIONS
 
         if max_edits == 0:
             return [term]
+        dist = _damerau if transpositions else _levenshtein
         out = sorted(
             t
             for t in self.postings
             if abs(len(t) - len(term)) <= max_edits
-            and _levenshtein(t, term) <= max_edits
+            and dist(t, term) <= max_edits
         )
         if len(out) > MAX_PREFIX_EXPANSIONS:
             raise ValueError(
@@ -188,6 +193,7 @@ class BM25Oracle:
         role: str | None = None,
         min_should_match: int = 0,
         match_all_score: float = 1.0,
+        fuzzy_transpositions: bool = False,
     ) -> list[tuple[int, float]]:
         """Twin of index.boolean.boolean_search — same parser
         (functions.queryparser, shared on purpose: the parse is plumbing,
@@ -201,9 +207,15 @@ class BM25Oracle:
 
         Field clauses: the oracle's only metadata field is ``role``;
         other fields raise (engine-only surface)."""
-        from ..functions.queryparser import flatten_query, parse_query
+        from ..functions.queryparser import (
+            flatten_query,
+            parse_query,
+            with_fuzzy_transpositions,
+        )
 
         pq = parse_query(query)
+        if fuzzy_transpositions:
+            pq = with_fuzzy_transpositions(pq)
         if min_should_match == 0:
             # the same Lucene-rewrite flattening the engine applies
             pq = flatten_query(pq)
@@ -326,7 +338,9 @@ class BM25Oracle:
             if fc.occur == MUST_NOT:
                 continue
             docs_f: set[int] = set()
-            for t in self._fuzzy_terms(fc.term, fc.max_edits):
+            for t in self._fuzzy_terms(
+                fc.term, fc.max_edits, fc.transpositions
+            ):
                 docs_f |= set(self.postings.get(t, {}))
             pieces.append(
                 (
@@ -425,7 +439,9 @@ class BM25Oracle:
                     excluded |= set(self.postings[t])
         for fc in pq.fuzzies:
             if fc.occur == MUST_NOT:
-                for t in self._fuzzy_terms(fc.term, fc.max_edits):
+                for t in self._fuzzy_terms(
+                fc.term, fc.max_edits, fc.transpositions
+            ):
                     excluded |= set(self.postings.get(t, {}))
         for wc in pq.wildcards:
             if wc.occur == MUST_NOT:
@@ -595,3 +611,43 @@ def _levenshtein(a: str, b: str) -> int:
             )
         prev = cur
     return prev[-1]
+
+
+def _damerau(a: str, b: str) -> int:
+    """TRUE Damerau-Levenshtein (adjacent transposition = one edit, and —
+    unlike the optimal-string-alignment restriction — later edits may
+    land inside a transposed pair: d('ca','abc') == 2). This is the
+    distance DuckDB's ``damerau_levenshtein`` computes and the semantics
+    of Lucene FuzzyQuery's ``transpositions=true``; the engine's twin is
+    the pandas-UDF DP in index.boolean._damerau_filter_udf, written
+    independently (this one keeps the full matrix keyed by string index
+    and a per-character last-seen map over ``b``). Gated against DuckDB
+    on exhaustive small-alphabet pairs in tests/test_fuzzy_damerau.py."""
+    la, lb = len(a), len(b)
+    big = la + lb
+    # rows 0..la+1 / cols 0..lb+1; row/col 0 is the "minus one" sentinel
+    d = [[big] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    seen_in_b: dict[str, int] = {}
+    for i in range(1, la + 1):
+        match_col = 0
+        for j in range(1, lb + 1):
+            prev_row = seen_in_b.get(b[j - 1], 0)
+            prev_col = match_col
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                match_col = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[prev_row][prev_col]
+                + (i - prev_row - 1) + 1 + (j - prev_col - 1),
+            )
+        seen_in_b[a[i - 1]] = i
+    return d[la + 1][lb + 1]
