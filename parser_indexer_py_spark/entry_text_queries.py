@@ -1065,6 +1065,75 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_delete_by_query(spark, sf_dir):
+    """Delete-by-query tombstones THROUGH THE ENGINE (round-5d: the Solr
+    /update deleteByQuery the reference's own docs use,
+    docs/mte-samplequeries.md's delete example + the Lucene liveDocs
+    model): build a DEDICATED index over the documents table (its own
+    dir — deletes mutate index state), tombstone every doc matching
+    ``stream``, then run BM25 top-10 for ``window merge``. Lucene
+    semantics under test: deleted docs vanish from the match set while
+    df/dl STATISTICS STAY STALE until compaction — so the DuckDB oracle
+    scores with FULL-corpus statistics and only excludes the deleted
+    docs from the result set. Idempotent across runs: the second
+    delete_by_query finds nothing (its own match set already excludes
+    tombstones)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .index.build import build_index
+    from .index.search import load_index, search
+    from .index.update import delete_by_query
+    from .shipping import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit("").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"pi_docs_delidx_{key}")
+    build_index(spark, src, out, n_buckets=8, salt=4, n_chunks=1)
+    delete_by_query(spark, out, "stream")
+    idx = load_index(spark, out)
+    hits = search(idx, "window merge", k=1_000_000, with_meta=True)
+    return (
+        hits.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_DELETE_BY_QUERY = SQL_TOK + """
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       WHERE w IN ('window', 'merge') GROUP BY doc_id, w),
+dfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS contrib
+  FROM tf JOIN dfs USING (w) JOIN dl ON dl.doc_id = tf.doc_id, g)
+SELECT doc_id, ROUND(SUM(contrib), 6) AS score
+FROM scored
+WHERE doc_id NOT IN (SELECT doc_id FROM tok WHERE w = 'stream')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # round-5: fuzzy with Lucene's default transpositions=true semantics —
 # 'wnidow' is 'window' with an adjacent swap: Damerau distance 1, plain
 # Levenshtein 2, so ~1 matches ONLY under the Damerau flag

@@ -326,6 +326,41 @@ def _scored_docs(
     min_should_match: int = 0,
     field_indexes: dict | None = None,
 ) -> DataFrame | None:
+    """Liveness wrapper over :func:`_scored_docs_raw`: anti-joins the
+    index's tombstoned doc_ids (Lucene liveDocs — index/update.py
+    delete_docs) out of the match set, so every clause-evaluator surface
+    (boolean_search, select match sets + facets, fq evaluation,
+    filterCache, /export, MLT, block join) drops deleted docs in one
+    place. Scores of surviving docs are untouched: df/dl statistics
+    intentionally stay stale until compaction, exactly Lucene's
+    semantics. No-op (no extra plan nodes) when nothing was deleted.
+    Group recursion re-enters through this wrapper — redundant but
+    harmless (removing deleted docs from a sub match set never changes a
+    surviving doc's membership or score, including MUST_NOT subs, whose
+    tombstoned members are dropped at the top level anyway)."""
+    out = _scored_docs_raw(
+        index, pq, role=role, extra_filters=extra_filters,
+        match_all_score=match_all_score,
+        min_should_match=min_should_match, field_indexes=field_indexes,
+    )
+    if out is None:
+        return None
+    ts = index.tombstones
+    if ts is not None:
+        out = out.join(F.broadcast(ts), "doc_id", "left_anti")
+    return out
+
+
+def _scored_docs_raw(
+    index: Index,
+    pq: ParsedQuery,
+    *,
+    role: str | None = None,
+    extra_filters: dict | None = None,
+    match_all_score: float = 1.0,
+    min_should_match: int = 0,
+    field_indexes: dict | None = None,
+) -> DataFrame | None:
     """(doc_id, score) for every doc matching ``pq`` — the pre-top-k core
     shared by boolean_search (scores kept) and fq evaluation (doc set
     only). Returns None when the query matches nothing by construction

@@ -160,6 +160,12 @@ class IndexPaths:
         return os.path.join(self.root, "globals.json")
 
     @property
+    def tombstones(self) -> str:
+        # Lucene .del / liveDocs analog: parquet files of deleted doc_ids
+        # (index/update.py delete_docs); absent dir = no deletes
+        return os.path.join(self.root, "tombstones")
+
+    @property
     def manifest(self) -> str:
         return os.path.join(self.root, "manifest.json")
 

@@ -75,6 +75,27 @@ class Index:
             return self._cached["docmap"]
         return self.spark.read.parquet(self.paths.docmap)
 
+    @property
+    def tombstones(self) -> "DataFrame | None":
+        """Deleted doc_ids (Lucene liveDocs analog, index/update.py
+        delete_docs): a distinct doc_id DataFrame, or None when nothing
+        was ever deleted. Read fresh from disk on every access — a
+        delete is visible to the next query without reloading the Index
+        (Solr's commit-then-newSearcher made cheap by parquet file
+        listing). Deleted docs vanish from every match set / top-k;
+        term statistics (df/cf, termstats-backed surfaces: spellcheck,
+        suggest, /terms) stay STALE until a compaction rewrites the
+        segment — exactly Lucene's semantics, where liveDocs filter
+        postings iteration but docFreq ignores deletions until merge."""
+        import glob as _glob
+
+        d = self.paths.tombstones
+        if not _glob.glob(os.path.join(d, "*.parquet")):
+            return None
+        return (
+            self.spark.read.parquet(d).select("doc_id").distinct()
+        )
+
     def cache(self) -> "Index":
         """Pin the index tables in executor memory for query-heavy
         workloads (Solr keeps its segments page-cached; this is the Spark
@@ -508,6 +529,9 @@ def phrase_eval(
     allowed = allowed_docs(index, role, filters)
     if allowed is not None:
         scored = scored.join(allowed, "doc_id", "left_semi")
+    ts = index.tombstones  # Lucene liveDocs (see search())
+    if ts is not None:
+        scored = scored.join(F.broadcast(ts), "doc_id", "left_anti")
     topk = (
         scored.select("doc_id", "score", "phrase_freq")
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -725,6 +749,13 @@ def search(
     spark = index.spark
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
+    # Lucene liveDocs: deleted docs ride the existing exclude hook, so
+    # BOTH evaluation modes (and every boolean delegation through here)
+    # drop them before the top-k — scores of survivors are untouched
+    # because df/dl statistics intentionally stay stale until compaction
+    ts = index.tombstones
+    if ts is not None:
+        exclude = ts if exclude is None else exclude.unionByName(ts)
     # unexpanded queries keep the cheaper n_terms conjunctive filter;
     # group semantics only differ (and only engage) under real expansion
     expanded = any(len(g) > 1 for g in groups) or len(terms) != len(groups)

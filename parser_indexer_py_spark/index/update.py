@@ -203,3 +203,182 @@ def update_docmap(
         migrated_layout=bool(legacy),
     )
     return int(n_updated)
+
+
+def delete_docs(
+    spark: SparkSession, index_root: str, doc_ids
+) -> int:
+    """Delete-by-id — the Lucene ``.del`` file / liveDocs analog.
+
+    Appends the doc_ids as a tombstone generation under
+    ``<root>/tombstones/``; every query surface drops tombstoned docs
+    (Index.tombstones is folded into the exclude hook of search(), the
+    clause evaluator's _scored_docs wrapper, and phrase_eval), while
+    df/cf statistics stay STALE until a compaction rewrites the segment
+    — exactly Lucene's deletion semantics (docFreq ignores deletions
+    until merge). Deletes are monotone and idempotent: re-deleting, or a
+    crash that lands only part of a generation's files, loses nothing a
+    re-run doesn't fix (readers take the distinct union of whatever
+    whole parquet files exist — file moves below are per-file atomic).
+
+    ``doc_ids``: a DataFrame with a ``doc_id`` column, or an iterable of
+    ints. Returns the number of distinct ids recorded (unvalidated, like
+    IndexWriter.deleteDocuments). Searcher caches hold pre-delete match
+    sets — invalidate() them after deleting, Solr's newSearcher event.
+    (Production path: Iceberg positional delete files + snapshot.)
+    """
+    import shutil
+
+    paths = IndexPaths(index_root)
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    else:
+        ids = spark.createDataFrame(
+            [(int(d),) for d in sorted(set(doc_ids))], "doc_id long"
+        )
+    n = ids.count()
+    if n == 0:
+        return 0
+    gen = time.time_ns()
+    staging = os.path.join(paths.root, f".tomb-staging-{gen}")
+    ids.coalesce(1).write.mode("overwrite").parquet(staging)
+    os.makedirs(paths.tombstones, exist_ok=True)
+    moved = 0
+    for name in sorted(os.listdir(staging)):
+        if name.endswith(".parquet"):
+            os.replace(
+                os.path.join(staging, name),
+                os.path.join(paths.tombstones, f"del-{gen}-{moved}.parquet"),
+            )
+            moved += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    man = Manifest(paths.manifest)
+    man.add(f"delete_docs_{gen}", rows_deleted=int(n), generation=int(gen))
+    return int(n)
+
+
+def delete_by_query(spark: SparkSession, index_root: str, query: str) -> int:
+    """Solr deleteByQuery over the full classic-parser surface: evaluate
+    the query's match set with the SAME clause evaluator queries use
+    (``*:*`` deletes everything, mte-samplequeries.md's delete shape;
+    fielded / boolean / phrase / fuzzy shapes all work) and tombstone it.
+    Already-deleted docs never re-count: the match set itself excludes
+    tombstones, so the return value is newly-deleted docs only."""
+    from ..functions.queryparser import parse_query
+    from .boolean import _scored_docs
+    from .search import load_index
+
+    idx = load_index(spark, index_root)
+    sub = _scored_docs(idx, parse_query(query))
+    if sub is None:
+        return 0
+    return delete_docs(spark, index_root, sub.select("doc_id"))
+
+
+def apply_update_commands(
+    spark: SparkSession, index_root: str, body
+) -> dict:
+    """The /update/json request-body twin (UpdateRequestHandler,
+    conf/solr/docs/conf/solrconfig.xml:968; the reference posts atomic
+    ``{'set': ...}`` docs from src/parserindexer/brat_ann_indexer.py:186-194
+    and delete-by-query from docs/mte-samplequeries.md's delete example).
+
+    Accepted shapes::
+
+        [{"conv_id": "c1", "turn_idx": 3, "role": {"set": "tool"}}, ...]
+        {"add": {"doc": {...atomic doc...}}}
+        {"delete": {"query": "role:tool"}}
+        {"delete": {"id": ["c1", 3]}}            # uniqueKey = composite
+        {"delete": [["c1", 3], ["c2", 0]]}
+
+    Atomic docs must wrap every non-key field in an op dict; the only op
+    is ``set`` (``{"set": null}`` unsets, Solr's null-set). ``add``,
+    ``remove``, ``inc`` raise: the updatable docmap fields (role/tool/ts)
+    are single-valued scalars, and content changes need reindexing — the
+    same loud contract as update_docmap. Full-document adds (bare field
+    values) raise too: new content is the streaming append path.
+
+    Returns ``{"updated": n, "deleted": n}``."""
+    key_cols = ("conv_id", "turn_idx")
+    updates: list[dict] = []
+    delete_ids: list[tuple] = []
+    deleted = 0
+
+    def _atomic_row(doc: dict) -> dict:
+        row = {}
+        missing = [k for k in key_cols if k not in doc]
+        if missing:
+            raise ValueError(
+                f"atomic update doc missing uniqueKey fields {missing}: "
+                f"{doc!r}"
+            )
+        for k, v in doc.items():
+            if k in key_cols:
+                row[k] = v
+                continue
+            if not isinstance(v, dict) or set(v) - {"set"}:
+                ops = sorted(set(v) - {"set"}) if isinstance(v, dict) else v
+                raise ValueError(
+                    f"field {k!r}: only the 'set' atomic op is supported "
+                    f"(got {ops!r}); add/remove/inc need multivalued "
+                    "fields, full-document add needs reindexing "
+                    "(streaming append)"
+                )
+            row[k] = v["set"]
+        return row
+
+    def _one_delete(spec) -> None:
+        nonlocal deleted
+        if isinstance(spec, dict) and "query" in spec:
+            deleted += delete_by_query(spark, index_root, spec["query"])
+        elif isinstance(spec, dict) and "id" in spec:
+            delete_ids.append(tuple(spec["id"]))
+        elif isinstance(spec, (list, tuple)) and not isinstance(
+            spec[0], (list, tuple)
+        ):
+            delete_ids.append(tuple(spec))
+        else:
+            for s in spec:
+                _one_delete(s)
+
+    if isinstance(body, list):
+        updates = [_atomic_row(d) for d in body]
+    elif isinstance(body, dict):
+        for cmd, spec in body.items():
+            if cmd == "add":
+                docs = spec if isinstance(spec, list) else [spec]
+                updates += [
+                    _atomic_row(d["doc"] if "doc" in d else d) for d in docs
+                ]
+            elif cmd == "delete":
+                _one_delete(spec)
+            else:
+                raise ValueError(f"unsupported update command {cmd!r}")
+    else:
+        raise ValueError(f"unsupported update body type {type(body)}")
+
+    updated = 0
+    if updates:
+        cols = sorted({k for u in updates for k in u})
+        up = spark.createDataFrame(
+            [tuple(u.get(c) for c in cols) for u in updates], list(cols)
+        )
+        # preserve docmap types for the merge (ts arrives as a string)
+        if "ts" in cols:
+            up = up.withColumn("ts", F.col("ts").cast("timestamp"))
+        if "turn_idx" in cols:
+            up = up.withColumn("turn_idx", F.col("turn_idx").cast("int"))
+        updated = update_docmap(spark, index_root, up, key_cols=key_cols)
+    if delete_ids:
+        from .search import load_index
+
+        idx = load_index(spark, index_root)
+        keys = spark.createDataFrame(
+            [(str(c), int(t)) for c, t in delete_ids],
+            "conv_id string, turn_idx int",
+        )
+        ids = idx.docmap.join(
+            F.broadcast(keys), ["conv_id", "turn_idx"], "left_semi"
+        ).select("doc_id")
+        deleted += delete_docs(spark, index_root, ids)
+    return {"updated": int(updated), "deleted": int(deleted)}

@@ -44,6 +44,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..index.build import build_index, merge_indexes
 from ..index.search import Index, load_index
@@ -252,11 +253,18 @@ class SegmentedIndex:
         docs = None
         positions = True  # rebuild keeps positions iff every segment has them
         for c in commits:
-            dm = self.spark.read.parquet(
-                os.path.join(c["dir"], "docmap")
-            ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            seg_idx = load_index(self.spark, c["dir"])
+            dm = self.spark.read.parquet(os.path.join(c["dir"], "docmap"))
+            # forceMerge(1) reclaims deletions (Lucene merge semantics):
+            # tombstoned docs are dropped from the rebuild, so the
+            # compacted segment's df/cf/avgdl reflect live docs only and
+            # carry no tombstones
+            ts = seg_idx.tombstones
+            if ts is not None:
+                dm = dm.join(F.broadcast(ts), "doc_id", "left_anti")
+            dm = dm.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
             docs = dm if docs is None else docs.unionByName(dm)
-            positions &= bool(load_index(self.spark, c["dir"]).positions)
+            positions &= bool(seg_idx.positions)
         max_epoch = max(c["epoch"] for c in commits)
         out_dir = os.path.join(self.root, f"seg-compact-{max_epoch:08d}")
         build_index(
@@ -309,6 +317,22 @@ class SegmentedIndex:
             f"seg-tier-{run[0]['epoch']:08d}-{run[-1]['epoch']:08d}",
         )
         merge_indexes(self.spark, sources, out_dir)
+        # a postings-level merge preserves docIDs, so deletions CARRY
+        # FORWARD rebased instead of reclaiming (reclaim = compact()'s
+        # from-scratch rebuild, Lucene forceMerge semantics; tiered
+        # merges in Lucene reclaim opportunistically — carrying is the
+        # honest equivalent for a stats-preserving merge)
+        from ..index.update import delete_docs
+
+        carried = None
+        for c in run:
+            ts = load_index(self.spark, c["dir"]).tombstones
+            if ts is not None:
+                off = int(c["base"]) - new_base
+                ts = ts.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+                carried = ts if carried is None else carried.unionByName(ts)
+        if carried is not None:
+            delete_docs(self.spark, out_dir, carried)
         idx = load_index(self.spark, out_dir)
         record = self._merged_record(run, out_dir, idx, base=new_base)
         return self._splice_commit(run, record)

@@ -142,6 +142,22 @@ class MergedSegmentsView:
         self._docmap_df = reduce(DataFrame.unionByName, parts)
         return self._docmap_df
 
+    # -- tombstones -----------------------------------------------------------
+    @property
+    def tombstones(self) -> "DataFrame | None":
+        """Per-segment deleted doc_ids (Lucene liveDocs, see
+        Index.tombstones), rebased into the merged docID space — a
+        delete against any underlying segment root is honored by every
+        query through the view. None when no segment has deletes."""
+        parts = [
+            ts.withColumn("doc_id", F.col("doc_id") + F.lit(int(c["base"])))
+            for c, idx in self._segs
+            if (ts := idx.tombstones) is not None
+        ]
+        if not parts:
+            return None
+        return reduce(DataFrame.unionByName, parts)
+
     # -- termstats ------------------------------------------------------------
     @property
     def termstats(self) -> DataFrame:
