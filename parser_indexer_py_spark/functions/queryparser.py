@@ -35,7 +35,8 @@ Supported grammar (documented subset of the Lucene classic parser):
   field's IN-semantics constraint list (scored match-any when the field
   has an index). Only bare OR'd values — AND/NOT/phrases/nesting inside
   the group raise.
-- ``field:value`` / ``field:"two words"`` / ``field:[lo TO hi]`` — fielded
+- ``field:value`` / ``field:"two words"`` / ``field:[lo TO hi]`` (plus
+  ``{exclusive}`` / mixed brackets / ``*`` open endpoints) — fielded
   clauses. The parser stores them as field constraints; EVALUATION
   decides (index/boolean.py): a docmap metadata field is a SCORE-NEUTRAL
   filter (Solr ``fq`` semantics — in every reference sample query field
@@ -169,10 +170,16 @@ class WildcardClause:
 
 @dataclass(frozen=True)
 class RangeValue:
-    """Inclusive [lo TO hi] — converted to search.Between by the engine."""
+    """``[lo TO hi]`` / ``{lo TO hi}`` / mixed brackets — converted to
+    search.Between by the engine. ``[`` / ``]`` are inclusive, ``{`` /
+    ``}`` exclusive (Lucene TermRangeQuery); a ``*`` endpoint is the open
+    bound and parses to None (Solr's ``price:[* TO 500]``,
+    conf/solr/docs/conf/solrconfig.xml:824-825)."""
 
     lo: object
     hi: object
+    lo_inc: bool = True
+    hi_inc: bool = True
 
 
 @dataclass
@@ -217,7 +224,7 @@ _LEX = re.compile(
     (?P<ws>\s+)
   | (?P<matchall>\*:\*)
   | (?P<lparen>\() | (?P<rparen>\))
-  | (?P<range>(?P<rfield>{_FIELD}):\[(?P<lo>[^\]\s]+)\s+TO\s+(?P<hi>[^\]\s]+)\](?:\^\d+(?:\.\d+)?)?)
+  | (?P<range>(?P<rfield>{_FIELD}):(?P<lbr>[\[{{])(?P<lo>[^\]}}\s]+)\s+TO\s+(?P<hi>[^\]}}\s]+)(?P<rbr>[\]}}])(?:\^\d+(?:\.\d+)?)?)
   | (?P<fphrase>(?P<pfield>{_FIELD}):"(?P<fpv>[^"]*)"(?:\^\d+(?:\.\d+)?)?)
   | (?P<fielded>(?P<field>{_FIELD}):(?P<fval>[^\s()]+))
   | (?P<phrase>"(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<qboost>\d+(?:\.\d+)?))?)
@@ -435,7 +442,13 @@ def _parse_level(
             continue
         if m.group("range"):
             fld = m.group("rfield")
-            rv = RangeValue(_coerce(m.group("lo")), _coerce(m.group("hi")))
+            lo, hi = m.group("lo"), m.group("hi")
+            rv = RangeValue(
+                None if lo == "*" else _coerce(lo),
+                None if hi == "*" else _coerce(hi),
+                lo_inc=m.group("lbr") == "[",
+                hi_inc=m.group("rbr") == "]",
+            )
             occ, _ = occur_for_next()
             if occ == MUST_NOT:
                 _add_filter(not_filters, fld, rv)
@@ -456,6 +469,13 @@ def _parse_level(
                     raw = bm.group(1)
             if raw == "*":
                 raise ValueError(f"field existence query {fld}:* unsupported")
+            if raw[0] in "[{":
+                # a range the range rule didn't take can only be malformed
+                # (unbalanced bracket / missing TO) — raise, never misread
+                raise ValueError(
+                    f"malformed range in {fld}:{raw} — expected "
+                    f"{fld}:[lo TO hi] (or {{...}} exclusive, * open)"
+                )
             if m.group("fielded") and re.search(r"~[\d.]*$", raw):
                 raise ValueError(
                     f"fielded fuzzy {fld}:{raw} unsupported — field "

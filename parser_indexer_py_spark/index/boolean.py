@@ -88,7 +88,8 @@ __all__ = ["boolean_search", "edismax_search", "edismax_qf", "select"]
 def _conv_filters(raw: dict) -> dict:
     """queryparser RangeValue -> search.Between; scalars/lists pass."""
     return {
-        f: Between(v.lo, v.hi) if isinstance(v, RangeValue) else v
+        f: Between(v.lo, v.hi, v.lo_inc, v.hi_inc)
+        if isinstance(v, RangeValue) else v
         for f, v in raw.items()
     }
 

@@ -592,26 +592,45 @@ def _containment_filter(
 
 @dataclass(frozen=True)
 class Between:
-    """Inclusive range marker for ``search(filters=...)`` — the Solr
+    """Range marker for ``search(filters=...)`` — the Solr
     ``fq=field:[lo TO hi]`` form. An explicit type because a bare 2-tuple
     is ambiguous: ``('user', 'assistant')`` intended as IN would silently
-    become BETWEEN over string ordering (round-2 ADVICE)."""
+    become BETWEEN over string ordering (round-2 ADVICE). Inclusive by
+    default; ``lo_inc=False`` / ``hi_inc=False`` give Lucene's exclusive
+    ``{lo TO hi}`` brackets, and a None endpoint is the open bound
+    (``[* TO hi]``) — NOT a null-comparison, which is what naively
+    passing ``'*'`` into ``between()`` would produce."""
 
     lo: object
     hi: object
+    lo_inc: bool = True
+    hi_inc: bool = True
+
+    def condition(self, col):
+        conds = []
+        if self.lo is not None:
+            conds.append(col >= self.lo if self.lo_inc else col > self.lo)
+        if self.hi is not None:
+            conds.append(col <= self.hi if self.hi_inc else col < self.hi)
+        if not conds:  # [* TO *] = field exists (Solr semantics)
+            return col.isNotNull()
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        return cond
 
 
 def allowed_docs(index: Index, role: str | None, filters: dict | None):
     """Solr ``fq`` analog: build the allowed-docID set from docmap-field
     predicates (scalar = equality, list/set/tuple = IN, ``Between(lo, hi)``
-    = inclusive range). Returns None when unfiltered. Predicates reach the
+    = range). Returns None when unfiltered. Predicates reach the
     docmap parquet scan as pushed filters."""
     conds = []
     if role is not None:
         conds.append(F.col("role") == role)
     for fld, v in (filters or {}).items():
         if isinstance(v, Between):
-            conds.append(F.col(fld).between(v.lo, v.hi))
+            conds.append(v.condition(F.col(fld)))
         elif isinstance(v, tuple):
             raise ValueError(
                 f"filters[{fld!r}] is a bare tuple — ambiguous between IN "

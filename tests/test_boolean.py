@@ -87,10 +87,58 @@ def test_parser_fields():
     assert pq.filters["role"] == ["user", "tool"]
 
 
+def test_parser_range_brackets():
+    """Round-5e Lucene TermRangeQuery surface: exclusive {} / mixed
+    brackets, * open endpoints (the solrconfig.xml:824-825 facet.query
+    shapes price:[* TO 500] / price:[500 TO *]), and loud errors on
+    malformed ranges (never the old silent term-misread)."""
+    assert parse_query("price:{10 TO 500}").filters["price"] == RangeValue(
+        10, 500, lo_inc=False, hi_inc=False
+    )
+    assert parse_query("price:[10 TO 500}").filters["price"] == RangeValue(
+        10, 500, lo_inc=True, hi_inc=False
+    )
+    assert parse_query("price:[* TO 500]").filters["price"] == RangeValue(
+        None, 500
+    )
+    assert parse_query("price:[500 TO *]").filters["price"] == RangeValue(
+        500, None
+    )
+    assert parse_query("ts:[* TO *]").filters["ts"] == RangeValue(None, None)
+    pq = parse_query("-turn_idx:{3 TO *]")
+    assert pq.not_filters["turn_idx"] == RangeValue(
+        3, None, lo_inc=False, hi_inc=True
+    )
+    for bad in ("price:{10 TO 500", "price:[oops]", "price:[10 TO]"):
+        with pytest.raises(ValueError, match="malformed range"):
+            parse_query(bad)
+
+
 def test_parser_and_with_field():
     pq = parse_query("alpha AND role:user")
     assert pq.must_terms == ("alpha",)
     assert pq.filters["role"] == "user"
+
+
+def test_range_brackets_end_to_end(bindex, qterms):
+    """Engine semantics of the round-5e brackets over an integer field:
+    exclusive/open forms must equal their manually-shifted inclusive
+    twins (turn_idx:{3 TO 7] == [4 TO 7]; [* TO 5] == [min TO 5]), on
+    both the full and delegated paths."""
+    t1, _, _ = qterms
+
+    def rows(q):
+        return _rows(boolean_search(bindex, q, k=50, with_meta=False))
+
+    got = rows(f"{t1} turn_idx:{{3 TO 7]")
+    want = rows(f"{t1} turn_idx:[4 TO 7]")
+    assert got == want and got
+    got = rows(f"{t1} turn_idx:[* TO 5}}")
+    want = rows(f"{t1} turn_idx:[0 TO 4]")
+    assert got == want and got
+    got = rows(f"{t1} turn_idx:[7 TO *]")
+    want = rows(f"{t1} turn_idx:[7 TO 1000000]")
+    assert got == want and got
 
 
 def test_parser_match_all():

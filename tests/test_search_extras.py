@@ -107,6 +107,22 @@ def test_search_generalized_fq_filters(spark, index):
     ts_vals = sorted(r["ts"] for r in dm)
     lo, hi = ts_vals[len(ts_vals) // 4], ts_vals[3 * len(ts_vals) // 4]
     cases.append(({"ts": Between(lo, hi)}, lambda r: lo <= r["ts"] <= hi))
+    # round-5e: exclusive brackets and open (*) endpoints — Lucene
+    # TermRangeQuery's {lo TO hi} / [* TO hi] forms
+    cases.append(
+        (
+            {"ts": Between(lo, hi, lo_inc=False, hi_inc=False)},
+            lambda r: lo < r["ts"] < hi,
+        )
+    )
+    cases.append(({"ts": Between(None, hi)}, lambda r: r["ts"] <= hi))
+    cases.append(
+        (
+            {"ts": Between(lo, None, lo_inc=False)},
+            lambda r: r["ts"] > lo,
+        )
+    )
+    cases.append(({"ts": Between(None, None)}, lambda r: True))
     # bare tuples are ambiguous (IN vs BETWEEN) and must fail loudly
     # rather than silently BETWEEN over string ordering (round-2 ADVICE)
     with pytest.raises(ValueError, match="ambiguous"):
