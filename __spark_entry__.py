@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_query_grouped": TQ.q_lucene_grouped,
         "lucene_fuzzy_damerau": TQ.q_lucene_fuzzy_damerau,
         "delete_by_query": TQ.q_delete_by_query,
+        "facet_range_date": TQ.q_facet_range_date,
         "edismax_qf": TQ.q_edismax_qf,
         "edismax_qf_pruned": TQ.q_edismax_qf_pruned,
         "lucene_fielded_scored": TQ.q_lucene_fielded_scored,
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "lucene_query_grouped": TQ.SQL_LUCENE_GROUPED,
         "lucene_fuzzy_damerau": TQ.SQL_LUCENE_DAMERAU,
         "delete_by_query": TQ.SQL_DELETE_BY_QUERY,
+        "facet_range_date": TQ.SQL_FACET_RANGE_DATE,
         "edismax_qf": TQ.SQL_EDISMAX_QF,
         "edismax_qf_pruned": TQ.SQL_EDISMAX_QF,
         "lucene_fielded_scored": TQ.SQL_FIELDED_SCORED,

@@ -1134,6 +1134,73 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_facet_range_date(spark, sf_dir):
+    """Date facet.range with Solr date math THROUGH THE ENGINE — the
+    /browse handler's own date facet shape (solrconfig.xml:907-910,
+    ``facet.range.start=NOW/YEAR-10YEARS&gap=+1YEAR`` over
+    manufacturedate_dt): a dedicated index whose docmap ts derives
+    deterministically from doc_id (2025-01-01 + doc_id%365 days), base
+    match set ``merge``, quarterly buckets over 2025 resolved against a
+    FIXED NOW (the Solr ``NOW=`` request param — the distributed-search
+    determinism knob). Every edge is emitted, zeros included
+    (hardend=false). The DuckDB oracle rebuilds the bucket walk with
+    generate_series + date_trunc('quarter') (the +3MONTHS gap anchored
+    at a quarter boundary IS quarter truncation)."""
+    import hashlib
+    import os
+    import tempfile
+    from datetime import datetime, timezone
+
+    from .index.boolean import select as solr_select
+    from .index.build import build_index
+    from .index.search import load_index
+    from .shipping import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit("").alias("tool"),
+        F.to_timestamp(
+            F.date_add(
+                F.lit("2025-01-01").cast("date"),
+                (F.col("doc_id") % 365).cast("int"),
+            )
+        ).alias("ts"),
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"pi_docs_dtidx_{key}")
+    build_index(spark, src, out, n_buckets=8, salt=4, n_chunks=1)
+    idx = load_index(spark, out)
+    rf = solr_select(
+        idx, "merge", rows=0,
+        facet_range=("ts", "NOW/YEAR-1YEAR", "NOW/YEAR", "+3MONTHS"),
+        now=datetime(2026, 6, 15, tzinfo=timezone.utc),
+    )["range_facets"]
+    return rf.select("bucket", F.col("n").cast("long").alias("n")).orderBy(
+        "bucket"
+    )
+
+
+SQL_FACET_RANGE_DATE = SQL_TOK + """
+, m AS (SELECT DISTINCT doc_id FROM tok WHERE w = 'merge'),
+dts AS (SELECT TIMESTAMP '2025-01-01' + INTERVAL (doc_id % 365) DAY AS ts
+        FROM m),
+edges AS (SELECT generate_series AS bucket
+          FROM generate_series(TIMESTAMP '2025-01-01',
+                               TIMESTAMP '2025-10-01',
+                               INTERVAL 3 MONTH)),
+counts AS (SELECT date_trunc('quarter', ts) AS bucket, COUNT(*) AS n
+           FROM dts GROUP BY 1)
+SELECT edges.bucket AS bucket, CAST(COALESCE(counts.n, 0) AS BIGINT) AS n
+FROM edges LEFT JOIN counts USING (bucket)
+ORDER BY bucket
+"""
+
+
 # round-5: fuzzy with Lucene's default transpositions=true semantics —
 # 'wnidow' is 'window' with an adjacent swap: Damerau distance 1, plain
 # Levenshtein 2, so ~1 matches ONLY under the Damerau flag

@@ -281,20 +281,64 @@ def _tokenize(q: str) -> list:
     return toks
 
 
-def parse_query(q: str, *, default_op: str = "OR") -> ParsedQuery:
+def parse_query(q: str, *, default_op: str = "OR", now=None) -> ParsedQuery:
     """Parse a Lucene classic-syntax string into a :class:`ParsedQuery`.
 
     ``default_op`` is Solr's ``q.op``: with ``"AND"``, clauses without an
     explicit occur are required instead of optional (solrconfig's
     defaultOperator surface; it applies inside parenthesized groups too,
-    like Solr's). Raises ValueError on the unsupported constructs listed
-    in the module docstring rather than guessing."""
+    like Solr's). ``now`` is Solr's ``NOW=`` request parameter: the
+    instant date-math range endpoints resolve against (None = wall
+    clock, read once per parse — see :func:`_resolve_dates`). Raises
+    ValueError on the unsupported constructs listed in the module
+    docstring rather than guessing."""
     if default_op not in ("OR", "AND"):
         raise ValueError(f"default_op must be OR or AND, got {default_op!r}")
     toks = _tokenize(q)
     pq, i = _parse_level(toks, 0, default_op, depth=0)
     assert i == len(toks)  # _parse_level consumes everything at depth 0
-    return pq
+    return _resolve_dates(pq, now)
+
+
+def _resolve_dates(pq: "ParsedQuery", now) -> "ParsedQuery":
+    """Resolve Solr date math in range endpoints (``ts:[NOW-7DAYS TO
+    NOW]``, the solrconfig.xml:908-909 facet shapes) to concrete UTC
+    datetimes, at parse time — Solr's own model, where ``NOW`` is fixed
+    per request (the ``NOW=millis`` parameter exists so every shard of
+    a distributed query resolves the same instant; pass ``now=`` for
+    the same reason in tests). One instant is shared by every endpoint
+    of the query. Non-date ranges pass through untouched."""
+    from .datemath import is_date_math, parse_date_math
+
+    cache = [now]
+
+    def _ep(v):
+        if not is_date_math(v):
+            return v
+        if cache[0] is None:
+            from datetime import datetime, timezone
+
+            cache[0] = datetime.now(timezone.utc)
+        return parse_date_math(v, cache[0])
+
+    def _walk(d: dict) -> dict:
+        out = {}
+        for f, v in d.items():
+            if isinstance(v, RangeValue):
+                lo, hi = _ep(v.lo), _ep(v.hi)
+                if (lo, hi) != (v.lo, v.hi):
+                    v = RangeValue(lo, hi, v.lo_inc, v.hi_inc)
+            out[f] = v
+        return out
+
+    def _pq(p: "ParsedQuery") -> "ParsedQuery":
+        p.filters = _walk(p.filters)
+        p.not_filters = _walk(p.not_filters)
+        for g in p.subs:
+            _pq(g.sub)
+        return p
+
+    return _pq(pq)
 
 
 def _parse_level(

@@ -730,7 +730,7 @@ def _apply_fl(resp: DataFrame, fl) -> DataFrame:
 
 def _apply_fq(
     index: Index, out: DataFrame, fq, default_op: str = "OR",
-    field_indexes: dict | None = None,
+    field_indexes: dict | None = None, now=None,
 ) -> DataFrame:
     """Solr fq semantics: each fq string is itself a query; a doc must
     MATCH every fq (score-neutral semi-joins — statistics untouched).
@@ -743,7 +743,7 @@ def _apply_fq(
     score-neutral — Solr's fq on an indexed text field)."""
     for s in [fq] if isinstance(fq, str) else list(fq or []):
         sub = _scored_docs(
-            index, parse_query(s, default_op=default_op),
+            index, parse_query(s, default_op=default_op, now=now),
             field_indexes=field_indexes,
         )
         if sub is None:
@@ -770,6 +770,7 @@ def boolean_search(
     field_indexes: dict | None = None,
     require: DataFrame | None = None,
     fuzzy_transpositions: bool = False,
+    now=None,
 ) -> DataFrame:
     """Top-k for a Lucene classic-syntax query string (module docstring
     has the semantics). Returns (doc_id, score[, conv_id, turn_idx, role
@@ -814,7 +815,7 @@ def boolean_search(
     scoring genuinely precludes term upper bounds). ``mode`` only
     applies to delegable queries; the clause evaluator is always a full
     evaluation."""
-    pq = parse_query(query, default_op=default_op)
+    pq = parse_query(query, default_op=default_op, now=now)
     if fuzzy_transpositions:
         pq = with_fuzzy_transpositions(pq)
     if min_should_match == 0:
@@ -874,7 +875,7 @@ def boolean_search(
         # — each one's doc set chains into the same required semi-join
         for s in [fq] if isinstance(fq, str) else list(fq or []):
             sub = _scored_docs(
-                index, parse_query(s, default_op=default_op),
+                index, parse_query(s, default_op=default_op, now=now),
                 field_indexes=field_indexes,
             )
             if sub is None:
@@ -923,7 +924,7 @@ def boolean_search(
     if out is None:
         return _empty_result(index, with_meta)
     if fq:
-        out = _apply_fq(index, out, fq, default_op, field_indexes)
+        out = _apply_fq(index, out, fq, default_op, field_indexes, now)
     if require is not None:
         out = out.join(require.select("doc_id"), "doc_id", "left_semi")
     topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1230,7 +1231,54 @@ def edismax_qf(
     )
 
 
-def _cached_fq(index, caches, fq, default_op, field_indexes):
+_MAX_RANGE_BUCKETS = 10_000  # loud guard: a +1SECOND gap over 10 years
+# is a request bug, not a 300M-row driver loop
+
+
+def _resolve_facet_range(facet_range: tuple, now):
+    """Normalize ``facet_range`` for date math: the /browse defaults are
+    ``f.manufacturedate_dt.facet.range.start=NOW/YEAR-10YEARS`` /
+    ``end=NOW`` / ``gap=+1YEAR`` (solrconfig.xml:907-910). Returns
+    ``(resolved_range, edges)`` — edges is None for the numeric form,
+    else the list of ``(lo, hi)`` bucket bounds obtained by repeatedly
+    applying the gap string to the start (Solr's own edge construction,
+    which is why month/year buckets have irregular widths; the last
+    bucket runs past end — facet.range.hardend=false, Solr's default).
+    One driver-side list, facet-cardinality-sized, never data-sized."""
+    from ..functions.datemath import (
+        apply_date_math, is_date_math, parse_date_math,
+    )
+
+    fld, lo, hi, gap = facet_range
+    if not (is_date_math(lo) or is_date_math(hi) or isinstance(gap, str)):
+        return facet_range, None
+    from datetime import datetime, timezone
+
+    now_dt = now if now is not None else datetime.now(timezone.utc)
+    lo = parse_date_math(lo, now_dt) if isinstance(lo, str) else lo
+    hi = parse_date_math(hi, now_dt) if isinstance(hi, str) else hi
+    if not isinstance(gap, str) or not gap.startswith("+"):
+        raise ValueError(
+            f"date facet.range needs a '+N<UNIT>' gap string, got {gap!r}"
+        )
+    if hi <= lo:
+        raise ValueError("facet.range needs end > start")
+    edges, cur = [], lo
+    while cur < hi:
+        nxt = apply_date_math(cur, gap)
+        if nxt <= cur:
+            raise ValueError(f"facet.range gap {gap!r} does not advance")
+        edges.append((cur, nxt))
+        if len(edges) > _MAX_RANGE_BUCKETS:
+            raise ValueError(
+                f"facet.range produces > {_MAX_RANGE_BUCKETS} buckets — "
+                "widen the gap"
+            )
+        cur = nxt
+    return (fld, lo, hi, gap), edges
+
+
+def _cached_fq(index, caches, fq, default_op, field_indexes, now=None):
     """Route fq strings through a SearcherCaches filterCache when one is
     provided (Solr: every handler's fq hits the filterCache). Returns
     (require_docset_or_None, remaining_fq) — with caches, ALL fq strings
@@ -1277,6 +1325,7 @@ def select(
     mode: str = "full",
     field_indexes: dict | None = None,
     caches=None,
+    now=None,
 ) -> dict:
     """Solr ``/select`` twin — the request shape every reference sample
     query uses (docs/mte-samplequeries.md; handler defaults rows=10 at
@@ -1298,7 +1347,10 @@ def select(
     is the default operator (see parse_query);
     ``facet_range=(field, start, end, gap)`` adds ``"range_facets"``
     (counts per [lo, lo+gap) bucket — the /browse facet.range shape,
-    solrconfig.xml:898-908); ``facet_pivot=(f1, f2[, f3])`` adds
+    solrconfig.xml:898-908; date math accepted for all three, the
+    handler's own ``NOW/YEAR-10YEARS`` / ``NOW`` / ``+1YEAR`` defaults
+    at :907-910 — resolved against ``now``, buckets labeled by their
+    lower-bound timestamp, zero buckets emitted, hardend=false); ``facet_pivot=(f1, f2[, f3])`` adds
     ``"pivot_facets"`` (Solr facet.pivot hierarchical counts, flattened:
     one row per combination with each level's count, facet.sort=count
     ordering and per-level ``facet_limit``); ``facet_query=[q1, ...]``
@@ -1312,7 +1364,10 @@ def select(
     deliberately not precomputed, a 100-TB match set's exact count is
     its own job).
 
-    ``field_indexes`` passes through to both evaluation paths (scoring
+    ``now`` is Solr's ``NOW=`` request parameter: one instant shared by
+    every date-math consumer in the request (q/fq range endpoints,
+    facet.range bounds). ``field_indexes`` passes through to both
+    evaluation paths (scoring
     fielded clauses — see boolean_search). ``mode`` passes through to
     the page-only fast path below: a
     relevance-sorted request with NO full-match-set component (no
@@ -1322,9 +1377,15 @@ def select(
     path), and WAND-delegable ``q`` shapes get block-max pruning with
     ``mode='pruned'``. Anything needing the whole match set evaluates
     it once and derives every response section from it."""
-    pq = parse_query(q, default_op=q_op)
+    pq = parse_query(q, default_op=q_op, now=now)
     if facet_range_other is not None and facet_range is None:
         raise ValueError("facet_range_other requires facet_range")
+    range_edges = None
+    if facet_range is not None:
+        # date-math ranges (the /browse manufacturedate_dt defaults)
+        # resolve once here, against the request's NOW like everything
+        # else; facet_range_other below reuses the resolved lo/hi
+        facet_range, range_edges = _resolve_facet_range(facet_range, now)
     needs_match_set = (
         facet_field is not None
         or facet_range is not None
@@ -1340,11 +1401,11 @@ def select(
             raise ValueError(f"q {q!r} parses to an empty query")
         # keep the pre-fl page: the highlighting section joins by doc_id,
         # which an fl projection may drop from the returned response
-        req, fq_eff = _cached_fq(index, caches, fq, q_op, field_indexes)
+        req, fq_eff = _cached_fq(index, caches, fq, q_op, field_indexes, now)
         page = boolean_search(
             index, q, k=start + rows, fq=fq_eff, default_op=q_op,
             mode=mode, with_meta=True, with_excerpt=hl,
-            field_indexes=field_indexes, require=req,
+            field_indexes=field_indexes, require=req, now=now,
         ).offset(start)
         return {
             "response": _apply_fl(page, fl),
@@ -1367,11 +1428,13 @@ def select(
     if scored is None:
         raise ValueError(f"q {q!r} parses to an empty query")
     if fq:
-        req, fq_eff = _cached_fq(index, caches, fq, q_op, field_indexes)
+        req, fq_eff = _cached_fq(index, caches, fq, q_op, field_indexes, now)
         if req is not None:
             scored = scored.join(req, "doc_id", "left_semi")
         if fq_eff:
-            scored = _apply_fq(index, scored, fq_eff, q_op, field_indexes)
+            scored = _apply_fq(
+                index, scored, fq_eff, q_op, field_indexes, now
+            )
     resp = None
     if rows > 0:
         meta_cols = ["doc_id", "conv_id", "turn_idx", "role"]
@@ -1467,20 +1530,49 @@ def select(
         fld, lo, hi, gap = facet_range
         if fld not in index.docmap.columns:
             raise ValueError(f"unknown facet.range field {fld!r}")
-        if gap <= 0 or hi <= lo:
-            raise ValueError("facet.range needs end > start and gap > 0")
         v = F.col(fld)
-        bucket = (
-            F.floor((v - F.lit(lo)) / F.lit(gap)) * F.lit(gap) + F.lit(lo)
-        )
-        range_facets = (
-            scored.select("doc_id")
-            .join(index.docmap.select("doc_id", fld), "doc_id")
-            .filter((v >= lo) & (v < hi))
-            .groupBy(bucket.alias("bucket"))
-            .agg(F.count("*").alias("n"))
-            .orderBy(F.asc("bucket"))
-        )
+        if range_edges is not None:
+            # date branch: the driver-side edge list (facet-cardinality-
+            # sized) broadcast-range-joins the match set's field values;
+            # every bucket is emitted, zeros included (Solr emits the
+            # full edge walk). Buckets are labeled by their lower-bound
+            # timestamp — the ISO rendering Solr does is presentation.
+            edges_df = index.spark.createDataFrame(
+                range_edges, "bucket timestamp, bucket_end timestamp"
+            )
+            counts = (
+                scored.select("doc_id")
+                .join(index.docmap.select("doc_id", fld), "doc_id")
+                .join(
+                    F.broadcast(edges_df),
+                    (v >= F.col("bucket")) & (v < F.col("bucket_end")),
+                )
+                .groupBy("bucket")
+                .agg(F.count("*").alias("n"))
+            )
+            range_facets = (
+                edges_df.select("bucket")
+                .join(counts, "bucket", "left")
+                .select("bucket", F.coalesce("n", F.lit(0)).alias("n"))
+                .orderBy(F.asc("bucket"))
+            )
+        else:
+            if gap <= 0 or hi <= lo:
+                raise ValueError(
+                    "facet.range needs end > start and gap > 0"
+                )
+            bucket = (
+                F.floor((v - F.lit(lo)) / F.lit(gap)) * F.lit(gap)
+                + F.lit(lo)
+            )
+            range_facets = (
+                scored.select("doc_id")
+                .join(index.docmap.select("doc_id", fld), "doc_id")
+                .filter((v >= lo) & (v < hi))
+                .groupBy(bucket.alias("bucket"))
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.asc("bucket"))
+            )
     range_other = None
     if facet_range_other is not None:
         # Solr facet.range.other: out-of-range companions to facet.range —
@@ -1535,7 +1627,7 @@ def select(
         base_ids = scored.select("doc_id")
         for s in facet_query:
             sub = _scored_docs(
-                index, parse_query(s, default_op=q_op),
+                index, parse_query(s, default_op=q_op, now=now),
                 field_indexes=field_indexes,
             )
             if sub is None:

@@ -1608,6 +1608,27 @@ def test_select_facet_query(bindex, boracle, qterms):
     assert got == want
 
 
+def test_select_facet_query_ranges(bindex, boracle, qterms):
+    """The solrconfig.xml:824-825 facet.query shapes — range sub-queries
+    (open * endpoints, exclusive brackets) through select(): counts of
+    the base match set intersected with the range's docmap slice."""
+    t1, _, _ = qterms
+    fqs = ["turn_idx:[* TO 5]", "turn_idx:[6 TO *]", "turn_idx:{5 TO 10}"]
+    qf = select(bindex, t1, rows=0, facet_query=fqs)["query_facets"]
+    got = {r["facet_query"]: r["n"] for r in qf.collect()}
+    tix = {
+        r["doc_id"]: r["turn_idx"]
+        for r in bindex.docmap.select("doc_id", "turn_idx").collect()
+    }
+    base = set(boracle.postings[t1])
+    want = {
+        fqs[0]: sum(1 for d in base if tix[d] <= 5),
+        fqs[1]: sum(1 for d in base if tix[d] >= 6),
+        fqs[2]: sum(1 for d in base if 5 < tix[d] < 10),
+    }
+    assert got == want and sum(want.values()) > 0
+
+
 def test_select_facet_query_contracts(bindex):
     with pytest.raises(ValueError):
         select(bindex, "*:*", facet_query="not a list")
