@@ -512,7 +512,14 @@ def _parse_level(
                 if bm:
                     raw = bm.group(1)
             if raw == "*":
-                raise ValueError(f"field existence query {fld}:* unsupported")
+                # Lucene FieldExistsQuery — same semantics as the
+                # open-ended range, so it rides the [* TO *] machinery
+                # (Between(None, None) -> col.isNotNull())
+                occ, _ = occur_for_next()
+                tgt = not_filters if occ == MUST_NOT else filters
+                _add_filter(tgt, fld, RangeValue(None, None))
+                last_positive = last_positive_val = None
+                continue
             if raw[0] in "[{":
                 # a range the range rule didn't take can only be malformed
                 # (unbalanced bracket / missing TO) — raise, never misread

@@ -46,6 +46,8 @@ carry their EXACT organic score even when they rank below the page.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -441,6 +443,7 @@ def suggest(
     min_fuzzy_length: int = 3,
     exact_first: bool = True,
     prebuilt: bool = False,
+    transpositions: bool = False,
 ) -> DataFrame:
     """SuggestComponent twin: the ``/suggest`` handler's
     ``FuzzyLookupFactory`` over a ``DocumentDictionaryFactory``
@@ -466,9 +469,15 @@ def suggest(
     - ``exact_first``: an entry whose whole analyzed form equals the
       query outranks everything (AnalyzingSuggester's exactFirst=true).
 
-    DOCUMENTED DEVIATION (same as index/spell.py): plain Levenshtein, no
-    transpositions — Lucene's default ``transpositions=true`` counts a
-    swap as one edit (Damerau), here it costs two.
+    ``transpositions=True`` (round-5f) evaluates the prefix distance
+    with true Damerau-Levenshtein — FuzzySuggester's own default, where
+    an adjacent swap is one edit. Default False keeps the pinned
+    plain-Levenshtein baseline (the oracled ``suggest_fuzzy`` driver
+    query; same flag convention as spell.py / boolean_search). The
+    Damerau branch keeps the identical candidate envelope (npf exact
+    prefix + the length-window ``least(levenshtein)`` as a 2x
+    prefilter — lev <= 2*DL always) and decides with one Arrow-batched
+    DP over the surviving remainders.
 
     Determinism: duplicate surface forms collapse to one row keeping the
     max weight (Lucene's DocumentDictionary may emit duplicates whose
@@ -542,7 +551,24 @@ def suggest(
             for L in range(max(0, m - max_edits), m + max_edits + 1)
         ]
         dist = dists[0] if len(dists) == 1 else F.least(*dists)
-        cond = dist <= max_edits
+        if transpositions:
+            from .boolean import _damerau_dist
+
+            lo_len = max(0, m - max_edits)
+
+            @F.pandas_udf("boolean")
+            def _dl_keep(rems: pd.Series) -> pd.Series:
+                def ok(sv: str) -> bool:
+                    return any(
+                        _damerau_dist(rem, sv[:L]) <= max_edits
+                        for L in range(lo_len, min(len(sv), m + max_edits) + 1)
+                    )
+
+                return rems.map(ok)
+
+            cond = (dist <= 2 * max_edits) & _dl_keep(s_rem)
+        else:
+            cond = dist <= max_edits
     d = d.filter(cond)
 
     if not prebuilt:

@@ -476,16 +476,20 @@ class BM25Oracle:
         max_edits: int = 2,
         min_prefix: int = 1,
         count: int = 5,
+        transpositions: bool = False,
     ) -> list[tuple[str, int, float]]:
         """DirectSolrSpellChecker twin of index.spell._suggest_term:
-        (suggestion, df, similarity) ranked sim desc, df desc, term asc."""
+        (suggestion, df, similarity) ranked sim desc, df desc, term asc.
+        ``transpositions=True`` swaps in the independent ``_damerau``
+        (round-5f spell flag parity)."""
+        dist = _damerau if transpositions else _levenshtein
         out = []
         for t, pl in self.postings.items():
             if t == term or not t.startswith(term[:min_prefix]):
                 continue
             if abs(len(t) - len(term)) > max_edits:
                 continue
-            d = _levenshtein(t, term)
+            d = dist(t, term)
             if d > max_edits:
                 continue
             sim = 1.0 - float(d) / float(min(len(t), len(term)))

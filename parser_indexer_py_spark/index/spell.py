@@ -35,7 +35,17 @@ Semantics implemented (the documented DirectSpellChecker core):
   pass ``num_found`` when the caller already knows it, otherwise a
   conjunctive count CAPPED at value+1 rows probes it (one bounded job);
 - ``extended_results`` (spellcheck.extendedResults, :934): adds
-  ``original_freq`` (the checked term's own df) to the response.
+  ``original_freq`` (the checked term's own df) to the response;
+- ``transpositions=True`` (round-5f): true Damerau-Levenshtein distance
+  AND similarity — an adjacent swap is one edit, mirroring
+  ``boolean_search(fuzzy_transpositions=True)``. Lucene's
+  DirectSpellChecker itself defaults to transpositions=true; the flag
+  here defaults to False so the plain-Levenshtein behavior the oracled
+  ``spellcheck`` driver query pins stays the documented baseline
+  (flip it per call — construction-time in Lucene, call-time here).
+  Plumbing is the fuzzy path's: JVM ``levenshtein <= 2*maxEdits``
+  prefilter (lev <= 2*DL always), Arrow-batched Lowrance-Wagner DP
+  (boolean._damerau_dist) for the exact distance.
 
 Scale shape: one termstats scan per checked term with the first-character
 prefix predicate PUSHED to the parquet term column (the same point-scan
@@ -59,6 +69,7 @@ a vocabulary-scale point-scan, not a corpus-scale one.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -97,6 +108,9 @@ SPELL_DEFAULTS = {
     "num_found": None,
     # spellcheck.extendedResults — adds {"original_freq": {term: df}}
     "extended_results": False,
+    # Damerau distance (see module docstring; Lucene's own default is
+    # true, False here keeps the pinned plain-Levenshtein baseline)
+    "transpositions": False,
 }
 
 
@@ -111,16 +125,36 @@ def _candidates(index: Index, term: str, cfg: dict) -> DataFrame:
         & (F.col("term") != term)
         # length pruning: |len(a)-len(b)| > maxEdits can't be within
         # maxEdits — keeps the levenshtein call off absurd candidates
+        # (transpositions never change length, so it holds for Damerau)
         & (F.abs(F.length("term") - F.lit(len(term))) <= max_edits)
     )
-    dist = F.levenshtein(F.col("term"), F.lit(term))
-    sim = 1.0 - dist.cast("double") / F.least(
+    if cfg.get("transpositions"):
+        # Damerau: codegen'd 2x-Levenshtein prefilter, then the exact
+        # Arrow-batched DP only on survivors (same shape as
+        # boolean._expand_fuzzy)
+        from .boolean import _damerau_dist
+
+        cand = cand.filter(
+            F.levenshtein(F.col("term"), F.lit(term)) <= 2 * max_edits
+        )
+
+        @F.pandas_udf("integer")
+        def _dd(ts: pd.Series) -> pd.Series:
+            return ts.map(lambda t: _damerau_dist(term, t))
+
+        cand = cand.withColumn("dist", _dd(F.col("term")))
+    else:
+        cand = cand.withColumn(
+            "dist", F.levenshtein(F.col("term"), F.lit(term))
+        )
+    sim = 1.0 - F.col("dist").cast("double") / F.least(
         F.length("term"), F.lit(len(term))
     ).cast("double")
     return (
         cand.withColumn("similarity", sim)
         .filter(
-            (dist <= max_edits) & (F.col("similarity") >= cfg["accuracy"])
+            (F.col("dist") <= max_edits)
+            & (F.col("similarity") >= cfg["accuracy"])
         )
         .select(
             F.lit(term).alias("checked"),

@@ -109,6 +109,13 @@ def test_parser_range_brackets():
     assert pq.not_filters["turn_idx"] == RangeValue(
         3, None, lo_inc=False, hi_inc=True
     )
+    # field:* = Lucene FieldExistsQuery, sugar for [* TO *]
+    assert parse_query("role:* cedi").filters["role"] == RangeValue(
+        None, None
+    )
+    assert parse_query("-tool:*").not_filters["tool"] == RangeValue(
+        None, None
+    )
     for bad in ("price:{10 TO 500", "price:[oops]", "price:[10 TO]"):
         with pytest.raises(ValueError, match="malformed range"):
             parse_query(bad)
@@ -169,7 +176,9 @@ def test_parser_prefix():
 
 def test_parser_rejects_unsupported():
     for bad in [
-        "*te", "fuzzy~0.8", "fuzzy~3", "role:*",
+        "*te", "fuzzy~0.8", "fuzzy~3",
+        # (role:* is LEGAL since round-5f — FieldExistsQuery sugar for
+        # [* TO *], asserted in test_parser_range_brackets)
         "(a b", "a b)",
         "pre*~1", "pre*~",        # wildcard+fuzzy don't compose (r4 review)
         "te?t~1",                 # same for ?-wildcards

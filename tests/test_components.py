@@ -197,7 +197,7 @@ def test_elevate_page_is_one_action_two_subtrees(index, tok_pdf):
 # ---------------------------------------------------------------------------
 
 def _brute_suggest(entries, q, *, max_edits=1, npf=1, min_fuzzy=3,
-                   count=20, exact_first=True):
+                   count=20, exact_first=True, dist=None):
     """Reference FuzzySuggester: entries = [(surface, analyzed, weight)];
     match iff some prefix of analyzed is within max_edits of q, the first
     npf chars exact (distance computed on the remainders)."""
@@ -220,8 +220,9 @@ def _brute_suggest(entries, q, *, max_edits=1, npf=1, min_fuzzy=3,
         if an[:k] != q[:k]:
             return False
         rem, srem = q[k:], an[k:]
+        d = dist or lev
         return any(
-            lev(srem[:L], rem) <= max_edits
+            d(srem[:L], rem) <= max_edits
             for L in range(0, len(srem) + 1)
         )
 
@@ -284,6 +285,38 @@ def test_suggest_matches_bruteforce(suggest_dict):
             exact_first=kw.get("exact_first", True),
         )
         assert got == exp, f"q={q!r} kw={kw}: {got} != {exp}"
+
+
+def test_suggest_transpositions(suggest_dict):
+    """round-5f FuzzySuggester transpositions: 'wnidow' is 'window' with
+    an adjacent swap AFTER the exact first char — Damerau distance 1 on
+    the remainders, plain Levenshtein 2, so max_edits=1 matches ONLY
+    under the flag. Engine == brute twin with the independent _damerau
+    on every query shape."""
+    from parser_indexer_py_spark.index.components import suggest
+    from parser_indexer_py_spark.index.oracle import _damerau
+
+    entries = [
+        (r["name"], r["name"], r["price"]) for r in suggest_dict.collect()
+    ]
+    for q in ("wnidow scan", "wnidow", "windoe", "window scan"):
+        got = [
+            (r["suggestion"], r["weight"])
+            for r in suggest(
+                suggest_dict, q, field="name", weight_field="price",
+                transpositions=True,
+            ).collect()
+        ]
+        exp = _brute_suggest(entries, q, dist=_damerau)
+        assert got == exp, f"q={q!r}: {got} != {exp}"
+    # the discriminating case: plain Levenshtein misses the swap typo
+    assert not suggest(
+        suggest_dict, "wnidow scan", field="name", weight_field="price"
+    ).collect()
+    assert suggest(
+        suggest_dict, "wnidow scan", field="name", weight_field="price",
+        transpositions=True,
+    ).collect()
 
 
 def test_suggest_npf_blocks_first_char_edit(suggest_dict):

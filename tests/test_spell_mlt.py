@@ -66,6 +66,48 @@ def test_spell_suggest_rank_identity(sindex, soracle, typo):
     assert src in [s for s, _, _ in eng], "the source term should be suggested"
 
 
+def test_spell_transpositions(sindex, soracle):
+    """round-5f: transpositions=True scores with true Damerau distance —
+    an adjacent-swap typo gets the source term at distance 1 (similarity
+    1 - 1/len) instead of plain Levenshtein's 2. Engine == oracle twin
+    under BOTH flags; the flags genuinely disagree on the swap typo."""
+    # construct an adjacent-swap typo that stays out-of-vocabulary and
+    # keeps the first char (minPrefix envelope)
+    terms = sorted(
+        soracle.postings, key=lambda t: (-len(soracle.postings[t]), t)
+    )
+    bad = src = None
+    for t in terms:
+        if len(t) < 5:
+            continue
+        for i in range(1, len(t) - 1):
+            if t[i] == t[i + 1]:
+                continue
+            cand = t[:i] + t[i + 1] + t[i] + t[i + 2:]
+            if cand not in soracle.postings:
+                bad, src = cand, t
+                break
+        if bad:
+            break
+    assert bad, "no swap typo constructible"
+
+    for flag in (False, True):
+        res = spellcheck(sindex, bad, transpositions=flag)
+        eng = res["suggestions"].get(bad, [])
+        assert eng == soracle.spell_suggest(bad, transpositions=flag), flag
+    dl_sims = {
+        s: sim
+        for s, _, sim in spellcheck(sindex, bad, transpositions=True)[
+            "suggestions"
+        ][bad]
+    }
+    lev_res = spellcheck(sindex, bad)["suggestions"].get(bad, [])
+    lev_sims = {s: sim for s, _, sim in lev_res}
+    want_sim = round(1.0 - 1.0 / min(len(bad), len(src)), 6)
+    assert dl_sims.get(src) == want_sim, (src, dl_sims)
+    assert lev_sims.get(src, 0.0) < want_sim, (src, lev_sims)
+
+
 def test_spell_frequent_terms_presumed_correct(sindex, soracle):
     # the highest-df term is way above maxQueryFrequency=0.01
     hot = max(soracle.postings, key=lambda t: len(soracle.postings[t]))
