@@ -671,38 +671,68 @@ def _scored_docs_raw(
     return out
 
 
-def _hl_terms(pq: ParsedQuery) -> list[str]:
+def _hl_terms(pq: ParsedQuery, *, phrase_aware: bool = False) -> list[str]:
     """Highlightable terms of a query: bare/required terms plus positive
     phrase tokens, recursively through positive groups (prefix/fuzzy
-    expansions are index-dependent and excluded)."""
+    expansions are index-dependent and excluded). With ``phrase_aware``
+    (hl.usePhraseHighlighter), EXACT positive phrases are excluded here —
+    they highlight span-wise via :func:`_hl_phrases` instead; sloppy
+    phrases keep degrading to term highlighting (documented: the greedy
+    ordered-window span set is not worth a second matcher in the page
+    path, and tagging every term occurrence is Solr's own
+    pre-usePhraseHighlighter behavior)."""
     terms = (
         set(pq.should_terms)
         | set(pq.must_terms)
-        | {t for p in pq.phrases if p.occur != MUST_NOT for t in p.tokens}
+        | {
+            t
+            for p in pq.phrases
+            if p.occur != MUST_NOT and not (phrase_aware and p.slop == 0)
+            for t in p.tokens
+        }
     )
     for gc in pq.subs:
         if gc.occur != MUST_NOT:
-            terms |= set(_hl_terms(gc.sub))
+            terms |= set(_hl_terms(gc.sub, phrase_aware=phrase_aware))
     return sorted(terms)
 
 
+def _hl_phrases(pq: ParsedQuery) -> list[tuple[str, ...]]:
+    """Exact (slop=0) positive phrases, recursively through positive
+    groups — the span-highlighted clauses under usePhraseHighlighter."""
+    out = [
+        tuple(p.tokens)
+        for p in pq.phrases
+        if p.occur != MUST_NOT and p.slop == 0 and p.tokens
+    ]
+    for gc in pq.subs:
+        if gc.occur != MUST_NOT:
+            out += _hl_phrases(gc.sub)
+    return sorted(set(out))
+
+
 def _hl_section(
-    index, resp, pq, hl, fragsize, snippets, pre, post, alternate
+    index, resp, pq, hl, fragsize, snippets, pre, post, alternate,
+    use_phrase_highlighter=True,
 ):
     """select()'s ``highlighting`` response section: the HighlightComponent
     twin over the page rows, or None when hl is off / nothing to
     highlight / rows=0. Lazy like every other section — consuming it
-    re-derives the page doc_ids from the (lazy) response plan."""
+    re-derives the page doc_ids from the (lazy) response plan.
+    ``use_phrase_highlighter`` defaults True like Solr's
+    hl.usePhraseHighlighter: exact phrase clauses tag only their actual
+    adjacent occurrences (highlight.py span rule)."""
     if not hl or resp is None:
         return None
-    terms = _hl_terms(pq)
-    if not terms:
+    phrases = _hl_phrases(pq) if use_phrase_highlighter else []
+    terms = _hl_terms(pq, phrase_aware=use_phrase_highlighter)
+    if not terms and not phrases:
         return None
     from .highlight import highlighting
 
     return highlighting(
-        index, resp, terms, fragsize=fragsize, snippets=snippets, pre=pre,
-        post=post, alternate=alternate,
+        index, resp, terms, phrases=phrases or None, fragsize=fragsize,
+        snippets=snippets, pre=pre, post=post, alternate=alternate,
     )
 
 
@@ -1322,6 +1352,7 @@ def select(
     hl_pre: str = "<em>",
     hl_post: str = "</em>",
     hl_alternate: bool = False,
+    hl_use_phrase_highlighter: bool = True,
     mode: str = "full",
     field_indexes: dict | None = None,
     caches=None,
@@ -1418,7 +1449,7 @@ def select(
             "groups": None,
             "highlighting": _hl_section(
                 index, page, pq, hl, hl_fragsize, hl_snippets, hl_pre,
-                hl_post, hl_alternate,
+                hl_post, hl_alternate, hl_use_phrase_highlighter,
             ),
         }
     pq = flatten_query(pq)  # match-set path evaluates here; fast path
@@ -1761,7 +1792,7 @@ def select(
         "groups": groups,
         "highlighting": _hl_section(
             index, page, pq, hl, hl_fragsize, hl_snippets, hl_pre, hl_post,
-            hl_alternate,
+            hl_alternate, hl_use_phrase_highlighter,
         ),
     }
 

@@ -107,14 +107,22 @@ def browse(
             # hl.simple.pre=<b>, f.content.hl.snippets=3 / fragsize=200,
             # hl.alternateField + maxAlternateFieldLength=750
             from ..functions.queryparser import parse_query
-            from .boolean import _attach_excerpts, _hl_terms
+            from .boolean import _attach_excerpts, _hl_phrases, _hl_terms
             from .highlight import highlighting as _highlighting
 
-            terms = _hl_terms(parse_query(str(query)))
-            if terms:
-                page = _attach_excerpts(meta_index, page, terms)
+            # hl.usePhraseHighlighter=true (Solr default the handler
+            # inherits): exact quoted phrases tag span-wise
+            _pq = parse_query(str(query))
+            terms = _hl_terms(_pq, phrase_aware=True)
+            hl_phr = _hl_phrases(_pq)
+            if terms or hl_phr:
+                page = _attach_excerpts(
+                    meta_index, page,
+                    terms or sorted({t for p in hl_phr for t in p}),
+                )
                 hl_section = _highlighting(
-                    meta_index, page, terms, fragsize=200, snippets=3,
+                    meta_index, page, terms, phrases=hl_phr or None,
+                    fragsize=200, snippets=3,
                     pre="<b>", post="</b>", alternate=True,
                     max_alternate=750,
                 )

@@ -52,6 +52,7 @@ def highlight_fragments(
     df: DataFrame,
     terms: list[str],
     *,
+    phrases: list[tuple[str, ...]] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     fragsize: int = 100,
@@ -63,32 +64,72 @@ def highlight_fragments(
     (id, snippet_rank) with the tagged snippet. Rows whose text contains
     no query term produce NO output rows (Solr returns an empty snippet
     list for them; see :func:`highlighting` for the alternateField
-    fallback). Pure Catalyst — split/posexplode/window/groupBy, no UDF."""
-    if not terms:
+    fallback). Pure Catalyst — split/posexplode/window/groupBy, no UDF.
+
+    ``phrases`` (round-5f, Solr ``hl.usePhraseHighlighter=true`` — the
+    default the reference inherits): each entry is a token tuple that is
+    highlighted ONLY where the exact adjacent sequence occurs — a doc
+    mentioning ``window`` alone gets no tag from the phrase query
+    ``"window merge"``. Span detection is a higher-order-function pass
+    over the lowercased token array (``filter(sequence(...))`` with a
+    ``forall`` adjacency check — still no UDF, still O(page)); matched
+    spans' token indexes union with the bare-term rule."""
+    if not terms and not phrases:
         raise ValueError("highlight_fragments needs at least one term")
     if fragsize < 0 or snippets < 1:
         raise ValueError("fragsize must be >= 0 and snippets >= 1")
     lterms = sorted({t.lower() for t in terms})
 
+    low = F.transform(
+        F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0),
+        F.lower,
+    )
+    hl_pos = F.array().cast("array<int>")
+    for p in phrases or []:
+        words = [w.lower() for w in p]
+        n = len(words)
+        if n == 0:
+            continue
+        lit = F.array(*[F.lit(w) for w in words])
+        starts = F.filter(
+            F.sequence(F.lit(0), F.greatest(F.size(low) - n, F.lit(-1))),
+            lambda s: F.forall(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda j: F.element_at(low, (s + j + 1).cast("int"))
+                == F.element_at(lit, (j + 1).cast("int")),
+            ),
+        )
+        spans = F.flatten(
+            F.transform(starts, lambda s: F.sequence(s, s + n - 1))
+        ).cast("array<int>")
+        hl_pos = F.array_union(hl_pos, spans)
+
     toks = (
         df.select(
-            id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
+            id_col,
+            hl_pos.alias("_hlpos"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
         )
         .filter(F.length("w") > 0)
     )
-    prev = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    prev = win.rowsBetween(Window.unboundedPreceding, -1)
     start = F.coalesce(F.sum(F.length("w") + F.lit(1)).over(prev), F.lit(0))
     frag = (
         F.floor(start / F.lit(fragsize)) if fragsize > 0 else F.lit(0)
     ).cast("long")
+    # token index over the NONEMPTY sequence — the coordinate space the
+    # phrase spans were computed in (`low` filters empties first)
+    tix = (F.row_number().over(win) - 1).cast("int")
     toks = toks.select(
         id_col,
         "pos",
         "w",
         frag.alias("frag"),
-        F.lower(F.col("w")).isin(lterms).alias("m"),
+        (
+            (F.lower(F.col("w")).isin(lterms) if lterms else F.lit(False))
+            | F.array_contains(F.col("_hlpos"), tix)
+        ).alias("m"),
     )
     frags = toks.groupBy(id_col, "frag").agg(
         F.array_join(
@@ -125,6 +166,7 @@ def highlighting(
     page: DataFrame,
     terms: list[str],
     *,
+    phrases: list[tuple[str, ...]] | None = None,
     fragsize: int = 100,
     snippets: int = 1,
     pre: str = "<em>",
@@ -144,7 +186,8 @@ def highlighting(
     ids = page.select("doc_id")
     texts = ids.join(index.docmap.select("doc_id", "text"), "doc_id", "left")
     frag_rows = highlight_fragments(
-        texts, terms, fragsize=fragsize, snippets=snippets, pre=pre, post=post
+        texts, terms, phrases=phrases, fragsize=fragsize, snippets=snippets,
+        pre=pre, post=post,
     )
     per_doc = frag_rows.groupBy("doc_id").agg(
         F.transform(
@@ -166,20 +209,32 @@ def highlight_text(
     text: str,
     terms: list[str],
     *,
+    phrases: list[tuple[str, ...]] | None = None,
     fragsize: int = 100,
     snippets: int = 1,
     pre: str = "<em>",
     post: str = "</em>",
 ) -> list[str]:
     """Pure-Python twin of :func:`highlight_fragments` for one document —
-    the pytest oracle (same fragmentation, scoring, and tie-breaks)."""
+    the pytest oracle (same fragmentation, scoring, tie-breaks, and
+    phrase-span rule)."""
     lterms = {t.lower() for t in terms}
     toks = [w for w in text.split(" ") if w]
+    low = [w.lower() for w in toks]
+    hl_pos: set[int] = set()
+    for p in phrases or []:
+        words = [w.lower() for w in p]
+        n = len(words)
+        for st in range(len(low) - n + 1):
+            if low[st:st + n] == words:
+                hl_pos.update(range(st, st + n))
     frags: dict[int, list[tuple[str, bool]]] = {}
     off = 0
-    for w in toks:
+    for i, w in enumerate(toks):
         fid = off // fragsize if fragsize > 0 else 0
-        frags.setdefault(fid, []).append((w, w.lower() in lterms))
+        frags.setdefault(fid, []).append(
+            (w, w.lower() in lterms or i in hl_pos)
+        )
         off += len(w) + 1
     scored = []
     for fid in sorted(frags):

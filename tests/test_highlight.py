@@ -115,3 +115,95 @@ def test_highlighting_section_with_alternate(spark, docs):
     by_id2 = {r["doc_id"]: r["snippets"] for r in out2}
     assert by_id2[4] == []
     assert "<em>" in by_id2[0][0]
+
+
+@pytest.mark.parametrize("fragsize", [0, 30])
+def test_phrase_highlighter_engine_matches_twin(docs, fragsize):
+    """round-5f hl.usePhraseHighlighter: engine == twin with phrase
+    spans on every corpus doc (bare terms + an exact phrase mixed)."""
+    phrases = [("merge", "window")]
+    rows = highlight_fragments(
+        docs, ["rank"], phrases=phrases, fragsize=fragsize, snippets=3
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["snippet_rank"], r["snippet"])
+        )
+    for did in got:
+        got[did] = [s for _, s in sorted(got[did])]
+    want = {
+        i: hl
+        for i, t in enumerate(TEXTS)
+        if (hl := highlight_text(t, ["rank"], phrases=phrases,
+                                 fragsize=fragsize, snippets=3))
+    }
+    assert got == want
+
+
+def test_phrase_highlighter_spans_only(docs):
+    """The discriminating rule: the phrase ("merge", "window") tags ONLY
+    adjacent occurrences — doc 0 (merge without window) and doc 1
+    (window without merge) get nothing; docs 3 and 5 contain the
+    adjacent pair and tag exactly it, leaving the other
+    merges/windows untagged."""
+    rows = highlight_fragments(
+        docs, [], phrases=[("merge", "window")], fragsize=0, snippets=1
+    ).collect()
+    got = {r["doc_id"]: r["snippet"] for r in rows}
+    assert set(got) == {3, 5}
+    assert got[3] == (
+        "the <em>merge</em> <em>window</em> closes after the last late "
+        "row arrives in the merge"
+    )
+    assert got[5] == (
+        "merge merge <em>merge</em> <em>window</em> window tiny"
+    )
+    # twin agrees
+    assert highlight_text(TEXTS[5], [], phrases=[("merge", "window")],
+                          fragsize=0) == [got[5]]
+    # repeated-phrase doc: both occurrences tagged when adjacent
+    import pyspark.sql.functions as F  # noqa: F401
+    two = docs.sparkSession.createDataFrame(
+        [(0, "a merge window b merge window c")], "doc_id long, text string"
+    )
+    out = highlight_fragments(
+        two, [], phrases=[("merge", "window")], fragsize=0
+    ).collect()
+    assert out[0]["snippet"] == (
+        "a <em>merge</em> <em>window</em> b <em>merge</em> "
+        "<em>window</em> c"
+    )
+
+
+def test_phrase_highlighter_select_section(spark):
+    """select(hl=True) on a phrase query: with the default
+    usePhraseHighlighter only span occurrences are tagged; flipping it
+    off restores term tagging (Solr's pre-flag behavior)."""
+    from parser_indexer_py_spark.datagen import generate_transcripts
+    from parser_indexer_py_spark.index.boolean import select
+    from parser_indexer_py_spark.index.build import build_index
+    from parser_indexer_py_spark.index.search import load_index
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="hlp_idx_")
+    build_index(
+        spark, generate_transcripts(spark, 60, partitions=2), out,
+        n_buckets=8, salt=4, n_chunks=1, positions=True,
+    )
+    idx = load_index(spark, out)
+    # find a phrase that actually occurs: take two adjacent tokens of
+    # some doc
+    txt = idx.docmap.select("text").first()["text"].split()
+    w1, w2 = txt[0], txt[1]
+    q = f'"{w1} {w2}"'
+    on = select(idx, q, rows=3, hl=True)["highlighting"].collect()
+    off = select(
+        idx, q, rows=3, hl=True, hl_use_phrase_highlighter=False
+    )["highlighting"].collect()
+    assert on and off
+    joined_on = " ".join(s for r in on for s in r["snippets"])
+    joined_off = " ".join(s for r in off for s in r["snippets"])
+    # span tagging never tags MORE tokens than term tagging
+    assert joined_on.count("<em>") <= joined_off.count("<em>")
+    assert "<em>" in joined_on
