@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_fuzzy_damerau": TQ.q_lucene_fuzzy_damerau,
         "delete_by_query": TQ.q_delete_by_query,
         "facet_range_date": TQ.q_facet_range_date,
+        "decontaminate": TQ.q_decontaminate,
+        "pii_scrub": TQ.q_pii_scrub,
         "edismax_qf": TQ.q_edismax_qf,
         "edismax_qf_pruned": TQ.q_edismax_qf_pruned,
         "lucene_fielded_scored": TQ.q_lucene_fielded_scored,
@@ -156,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "lucene_fuzzy_damerau": TQ.SQL_LUCENE_DAMERAU,
         "delete_by_query": TQ.SQL_DELETE_BY_QUERY,
         "facet_range_date": TQ.SQL_FACET_RANGE_DATE,
+        "decontaminate": TQ.SQL_DECONTAMINATE,
+        "pii_scrub": TQ.SQL_PII_SCRUB,
         "edismax_qf": TQ.SQL_EDISMAX_QF,
         "edismax_qf_pruned": TQ.SQL_EDISMAX_QF,
         "lucene_fielded_scored": TQ.SQL_FIELDED_SCORED,

@@ -1201,6 +1201,86 @@ ORDER BY bucket
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py — the n-gram
+    overlap drop-filter a pre-training pipeline runs against its eval
+    sets): docs with doc_id % 97 == 0 play the benchmark; every other
+    doc sharing >= 1 word-3-gram with any of them is flagged with its
+    distinct-gram hit count. The benchmark gram set is broadcast — the
+    probe is a map-side semi-join, no corpus-wide shuffle."""
+    from .operators.decontam import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        ngram_contamination(train, bench, n=3)
+        .select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DECONTAMINATE = SQL_GRAMS + """
+, bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT grams.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM grams JOIN bg USING (g)
+WHERE grams.doc_id % 97 <> 0
+GROUP BY 1
+ORDER BY doc_id
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (functions/pii.py): deterministic synthetic email +
+    phone spans appended per doc (the documents corpus itself is
+    digit-free), then the RE2-compatible regexp_replace chain redacts
+    them and regexp_count audits per kind — all JVM-side, and the DuckDB
+    oracle runs the IDENTICAL patterns (the portability contract in the
+    module docstring)."""
+    from .functions.pii import count_pii, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), d.cast("string"),
+        F.lit("@ex"), (d % 5).cast("string"), F.lit(".org or "),
+        F.lpad(((d * 7) % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(((d * 13) % 10000).cast("string"), 4, "0"),
+    )
+    out = docs.select("doc_id", injected.alias("t"))
+    return out.select(
+        "doc_id",
+        count_pii(F.col("t"), "EMAIL").cast("long").alias("n_email"),
+        count_pii(F.col("t"), "PHONE").cast("long").alias("n_phone"),
+        scrub_pii(F.col("t")).alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+SQL_PII_SCRUB = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@ex' || CAST(doc_id % 5 AS VARCHAR) || '.org or '
+              || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\d{3}[- ]\d{3}[- ]\d{4}')) AS BIGINT) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+           '\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g'),
+         '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS scrubbed
+FROM inj
+ORDER BY doc_id
+"""
+
+
 # round-5: fuzzy with Lucene's default transpositions=true semantics —
 # 'wnidow' is 'window' with an adjacent swap: Damerau distance 1, plain
 # Levenshtein 2, so ~1 matches ONLY under the Damerau flag
