@@ -1346,6 +1346,8 @@ def select(
     group_field: str | None = None,
     group_limit: int = 1,
     group_ngroups: bool = False,
+    group_sort: str | None = None,
+    group_offset: int = 0,
     hl: bool = False,
     hl_fragsize: int = 100,
     hl_snippets: int = 1,
@@ -1389,7 +1391,12 @@ def select(
     counts — score-neutral semi-joins, one lazy union DataFrame);
     ``group_field``/``group_limit`` add
     ``"groups"`` (Solr result grouping: top-N docs per field value by
-    relevance, `rank_in_group` column). Lazy like everything
+    relevance, `rank_in_group` column); ``group_sort`` (round-5f,
+    Solr group.sort) orders WITHIN each group by its own Solr sort
+    string instead of relevance, and ``group_offset`` (group.offset)
+    skips the first N docs of every group — rank_in_group stays the
+    1-based within-group position under the group's ordering, so an
+    offset page starts at rank group_offset+1. Lazy like everything
     else: each value is an unevaluated DataFrame; no count job runs
     unless the caller asks (numFound is ``response_all.count()`` —
     deliberately not precomputed, a 100-TB match set's exact count is
@@ -1730,9 +1737,16 @@ def select(
         # ``group_limit`` docs per field value by relevance
         if group_field not in index.docmap.columns:
             raise ValueError(f"unknown group field {group_field!r}")
+        if group_offset < 0:
+            raise ValueError("group_offset must be >= 0")
+        gorder = [F.desc("score"), F.asc("doc_id")]
+        gsort_fields: list[str] = []
+        if group_sort is not None and group_sort.strip() != "score desc":
+            gorder, gsort_fields = _parse_sort(index, group_sort)
         gcols = ["doc_id", "conv_id", "turn_idx", "role"]
-        if group_field not in gcols:
-            gcols.append(group_field)
+        for f in [group_field] + gsort_fields:
+            if f not in gcols:
+                gcols.append(f)
         joined = scored.join(index.docmap.select(*gcols), "doc_id")
         if group_ngroups:
             # group.ngroups: distinct matching group values, the NULL
@@ -1749,7 +1763,7 @@ def select(
                     )
                 ).alias("ngroups")
             )
-        if int(group_limit) == 1:
+        if int(group_limit) == 1 and group_sort is None and not group_offset:
             # the common top-1-per-group case: max_by with a
             # (score, -doc_id) ordering struct — PARTIAL-aggregatable
             # (map-side combine before the shuffle), no per-group sort;
@@ -1772,13 +1786,15 @@ def select(
             # general top-N per group: window rank over the match set
             from pyspark.sql import Window
 
-            w = Window.partitionBy(group_field).orderBy(
-                F.desc("score"), F.asc("doc_id")
-            )
+            w = Window.partitionBy(group_field).orderBy(*gorder)
+            lo, hi = int(group_offset), int(group_offset) + int(group_limit)
             groups = (
                 joined
                 .withColumn("rank_in_group", F.row_number().over(w))
-                .filter(F.col("rank_in_group") <= int(group_limit))
+                .filter(
+                    (F.col("rank_in_group") > lo)
+                    & (F.col("rank_in_group") <= hi)
+                )
                 .orderBy(F.asc(group_field), F.asc("rank_in_group"))
             )
     return {

@@ -1715,3 +1715,49 @@ def test_facet_sort_index_and_ngroups(bindex):
     assert n == distinct
     # ngroups stays None when not requested (and on the fast path)
     assert select(bindex, q="bace", rows=5)["ngroups"] is None
+
+
+def test_group_sort_and_offset(bindex, boracle, qterms):
+    """round-5f Solr group.sort + group.offset: within-group ordering by
+    the group's own sort string, offset skipping the first N per group,
+    rank_in_group = 1-based position under that ordering."""
+    t1, _, _ = qterms
+    out = select(
+        bindex, t1, rows=0, group_field="role", group_limit=2,
+        group_sort="turn_idx asc", group_offset=1,
+    )["groups"].collect()
+    got = [
+        (r["role"], r["rank_in_group"], r["doc_id"]) for r in out
+    ]
+
+    meta = {
+        r["doc_id"]: (r["role"], r["turn_idx"])
+        for r in bindex.docmap.select(
+            "doc_id", "role", "turn_idx"
+        ).collect()
+    }
+    per_role: dict = {}
+    for d in boracle.postings[t1]:
+        role, tix = meta[d]
+        per_role.setdefault(role, []).append((tix, d))
+    want = []
+    for role in sorted(per_role):
+        ranked = sorted(per_role[role])
+        want += [
+            (role, i + 1, d)
+            for i, (_, d) in enumerate(ranked)
+            if 1 <= i < 3  # offset 1, limit 2 -> ranks 2..3
+        ]
+    assert got == want and got
+    # offset past the group's size yields nothing for that group;
+    # contracts stay loud
+    deep = select(
+        bindex, t1, rows=0, group_field="role", group_limit=2,
+        group_offset=10**6,
+    )["groups"].collect()
+    assert deep == []
+    with pytest.raises(ValueError, match="group_offset"):
+        select(bindex, t1, rows=0, group_field="role", group_offset=-1)
+    with pytest.raises(ValueError, match="not sortable|unknown"):
+        select(bindex, t1, rows=0, group_field="role",
+               group_sort="nope asc")["groups"].collect()
