@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_range_date": TQ.q_facet_range_date,
         "decontaminate": TQ.q_decontaminate,
         "pii_scrub": TQ.q_pii_scrub,
+        "edismax_bf": TQ.q_edismax_bf,
         "edismax_qf": TQ.q_edismax_qf,
         "edismax_qf_pruned": TQ.q_edismax_qf_pruned,
         "lucene_fielded_scored": TQ.q_lucene_fielded_scored,
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_range_date": TQ.SQL_FACET_RANGE_DATE,
         "decontaminate": TQ.SQL_DECONTAMINATE,
         "pii_scrub": TQ.SQL_PII_SCRUB,
+        "edismax_bf": TQ.SQL_EDISMAX_BF,
         "edismax_qf": TQ.SQL_EDISMAX_QF,
         "edismax_qf_pruned": TQ.SQL_EDISMAX_QF,
         "lucene_fielded_scored": TQ.SQL_FIELDED_SCORED,

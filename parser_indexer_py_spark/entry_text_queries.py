@@ -1281,6 +1281,69 @@ ORDER BY doc_id
 """
 
 
+def q_edismax_bf(spark, sf_dir):
+    """edismax ``bf`` boost functions THROUGH THE ENGINE
+    (functions/funcquery.py + boolean_search(boost_funcs=...)): a
+    dedicated index maps n_chars onto the docmap's turn_idx slot, and
+    the classic length-prior ``bf=log(sum(turn_idx,1))`` adds to every
+    matching doc's BM25 score — a real /browse relevance-tuning shape
+    (defType=edismax at solrconfig.xml:870-876; bf is that parser's
+    documented parameter). Additive doc-dependent boosts force the full
+    clause-evaluator path (Lucene FunctionScoreQuery does the same)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .index.boolean import boolean_search
+    from .index.build import build_index
+    from .index.search import load_index
+    from .shipping import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.col("n_chars").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit("").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"pi_docs_bfidx_{key}")
+    build_index(spark, src, out, n_buckets=8, salt=4, n_chunks=1)
+    idx = load_index(spark, out)
+    hits = boolean_search(
+        idx, "merge stream", k=10, with_meta=True,
+        boost_funcs="log(sum(turn_idx,1))",
+    )
+    return hits.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+SQL_EDISMAX_BF = SQL_TOK + """
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       WHERE w IN ('merge', 'stream') GROUP BY doc_id, w),
+dfs AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (g.sdl * 1.0 / g.n)))
+         AS contrib
+  FROM tf JOIN dfs USING (w) JOIN dl ON dl.doc_id = tf.doc_id, g),
+base AS (SELECT doc_id, SUM(contrib) AS s FROM scored GROUP BY doc_id)
+SELECT base.doc_id AS doc_id,
+       ROUND(base.s + log10(documents.n_chars + 1), 6) AS score
+FROM base JOIN documents USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # round-5: fuzzy with Lucene's default transpositions=true semantics —
 # 'wnidow' is 'window' with an adjacent swap: Damerau distance 1, plain
 # Levenshtein 2, so ~1 matches ONLY under the Damerau flag

@@ -801,6 +801,8 @@ def boolean_search(
     require: DataFrame | None = None,
     fuzzy_transpositions: bool = False,
     now=None,
+    boost_funcs: list | str | None = None,
+    boost_queries: list | str | None = None,
 ) -> DataFrame:
     """Top-k for a Lucene classic-syntax query string (module docstring
     has the semantics). Returns (doc_id, score[, conv_id, turn_idx, role
@@ -824,6 +826,13 @@ def boolean_search(
     a doc must match >= that many SHOULD clauses — MUST matches never
     count toward it, and mm > #SHOULD-clauses matches nothing.
     ``default_op`` is Solr's q.op (``"AND"`` requires bare clauses).
+    ``boost_funcs`` (edismax ``bf``) adds each function-query
+    expression's value (functions/funcquery.py grammar over docmap
+    fields) to every matching doc's score; ``boost_queries`` (edismax
+    ``bq``) adds each boost query's own score to docs that also match
+    it. Both are ADDITIVE and doc-dependent, so they force the clause
+    evaluator (no WAND delegation — Lucene's FunctionScoreQuery pays
+    the same), applied to the full match set before the top-k.
     ``require`` is a pre-materialized doc-set DataFrame (a ``doc_id``
     column) semi-joined before the top-k exactly like an fq match set —
     the injection point for cached filterCache docsets (index/caches.py);
@@ -873,6 +882,10 @@ def boolean_search(
         and not pq.match_all
         and mm_delegable
         and not scored_fielded  # per-field contribs have no term bounds
+        # additive doc-dependent boosts break per-term upper bounds —
+        # Lucene's FunctionScoreQuery forces full evaluation the same way
+        and not boost_funcs
+        and not boost_queries
         and bool(pq.should_terms or pq.must_terms)
     )
     if delegable:
@@ -957,6 +970,12 @@ def boolean_search(
         out = _apply_fq(index, out, fq, default_op, field_indexes, now)
     if require is not None:
         out = out.join(require.select("doc_id"), "doc_id", "left_semi")
+    if boost_funcs:
+        out = _apply_boost_funcs(index, out, boost_funcs)
+    if boost_queries:
+        out = _apply_boost_queries(
+            index, out, boost_queries, default_op, field_indexes, now
+        )
     topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_meta:
         meta = index.docmap.select("doc_id", "conv_id", "turn_idx", "role")
@@ -966,6 +985,61 @@ def boolean_search(
         if with_excerpt and _hl_terms(pq):
             topk = _attach_excerpts(index, topk, _hl_terms(pq))
     return topk
+
+
+def _apply_boost_funcs(index: Index, out: DataFrame, bfs) -> DataFrame:
+    """edismax ``bf`` (additive boost functions): score += each parsed
+    function-query expression, evaluated over the doc's docmap fields —
+    a k-free match-set join against only the referenced columns, BEFORE
+    the top-k (additive boosts reorder, so they must see every match;
+    Lucene's FunctionScoreQuery pays the same full evaluation)."""
+    from ..functions.funcquery import parse_func_query
+
+    cols = [c for c in index.docmap.columns if c != "text"]
+    exprs, fields = [], set()
+    for bf in [bfs] if isinstance(bfs, str) else list(bfs):
+        col, flds = parse_func_query(bf, cols)
+        exprs.append(col)
+        fields.update(flds)
+    if fields:
+        out = out.join(
+            index.docmap.select("doc_id", *sorted(fields)), "doc_id"
+        )
+    score = F.col("score")
+    for e in exprs:
+        score = score + e
+    return out.select("doc_id", score.alias("score"))
+
+
+def _apply_boost_queries(
+    index: Index, out: DataFrame, bqs, default_op, field_indexes, now
+) -> DataFrame:
+    """edismax ``bq`` (additive boost queries): each bq is a full query
+    whose score ADDS to docs that also match it (non-matching docs keep
+    their base score — Solr's optional-clause fold). Evaluated by the
+    same clause evaluator, boosts via the standard ``term^2`` syntax."""
+    from ..functions.queryparser import parse_query as _parse
+
+    for q in [bqs] if isinstance(bqs, str) else list(bqs):
+        sub = _scored_docs(
+            index, _parse(q, default_op=default_op, now=now),
+            field_indexes=field_indexes,
+        )
+        if sub is None:
+            raise ValueError(f"bq {q!r} parses to an empty query")
+        out = (
+            out.join(
+                sub.select("doc_id", F.col("score").alias("_bq")),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                (F.col("score") + F.coalesce(F.col("_bq"), F.lit(0.0)))
+                .alias("score"),
+            )
+        )
+    return out
 
 
 _UNSORTABLE = {"text", "dkey"}  # analyzed body / internal partition key

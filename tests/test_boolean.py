@@ -1761,3 +1761,85 @@ def test_group_sort_and_offset(bindex, boracle, qterms):
     with pytest.raises(ValueError, match="not sortable|unknown"):
         select(bindex, t1, rows=0, group_field="role",
                group_sort="nope asc")["groups"].collect()
+
+
+def test_funcquery_parser_unit(spark):
+    """functions/funcquery.py: expression values vs NumPy-free Python
+    math on a literal row; loud errors on the unsupported tail."""
+    import math
+
+    from parser_indexer_py_spark.functions.funcquery import (
+        parse_func_query,
+    )
+
+    df = spark.createDataFrame([(7, 3.0)], "a long, b double")
+    cases = [
+        ("sum(a,1)", 8.0),
+        ("log(sum(a,3))", 1.0),
+        ("ln(b)", math.log(3.0)),
+        ("sqrt(sum(a,2))", 3.0),
+        ("recip(a,1,2,3)", 2.0 / 10.0),
+        ("linear(b,2,0.5)", 6.5),
+        ("div(product(a,b),sub(a,b))", 21.0 / 4.0),
+        ("max(a,b,10)", 10.0),
+        ("abs(sub(b,a))", 4.0),
+        ("pow(b,2)", 9.0),
+        ("0.25", 0.25),
+    ]
+    for expr, want in cases:
+        col, _ = parse_func_query(expr, {"a", "b"})
+        got = df.select(col.alias("v")).first()["v"]
+        assert got == pytest.approx(want, abs=1e-12), expr
+    assert parse_func_query("sum(a,b,1)", {"a", "b"})[1] == ["a", "b"]
+    for bad in ("nope(a)", "c", "sum(a)", "recip(a,1,2)", "sum(a,1))x",
+                "ord(a)", "ms(NOW,a)"):
+        with pytest.raises(ValueError):
+            parse_func_query(bad, {"a", "b"})
+
+
+def test_boost_funcs_and_queries(bindex, boracle, qterms):
+    """edismax bf/bq through boolean_search: score == base + bf(fields)
+    (+ bq score for docs matching the bq), rank reordered accordingly;
+    the pure-Python recomputation is the oracle."""
+    import math
+
+    t1, t2, _ = qterms
+    base = dict(boracle.search(t1, k=10**9))
+    tix = {
+        r["doc_id"]: r["turn_idx"]
+        for r in bindex.docmap.select("doc_id", "turn_idx").collect()
+    }
+    got = _rows(
+        boolean_search(
+            bindex, t1, k=20, with_meta=False,
+            boost_funcs="log(sum(turn_idx,1))",
+        )
+    )
+    want = sorted(
+        (
+            (d, s + math.log10(tix[d] + 1))
+            for d, s in base.items()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:20]
+    assert [(d, pytest.approx(s, abs=1e-9)) for d, s in want] == got
+
+    # boolean_search parses the boost syntax; plain .search would
+    # ANALYZE the caret into garbage tokens
+    bq_scores = dict(boracle.boolean_search(f"{t2}^2", k=10**9))
+    got2 = _rows(
+        boolean_search(
+            bindex, t1, k=20, with_meta=False, boost_queries=f"{t2}^2",
+        )
+    )
+    want2 = sorted(
+        ((d, s + bq_scores.get(d, 0.0)) for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:20]
+    assert [(d, pytest.approx(s, abs=1e-9)) for d, s in want2] == got2
+    # the pruned knobs stay loud on the forced-full path
+    with pytest.raises(ValueError, match="full_cutover"):
+        boolean_search(
+            bindex, t1, k=5, boost_funcs="log(sum(turn_idx,1))",
+            full_cutover=0,
+        )
