@@ -13,12 +13,19 @@ oracle:
 - functions, nested freely: ``log`` (base 10, Solr's log), ``ln``,
   ``sqrt``, ``abs``, ``sum``, ``sub``, ``product``, ``div``, ``min``,
   ``max``, ``pow``, ``recip(x,m,a,b)`` = a/(m*x+b) (Solr's recency/
-  length damping shape), ``linear(x,m,c)`` = m*x+c.
+  length damping shape), ``linear(x,m,c)`` = m*x+c;
+- ``ms(a,b)`` — milliseconds between two dates (Solr's date function;
+  ``ms(NOW,ts)`` with ``recip`` is THE canonical Solr recency boost).
+  Each argument is a timestamp field, a date-math string (``NOW/DAY``,
+  ``2024-01-01T00:00:00Z-1MONTH`` — resolved against the ``now``
+  passed to :func:`parse_func_query`, the same ``NOW=`` request-param
+  model the range parser uses), or a 1-arg form ``ms(a)`` = ms since
+  epoch.
 
 Everything unsupported raises ValueError with the offending token —
-the loud-error contract shared with the query parser (``ord``/``ms``/
-``query()`` need index internals or dates and are named in the error
-when seen).
+the loud-error contract shared with the query parser (``ord``/
+``query()`` need index internals and are named in the error when
+seen).
 
 Citation: the reference's /browse handler is defType=edismax
 (conf/solr/docs/conf/solrconfig.xml:870-876); bf/boost are that
@@ -37,7 +44,7 @@ __all__ = ["parse_func_query", "func_query_fields"]
 
 _NUM = re.compile(r"-?\d+(?:\.\d+)?")
 _NAME = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*")
-_KNOWN_UNSUPPORTED = {"ord", "rord", "ms", "query", "exists", "if", "def",
+_KNOWN_UNSUPPORTED = {"ord", "rord", "query", "exists", "if", "def",
                       "field", "termfreq", "norm", "docfreq", "idf", "tf"}
 
 _NARY = {
@@ -80,11 +87,54 @@ def _need2(args):
 
 
 class _P:
-    def __init__(self, s: str, columns):
+    def __init__(self, s: str, columns, now=None):
         self.s = s
         self.i = 0
         self.cols = columns
+        self.now = now
         self.fields: set[str] = set()
+
+    def _ms_arg(self):
+        """One ms() argument -> epoch-milliseconds Column: a timestamp
+        field, or a date-math string resolved at parse time."""
+        from .datemath import is_date_math, parse_date_math
+
+        self.ws()
+        m = _NAME.match(self.s, self.i)
+        # greedy date-math token: NAME chars plus the math charset
+        dm = re.match(r"[A-Za-z0-9_.:+\-/]+", self.s[self.i:])
+        if dm and is_date_math(dm.group()):
+            if self.now is None:
+                from datetime import datetime, timezone
+
+                self.now = datetime.now(timezone.utc)
+            dt = parse_date_math(dm.group(), self.now)
+            self.i += dm.end()
+            return F.lit(int(dt.timestamp() * 1000)).cast("double")
+        if m and m.group() in self.cols:
+            self.i = m.end()
+            self.fields.add(m.group())
+            return (
+                F.unix_millis(F.col(m.group()).cast("timestamp"))
+                .cast("double")
+            )
+        raise ValueError(
+            f"ms() argument at {self.s[self.i:]!r} is neither a "
+            "timestamp field nor a date-math expression"
+        )
+
+    def _ms(self):
+        a = self._ms_arg()
+        self.ws()
+        b = None
+        if self.i < len(self.s) and self.s[self.i] == ",":
+            self.i += 1
+            b = self._ms_arg()
+            self.ws()
+        if self.i >= len(self.s) or self.s[self.i] != ")":
+            raise ValueError(f"missing ')' in {self.s!r}")
+        self.i += 1
+        return a - b if b is not None else a
 
     def ws(self):
         while self.i < len(self.s) and self.s[self.i] in " \t":
@@ -123,6 +173,8 @@ class _P:
         )
 
     def func(self, name: str) -> Column:
+        if name == "ms":
+            return self._ms()
         if name in _KNOWN_UNSUPPORTED:
             raise ValueError(
                 f"function {name!r} needs index internals/dates — "
@@ -142,10 +194,13 @@ class _P:
         return _NARY[name](args)
 
 
-def parse_func_query(expr: str, columns) -> tuple[Column, list[str]]:
+def parse_func_query(
+    expr: str, columns, now=None
+) -> tuple[Column, list[str]]:
     """Parse one function-query expression against the available column
-    names. Returns (Column, referenced field names)."""
-    p = _P(expr, set(columns))
+    names. Returns (Column, referenced field names). ``now`` anchors
+    ms() date math (None = wall clock, read once per expression)."""
+    p = _P(expr, set(columns), now=now)
     col = p.expr()
     p.ws()
     if p.i != len(p.s):

@@ -803,6 +803,7 @@ def boolean_search(
     now=None,
     boost_funcs: list | str | None = None,
     boost_queries: list | str | None = None,
+    multiplicative_boost: list | str | None = None,
 ) -> DataFrame:
     """Top-k for a Lucene classic-syntax query string (module docstring
     has the semantics). Returns (doc_id, score[, conv_id, turn_idx, role
@@ -886,6 +887,7 @@ def boolean_search(
         # Lucene's FunctionScoreQuery forces full evaluation the same way
         and not boost_funcs
         and not boost_queries
+        and not multiplicative_boost
         and bool(pq.should_terms or pq.must_terms)
     )
     if delegable:
@@ -971,10 +973,14 @@ def boolean_search(
     if require is not None:
         out = out.join(require.select("doc_id"), "doc_id", "left_semi")
     if boost_funcs:
-        out = _apply_boost_funcs(index, out, boost_funcs)
+        out = _apply_boost_funcs(index, out, boost_funcs, now)
     if boost_queries:
         out = _apply_boost_queries(
             index, out, boost_queries, default_op, field_indexes, now
+        )
+    if multiplicative_boost:
+        out = _apply_boost_funcs(
+            index, out, multiplicative_boost, now, multiply=True
         )
     topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_meta:
@@ -987,7 +993,9 @@ def boolean_search(
     return topk
 
 
-def _apply_boost_funcs(index: Index, out: DataFrame, bfs) -> DataFrame:
+def _apply_boost_funcs(
+    index: Index, out: DataFrame, bfs, now=None, multiply: bool = False
+) -> DataFrame:
     """edismax ``bf`` (additive boost functions): score += each parsed
     function-query expression, evaluated over the doc's docmap fields —
     a k-free match-set join against only the referenced columns, BEFORE
@@ -998,7 +1006,7 @@ def _apply_boost_funcs(index: Index, out: DataFrame, bfs) -> DataFrame:
     cols = [c for c in index.docmap.columns if c != "text"]
     exprs, fields = [], set()
     for bf in [bfs] if isinstance(bfs, str) else list(bfs):
-        col, flds = parse_func_query(bf, cols)
+        col, flds = parse_func_query(bf, cols, now=now)
         exprs.append(col)
         fields.update(flds)
     if fields:
@@ -1007,7 +1015,7 @@ def _apply_boost_funcs(index: Index, out: DataFrame, bfs) -> DataFrame:
         )
     score = F.col("score")
     for e in exprs:
-        score = score + e
+        score = (score * e) if multiply else (score + e)
     return out.select("doc_id", score.alias("score"))
 
 

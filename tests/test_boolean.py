@@ -1791,8 +1791,26 @@ def test_funcquery_parser_unit(spark):
         got = df.select(col.alias("v")).first()["v"]
         assert got == pytest.approx(want, abs=1e-12), expr
     assert parse_func_query("sum(a,b,1)", {"a", "b"})[1] == ["a", "b"]
+    # ms(): the canonical recency-boost date function
+    from datetime import datetime, timezone
+
+    NOW = datetime(2026, 1, 2, tzinfo=timezone.utc)
+    df2 = spark.createDataFrame(
+        [(datetime(2026, 1, 1),)], "ts timestamp"
+    )
+    col, flds = parse_func_query("ms(NOW,ts)", {"ts"}, now=NOW)
+    assert flds == ["ts"]
+    assert df2.select(col.alias("v")).first()["v"] == 86400000.0
+    col, _ = parse_func_query(
+        "recip(ms(NOW/DAY,ts),1,86400000,86400000)", {"ts"}, now=NOW
+    )
+    assert df2.select(col.alias("v")).first()["v"] == pytest.approx(0.5)
+    col, _ = parse_func_query(
+        "ms(2026-01-02T00:00:00Z,2026-01-01T00:00:00Z)", {"ts"}, now=NOW
+    )
+    assert df2.select(col.alias("v")).first()["v"] == 86400000.0
     for bad in ("nope(a)", "c", "sum(a)", "recip(a,1,2)", "sum(a,1))x",
-                "ord(a)", "ms(NOW,a)"):
+                "ord(a)", "ms()", "ms(nope)"):
         with pytest.raises(ValueError):
             parse_func_query(bad, {"a", "b"})
 
@@ -1837,6 +1855,32 @@ def test_boost_funcs_and_queries(bindex, boracle, qterms):
         key=lambda x: (-x[1], x[0]),
     )[:20]
     assert [(d, pytest.approx(s, abs=1e-9)) for d, s in want2] == got2
+    # multiplicative recency boost (Solr's canonical boost= shape) at a
+    # fixed NOW — engine == driver-side recomputation over collected ts
+    from datetime import datetime, timezone
+
+    NOW = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    ts = {
+        r["doc_id"]: r["ts"].replace(tzinfo=timezone.utc)
+        for r in bindex.docmap.select("doc_id", "ts").collect()
+    }
+    got3 = _rows(
+        boolean_search(
+            bindex, t1, k=20, with_meta=False, now=NOW,
+            multiplicative_boost="recip(ms(NOW,ts),1,86400000,86400000)",
+        )
+    )
+
+    def rb(d):
+        msdiff = (NOW - ts[d]).total_seconds() * 1000.0
+        return 86400000.0 / (1.0 * msdiff + 86400000.0)
+
+    want3 = sorted(
+        ((d, s * rb(d)) for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:20]
+    assert [(d, pytest.approx(s, rel=1e-9)) for d, s in want3] == got3
+
     # the pruned knobs stay loud on the forced-full path
     with pytest.raises(ValueError, match="full_cutover"):
         boolean_search(
