@@ -1053,18 +1053,54 @@ def _apply_boost_queries(
 _UNSORTABLE = {"text", "dkey"}  # analyzed body / internal partition key
 
 
-def _parse_sort(index: Index, sort: str):
+def _parse_sort(
+    index: Index, sort: str, *, allow_funcs: bool = False, now=None
+):
     """Solr sort syntax: 'field asc, field2 desc' (or 'score desc').
     Returns (orderBy columns incl. the ascending-doc_id tiebreak,
-    the docmap field names the sort needs)."""
+    the docmap field names the sort needs). With ``allow_funcs``
+    (select's main sort), a clause may be a FUNCTION QUERY —
+    ``sort="recip(ms(NOW,ts),1,1,1) desc"``, Solr's sort-by-function;
+    its field references join in like plain sort fields. Function
+    clauses contain no spaces (the Solr convention), so 'expr dir'
+    still splits on whitespace."""
     cols, fields = [], []
-    for part in sort.split(","):
+    # split on TOP-LEVEL commas only — function clauses carry their own
+    # (recip(ms(NOW,ts),1,1,1) has argument commas)
+    parts, depth, cur = [], 0, []
+    for ch in sort:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        depth += ch == "("
+        depth -= ch == ")"
+        cur.append(ch)
+    parts.append("".join(cur))
+    for part in parts:
         bits = part.split()
         if len(bits) != 2 or bits[1] not in ("asc", "desc"):
             raise ValueError(
                 f"sort clause {part.strip()!r} is not 'field asc|desc'"
             )
         fld, direction = bits
+        if "(" in fld:
+            if not allow_funcs:
+                raise ValueError(
+                    f"function sort {fld!r} is not supported here "
+                    "(select's main sort only)"
+                )
+            from ..functions.funcquery import parse_func_query
+
+            c, ffields = parse_func_query(
+                fld, [x for x in index.docmap.columns if x != "text"],
+                now=now,
+            )
+            for f in ffields:
+                if f not in fields:
+                    fields.append(f)
+            cols.append(c.asc() if direction == "asc" else c.desc())
+            continue
         if fld in _UNSORTABLE:
             raise ValueError(f"field {fld!r} is not sortable")
         if fld != "score":
@@ -1441,6 +1477,9 @@ def select(
     field_indexes: dict | None = None,
     caches=None,
     now=None,
+    bf: list | str | None = None,
+    bq: list | str | None = None,
+    boost: list | str | None = None,
 ) -> dict:
     """Solr ``/select`` twin — the request shape every reference sample
     query uses (docs/mte-samplequeries.md; handler defaults rows=10 at
@@ -1486,7 +1525,13 @@ def select(
 
     ``now`` is Solr's ``NOW=`` request parameter: one instant shared by
     every date-math consumer in the request (q/fq range endpoints,
-    facet.range bounds). ``field_indexes`` passes through to both
+    facet.range bounds, bf/boost ms() expressions). ``bf``/``bq``/
+    ``boost`` are the edismax boost parameters (see boolean_search's
+    boost_funcs/boost_queries/multiplicative_boost) — they reshape the
+    relevance ordering, and every response section that reads scores
+    (page, grouping) sees the boosted values; a boosted request skips
+    the page-only fast path (additive/multiplicative boosts need the
+    full match set). ``field_indexes`` passes through to both
     evaluation paths (scoring
     fielded clauses — see boolean_search). ``mode`` passes through to
     the page-only fast path below: a
@@ -1514,7 +1559,7 @@ def select(
         or group_field is not None
         or sort is not None
     )
-    if not needs_match_set and rows > 0:
+    if not needs_match_set and rows > 0 and not (bf or bq or boost):
         from ..functions.queryparser import _is_empty
 
         if _is_empty(pq):
@@ -1555,11 +1600,21 @@ def select(
             scored = _apply_fq(
                 index, scored, fq_eff, q_op, field_indexes, now
             )
+    if bf:
+        scored = _apply_boost_funcs(index, scored, bf, now)
+    if bq:
+        scored = _apply_boost_queries(
+            index, scored, bq, q_op, field_indexes, now
+        )
+    if boost:
+        scored = _apply_boost_funcs(index, scored, boost, now, multiply=True)
     resp = None
     if rows > 0:
         meta_cols = ["doc_id", "conv_id", "turn_idx", "role"]
         if sort:
-            order, sort_fields = _parse_sort(index, sort)
+            order, sort_fields = _parse_sort(
+                index, sort, allow_funcs=True, now=now
+            )
             # the meta join carries any extra fields the sort needs (ts,
             # tool, dl, ...) and precedes the (still distributed-heap)
             # orderBy+limit so field sorts can see their columns

@@ -1887,3 +1887,47 @@ def test_boost_funcs_and_queries(bindex, boracle, qterms):
             bindex, t1, k=5, boost_funcs="log(sum(turn_idx,1))",
             full_cutover=0,
         )
+
+
+def test_select_boost_params(bindex, qterms):
+    """select(bf=/bq=/boost=): the facade's page equals boolean_search
+    with the same boosts, on both the page-only shape (which must SKIP
+    the fast path when boosted) and with a facet section attached."""
+    t1, t2, _ = qterms
+    kw = dict(bf="log(sum(turn_idx,1))", bq=f"{t2}^2")
+    direct = _rows(
+        boolean_search(
+            bindex, t1, k=5, with_meta=False,
+            boost_funcs=kw["bf"], boost_queries=kw["bq"],
+        )
+    )
+    page = select(bindex, t1, rows=5, **kw)["response"]
+    assert [(r["doc_id"], r["score"]) for r in page.collect()] == direct
+    out = select(bindex, t1, rows=5, facet_field="role", **kw)
+    assert [
+        (r["doc_id"], r["score"]) for r in out["response"].collect()
+    ] == direct
+    assert out["facets"].count() > 0
+
+
+def test_select_sort_by_function(bindex):
+    """Solr sort-by-function: sort="recip(ms(NOW,ts),1,1,1) desc" orders
+    most-recent-first at the fixed NOW (== plain ts desc on this corpus,
+    since recip is monotone-decreasing in age), and function sorts
+    compose with a field clause after a top-level comma."""
+    from datetime import datetime, timezone
+
+    NOW = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    a = select(
+        bindex, "*:*", rows=8,
+        sort="recip(ms(NOW,ts),1,1,1) desc", now=NOW,
+    )["response"].collect()
+    b = select(bindex, "*:*", rows=8, sort="ts desc")["response"].collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    c = select(
+        bindex, "*:*", rows=8,
+        sort="role asc, recip(ms(NOW,ts),1,1,1) desc", now=NOW,
+    )["response"].collect()
+    assert len(c) == 8 and c[0]["role"] <= c[-1]["role"]
+    with pytest.raises(ValueError, match="sort clause|unknown"):
+        select(bindex, "*:*", rows=2, sort="recip(ms(NOW,ts),1,1,1)")
