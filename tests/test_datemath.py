@@ -154,3 +154,50 @@ def test_date_facet_range_contracts(didx):
     got = {r["other"]: r["n"] for r in out}
     assert set(got) == {"before", "after", "between"}
     assert got["before"] > 0 and got["between"] > 0 and got["after"] == 0
+
+
+def test_datemath_properties():
+    """Property gates (hypothesis): add/subtract inversion for
+    fixed-width units, rounding idempotence, month-add day clamping,
+    and agreement with pandas DateOffset on month arithmetic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    units = ["DAYS", "HOURS", "MINUTES", "SECONDS", "MILLIS"]
+    base = st.datetimes(
+        min_value=datetime(1990, 1, 5), max_value=datetime(2200, 12, 25)
+    ).map(lambda d: d.replace(tzinfo=timezone.utc))
+
+    @settings(max_examples=200, deadline=None)
+    @given(base, st.sampled_from(units), st.integers(0, 10_000))
+    def fixed_width_inverts(dt, u, n):
+        there = parse_date_math(f"NOW+{n}{u}", dt)
+        back = parse_date_math(f"NOW-{n}{u}", there)
+        assert back == dt
+
+    fixed_width_inverts()
+
+    @settings(max_examples=200, deadline=None)
+    @given(base, st.sampled_from(
+        ["YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND"]
+    ))
+    def rounding_idempotent(dt, u):
+        once = parse_date_math(f"NOW/{u}", dt)
+        assert parse_date_math(f"NOW/{u}", once) == once
+        assert once <= dt
+
+    rounding_idempotent()
+
+    @settings(max_examples=200, deadline=None)
+    @given(base, st.integers(-500, 500))
+    def months_match_pandas(dt, n):
+        import pandas as pd
+
+        got = parse_date_math(f"NOW{'+' if n >= 0 else '-'}{abs(n)}MONTHS",
+                              dt)
+        want = (
+            pd.Timestamp(dt) + pd.DateOffset(months=n)
+        ).to_pydatetime()
+        assert got == want, (dt, n)
+
+    months_match_pandas()
