@@ -70,21 +70,50 @@ def terms_enum(
     prefix: str = "",
     *,
     mincount: int = 1,
+    maxcount: int | None = None,
     limit: int = 10,
     sort: str = "count",
+    regex: str | None = None,
+    lower: str | None = None,
+    upper: str | None = None,
 ) -> DataFrame:
     """TermsComponent: enumerate the term dictionary. Returns
     (term, df) — ``sort='count'`` orders by df desc (term asc tie-break,
     Solr's default), ``sort='index'`` by term asc. Unlike ``suggest``
     (cf-ranked, analyzed prefix), this is the raw-dictionary admin view:
-    the prefix is taken verbatim and df (not cf) ranks."""
+    the prefix is taken verbatim and df (not cf) ranks.
+
+    Round-5g tail of the /terms parameter set: ``regex``
+    (terms.regex — Java-style full-match like Solr, so the pattern is
+    anchored; a literal prefix in the pattern is ALSO pushed as a
+    startswith so the parquet scan prunes), ``lower``/``upper``
+    (terms.lower/terms.upper inclusive-lower/exclusive-upper dictionary
+    range, the paging idiom), ``maxcount`` (terms.maxcount upper df
+    bound, the stopword-window trick)."""
     if sort not in ("count", "index"):
         raise ValueError(f"terms.sort must be 'count' or 'index', got {sort!r}")
     ts = index.termstats.select("term", "df")
     if prefix:
         ts = ts.filter(F.col("term").startswith(prefix))
+    if regex is not None:
+        import re as _re
+
+        _re.compile(regex)  # raise here, not in the executor
+        lit = _re.match(r"[a-z0-9]+", regex)
+        if lit and not prefix:
+            # sarg-able envelope: a literal pattern head can only match
+            # terms sharing it — pushed like terms.prefix
+            ts = ts.filter(F.col("term").startswith(lit.group()))
+        # rlike is a contains-match; anchor for Solr's full-match regex
+        ts = ts.filter(F.col("term").rlike(f"^(?:{regex})$"))
+    if lower is not None:
+        ts = ts.filter(F.col("term") >= lower)
+    if upper is not None:
+        ts = ts.filter(F.col("term") < upper)
     if mincount > 1:
         ts = ts.filter(F.col("df") >= mincount)
+    if maxcount is not None:
+        ts = ts.filter(F.col("df") <= maxcount)
     order = (
         [F.desc("df"), F.asc("term")] if sort == "count" else [F.asc("term")]
     )

@@ -477,6 +477,8 @@ class BM25Oracle:
         min_prefix: int = 1,
         count: int = 5,
         transpositions: bool = False,
+        only_more_popular: bool = False,
+        own_df: int = 0,
     ) -> list[tuple[str, int, float]]:
         """DirectSolrSpellChecker twin of index.spell._suggest_term:
         (suggestion, df, similarity) ranked sim desc, df desc, term asc.
@@ -486,6 +488,8 @@ class BM25Oracle:
         out = []
         for t, pl in self.postings.items():
             if t == term or not t.startswith(term[:min_prefix]):
+                continue
+            if only_more_popular and len(pl) <= own_df:
                 continue
             if abs(len(t) - len(term)) > max_edits:
                 continue

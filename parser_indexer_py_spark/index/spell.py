@@ -111,6 +111,9 @@ SPELL_DEFAULTS = {
     # Damerau distance (see module docstring; Lucene's own default is
     # true, False here keeps the pinned plain-Levenshtein baseline)
     "transpositions": False,
+    # spellcheck.onlyMorePopular: keep only suggestions with df > the
+    # checked term's own df (Lucene SuggestMode.SUGGEST_MORE_POPULAR)
+    "only_more_popular": False,
 }
 
 
@@ -235,9 +238,15 @@ def spellcheck(index: Index, query: str, **overrides) -> dict:
         t: atc if (atc > 0 and dfs.get(t, 0) > 0) else int(cfg["count"])
         for t in active
     }
-    un = reduce(
-        DataFrame.unionByName, [_candidates(index, t, cfg) for t in active]
-    )
+    legs = []
+    for t in active:
+        leg = _candidates(index, t, cfg)
+        if cfg.get("only_more_popular"):
+            # SUGGEST_MORE_POPULAR: the bar is the checked term's own
+            # df — a constant per leg, codegen'd into the leg's filter
+            leg = leg.filter(F.col("df") > int(dfs.get(t, 0)))
+        legs.append(leg)
+    un = reduce(DataFrame.unionByName, legs)
     w = Window.partitionBy("checked").orderBy(
         F.desc("similarity"), F.desc("df"), F.asc("suggestion")
     )

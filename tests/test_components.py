@@ -457,3 +457,72 @@ def test_prefix_upper_edges():
     assert _prefix_upper("a" + chr(0x10FFFF)) == "b"
     assert _prefix_upper(chr(0x10FFFF)) is None
     assert _prefix_upper(chr(0xD7FF)) == chr(0xE000)
+
+
+def test_terms_enum_regex_range_maxcount(index, tok_pdf):
+    """round-5g /terms tail: terms.regex (anchored full-match, literal
+    head pushed), terms.lower/upper dictionary range, terms.maxcount —
+    all vs the pandas dictionary."""
+    import re
+
+    from parser_indexer_py_spark.index.components import terms_enum
+
+    df_by_term = tok_pdf.groupby("term")["doc_id"].nunique()
+
+    pat = "c.*i"
+    got = terms_enum(index, regex=pat, sort="index", limit=10**6).toPandas()
+    exp = sorted(t for t in df_by_term.index if re.fullmatch(pat, t))
+    assert list(got["term"]) == exp and exp
+
+    lo, hi = "ba", "bf"
+    got = terms_enum(
+        index, lower=lo, upper=hi, sort="index", limit=10**6
+    ).toPandas()
+    exp = sorted(t for t in df_by_term.index if lo <= t < hi)
+    assert list(got["term"]) == exp and exp
+
+    # a df value that actually exists at >= 2, so the window is nonempty
+    cap = int(min(d for d in df_by_term.values if d >= 2))
+    got = terms_enum(
+        index, maxcount=cap, mincount=2, sort="index", limit=10**6
+    ).toPandas()
+    exp = sorted(
+        t for t, d in df_by_term.items() if 2 <= d <= cap
+    )
+    assert list(got["term"]) == exp and exp
+
+    with pytest.raises(re.error):
+        terms_enum(index, regex="c[")
+
+
+def test_spell_only_more_popular(index, tok_pdf):
+    """spellcheck.onlyMorePopular (SUGGEST_MORE_POPULAR): suggestions
+    restricted to df > the checked term's own df; engine == oracle twin
+    under the flag."""
+    from parser_indexer_py_spark.index.oracle import BM25Oracle
+    from parser_indexer_py_spark.index.spell import spellcheck
+
+    orc = BM25Oracle.from_pandas(
+        index.docmap.select("doc_id", "text", "role").toPandas()
+    )
+    # an in-dictionary RARE term (df small): plenty of more-popular
+    # neighbours exist, and the flag must drop the less-popular ones
+    df_by_term = tok_pdf.groupby("term")["doc_id"].nunique()
+    rare = None
+    for t, d in df_by_term.sort_values().items():
+        if len(t) >= 5:
+            rare = (t, int(d))
+            break
+    assert rare
+    term, own = rare
+    plain = spellcheck(index, term)["suggestions"].get(term, [])
+    flagged = spellcheck(index, term, only_more_popular=True)[
+        "suggestions"
+    ].get(term, [])
+    assert flagged == orc.spell_suggest(
+        term, only_more_popular=True, own_df=own
+    )
+    assert all(d > own for _, d, _ in flagged)
+    assert set(flagged) <= set(
+        orc.spell_suggest(term, count=10**6)
+    ) and len(flagged) <= len(plain) or plain == []
