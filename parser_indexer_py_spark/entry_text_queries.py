@@ -1344,6 +1344,37 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_stats_percentiles(spark, sf_dir):
+    """StatsComponent percentiles (round-5g stats.percentiles over
+    stats.facet groups): exact linear-interpolated percentiles of
+    n_chars per lang — the documented deviation from Solr's t-digest
+    estimates (components.stats_field docstring: the approximation is a
+    memory tactic, not a semantic; DuckDB's quantile_cont computes the
+    identical interpolation, which is what makes this oracle row
+    possible)."""
+    from .index.components import stats_field
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stats_field(docs, "n_chars", by="lang", percentiles=[50, 95])
+    return out.select(
+        "lang",
+        F.col("count").cast("long").alias("count"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+    ).orderBy("lang")
+
+
+SQL_STATS_PERCENTILES = """
+SELECT lang,
+       CAST(COUNT(n_chars) AS BIGINT) AS count,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+       ROUND(quantile_cont(n_chars, 0.95), 6) AS p95
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # round-5: fuzzy with Lucene's default transpositions=true semantics —
 # 'wnidow' is 'window' with an adjacent swap: Damerau distance 1, plain
 # Levenshtein 2, so ~1 matches ONLY under the Damerau flag

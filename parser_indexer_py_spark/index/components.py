@@ -166,7 +166,8 @@ def term_vectors(
 
 
 def stats_field(
-    df: DataFrame, field: str, *, by: str | None = None
+    df: DataFrame, field: str, *, by: str | None = None,
+    percentiles: list | None = None,
 ) -> DataFrame:
     """StatsComponent over ``df[field]``: one row per ``by`` group (or a
     single global row) with Solr's stats set — count, missing, min, max,
@@ -177,7 +178,17 @@ def stats_field(
     ``stddev = sqrt((sum_sq*count - sum^2) / (count*(count-1)))``, the
     formula Solr's StatsValuesFactory uses — rather than Spark's
     float-accumulating ``avg``/``stddev_samp``, so results do not drift
-    with partitioning."""
+    with partitioning.
+
+    ``percentiles=[50, 95, ...]`` (round-5g, stats.percentiles): EXACT
+    linear-interpolated percentiles via Spark's ``percentile`` — a
+    deliberate deviation from Solr's t-digest ESTIMATES, documented
+    rather than replicated: the approximation is a memory tactic, not a
+    semantic, and facet-cardinality groups fit the exact sort easily
+    (DuckDB's quantile_cont computes the same interpolation, which is
+    what makes the oracle row possible at all — a t-digest has no
+    cross-engine twin). Columns come back as ``p50``, ``p95`` (dots
+    flattened: 99.9 -> p99_9)."""
     c = F.col(field)
     keys = [by] if by else []
     g = df.groupBy(*keys).agg(
@@ -187,6 +198,12 @@ def stats_field(
         F.max(c).alias("max"),
         F.sum(c).alias("sum"),
         F.sum(c * c).alias("sum_sq"),
+        *[
+            F.percentile(c, F.lit(p / 100.0)).alias(
+                "p" + str(p).replace(".", "_").removesuffix("_0")
+            )
+            for p in (percentiles or [])
+        ],
     )
     n = F.col("count")
     s = F.col("sum")
