@@ -748,14 +748,25 @@ def _empty_result(index: Index, with_meta: bool) -> DataFrame:
 
 def _apply_fl(resp: DataFrame, fl) -> DataFrame:
     """Solr fl: validate-and-project the response columns (shared by the
-    fast and match-set paths of select())."""
+    fast and match-set paths of select()). ``"*"`` expands to every
+    response column — ``fl=["*"]`` / ``fl=["*", "score"]`` are the
+    /browse handler's own ``fl=*,score`` shape (solrconfig.xml:878;
+    score is already a response column here, so the glob simply keeps
+    order stable: expanded columns first, then explicit names not
+    already present)."""
     if not fl:
         return resp
     avail = set(resp.columns)
-    bad = [c for c in fl if c not in avail]
-    if bad:
-        raise ValueError(f"fl columns {bad} not in {sorted(avail)}")
-    return resp.select(*fl)
+    cols: list[str] = []
+    for c in fl:
+        if c == "*":
+            cols += [x for x in resp.columns if x not in cols]
+            continue
+        if c not in avail:
+            raise ValueError(f"fl column {c!r} not in {sorted(avail)}")
+        if c not in cols:
+            cols.append(c)
+    return resp.select(*cols)
 
 
 def _apply_fq(

@@ -1931,3 +1931,16 @@ def test_select_sort_by_function(bindex):
     assert len(c) == 8 and c[0]["role"] <= c[-1]["role"]
     with pytest.raises(ValueError, match="sort clause|unknown"):
         select(bindex, "*:*", rows=2, sort="recip(ms(NOW,ts),1,1,1)")
+
+
+def test_fl_star_glob(bindex, qterms):
+    """fl=*,score — the /browse handler's own fl (solrconfig.xml:878):
+    '*' expands to the response columns, deduped, order stable."""
+    t1, _, _ = qterms
+    out = select(bindex, t1, rows=3, fl=["*", "score"])["response"]
+    assert out.columns == ["doc_id", "score", "conv_id", "turn_idx",
+                           "role"]
+    out2 = select(bindex, t1, rows=3, fl=["score", "*"])["response"]
+    assert out2.columns[0] == "score"
+    with pytest.raises(ValueError, match="fl column"):
+        select(bindex, t1, rows=3, fl=["nope"])["response"].collect()
