@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": TQ.q_pii_scrub,
         "edismax_bf": TQ.q_edismax_bf,
         "stats_percentiles": TQ.q_stats_percentiles,
+        "gopher_repetition": TQ.q_gopher_repetition,
         "edismax_qf": TQ.q_edismax_qf,
         "edismax_qf_pruned": TQ.q_edismax_qf_pruned,
         "lucene_fielded_scored": TQ.q_lucene_fielded_scored,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": TQ.SQL_PII_SCRUB,
         "edismax_bf": TQ.SQL_EDISMAX_BF,
         "stats_percentiles": TQ.SQL_STATS_PERCENTILES,
+        "gopher_repetition": TQ.SQL_GOPHER_REPETITION,
         "edismax_qf": TQ.SQL_EDISMAX_QF,
         "edismax_qf_pruned": TQ.SQL_EDISMAX_QF,
         "lucene_fielded_scored": TQ.SQL_FIELDED_SCORED,

@@ -1375,6 +1375,111 @@ ORDER BY lang
 """
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (round-5g training-pipeline
+    hygiene, published pre-training filter rules): per doc, the fraction
+    of word characters covered by the single MOST COMMON word n-gram,
+    for n=2 and n=3 — the ``top_2gram_char_frac``/``top_3gram_char_frac``
+    signals a repetition filter thresholds. Character mass of a gram
+    occurrence = its non-space length x occurrence count over the doc's
+    total word characters (the published rule's within-occurrence
+    character count; overlap de-duplication for the duplicated-n-gram
+    family is a documented simplification away). Top gram ties break on
+    the gram string ascending — deterministic in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda w: F.length(w) > 0
+    )
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", "t",
+        F.aggregate(
+            F.transform(F.col("t"), lambda w: F.length(w)),
+            F.lit(0), lambda acc, x: acc + x,
+        ).alias("tot_chars"),
+    )
+    out = base.select("doc_id", "tot_chars")
+    for n in (2, 3):
+        grams = F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - n + 1),
+                lambda i: F.array_join(F.slice(F.col("t"), i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cnt = (
+            base.select("doc_id", F.explode(grams).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("cnt"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("cnt"), F.asc("g")
+        )
+        top = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                (F.col("cnt") * (F.length("g") - (n - 1))).alias(
+                    f"mass{n}"
+                ),
+            )
+        )
+        out = out.join(top, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.col("mass2"), F.lit(0)) / F.col("tot_chars"), 6
+        ).alias("top2_frac"),
+        F.round(
+            F.coalesce(F.col("mass3"), F.lit(0)) / F.col("tot_chars"), 6
+        ).alias("top3_frac"),
+    ).orderBy("doc_id")
+
+
+SQL_GOPHER_REPETITION = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> length(w) > 0) AS t
+  FROM documents
+), chars AS (
+  SELECT doc_id,
+         list_sum(list_transform(t, w -> length(w))) AS tot_chars
+  FROM toks
+), g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks
+), c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+t2 AS (
+  SELECT doc_id, cnt * (length(g) - 1) AS mass2,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, g ASC) AS rn
+  FROM c2
+), g3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks
+), c3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+t3 AS (
+  SELECT doc_id, cnt * (length(g) - 2) AS mass3,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, g ASC) AS rn
+  FROM c3
+)
+SELECT chars.doc_id AS doc_id,
+       ROUND(COALESCE(t2.mass2, 0) * 1.0 / chars.tot_chars, 6)
+         AS top2_frac,
+       ROUND(COALESCE(t3.mass3, 0) * 1.0 / chars.tot_chars, 6)
+         AS top3_frac
+FROM chars
+LEFT JOIN t2 ON t2.doc_id = chars.doc_id AND t2.rn = 1
+LEFT JOIN t3 ON t3.doc_id = chars.doc_id AND t3.rn = 1
+ORDER BY doc_id
+"""
+
+
 # round-5: fuzzy with Lucene's default transpositions=true semantics —
 # 'wnidow' is 'window' with an adjacent swap: Damerau distance 1, plain
 # Levenshtein 2, so ~1 matches ONLY under the Damerau flag
