@@ -257,6 +257,31 @@ def main() -> None:
     )
     tidx.uncache()
 
+    # ---- round-5f/g surfaces over the main index (real ts spread) ----------
+    from datetime import datetime, timezone
+
+    from parser_indexer_py_spark.index.boolean import boolean_search
+
+    BNOW = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    # date-math range = an ordinary pushed filter: rides the WAND
+    # delegation like any fq
+    run(
+        "query_date_range",
+        lambda: boolean_search(
+            idx, "bace cedi ts:[NOW-9MONTHS TO NOW-3MONTHS]", k=10,
+            with_meta=False, mode="pruned", now=BNOW,
+        ).collect(),
+    )
+    # multiplicative recency boost = forced full evaluation (doc-dependent
+    # factor breaks term bounds) — the honest cost of boost= queries
+    run(
+        "query_recency_boost",
+        lambda: boolean_search(
+            idx, "bace cedi", k=10, with_meta=False, now=BNOW,
+            multiplicative_boost="recip(ms(NOW,ts),1,86400000,86400000)",
+        ).collect(),
+    )
+
     # ---- skewed (topical) corpus: pruning with real block-max variance -----
     # the flat corpus saturates hot-term block bounds (BENCH/BASELINE.md
     # round-4); the topical mode gives mid-band terms bursty tf clustered
@@ -357,6 +382,10 @@ def main() -> None:
         ("bm25_docs_topk", TQ.q_bm25_docs_topk),
         ("more_like_this", TQ.q_more_like_this),
         ("parent_rollup", TQ.q_parent_rollup),
+        ("facet_range_date", TQ.q_facet_range_date),
+        ("decontaminate", TQ.q_decontaminate),
+        ("gopher_repetition", TQ.q_gopher_repetition),
+        ("pii_scrub", TQ.q_pii_scrub),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 
