@@ -1463,7 +1463,7 @@ def select(
     sort: str | None = None,
     fl: list[str] | None = None,
     q_op: str = "OR",
-    facet_field: str | None = None,
+    facet_field: str | list | None = None,
     facet_limit: int = 10,
     facet_sort: str = "count",
     facet_mincount: int = 0,
@@ -1660,53 +1660,64 @@ def select(
         resp = _apply_fl(resp, fl)
     facets = None
     if facet_field is not None:
-        if facet_field not in index.docmap.columns:
-            raise ValueError(f"unknown facet field {facet_field!r}")
-        counted = (
-            scored.select("doc_id")
-            .join(index.docmap.select("doc_id", facet_field), "doc_id")
-            .groupBy(facet_field)
-            .agg(F.count("*").alias("n"))
-        )
-        # Solr facet.field semantics: NULL (missing) is never a ranked
-        # value — it is excluded from the list, and facet.missing=true
-        # appends one missing-count bucket AFTER the limited values
-        # (also subject to mincount). The /browse handler configures
-        # facet.mincount=1 + facet.missing=true (solrconfig.xml:889-895).
         if facet_sort not in ("count", "index"):
             raise ValueError(
                 f"facet_sort {facet_sort!r} not in ('count', 'index')"
             )
-        # facet.sort: 'count' = n desc (value asc tiebreak), 'index' =
-        # value order — Solr's two orderings; limit applies after either
-        order = (
-            [F.desc("n"), F.asc(facet_field)]
-            if facet_sort == "count"
-            else [F.asc(facet_field)]
-        )
-        facets = (
-            counted.filter(F.col(facet_field).isNotNull())
-            .filter(F.col("n") >= int(facet_mincount))
-            .orderBy(*order)
-            .limit(facet_limit)
-        )
-        if facet_missing:
-            # Solr returns the missing bucket even at count 0 (it only
-            # disappears under mincount), so aggregate to exactly one row
-            # rather than filtering — an empty NULL group must still
-            # surface as n=0.
-            miss = (
-                counted.filter(F.col(facet_field).isNull())
-                .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
-                .select(
-                    F.lit(None)
-                    .cast(index.docmap.schema[facet_field].dataType)
-                    .alias(facet_field),
-                    "n",
-                )
-                .filter(F.col("n") >= int(facet_mincount))
+
+        def _one_facet(ff: str) -> DataFrame:
+            if ff not in index.docmap.columns:
+                raise ValueError(f"unknown facet field {ff!r}")
+            counted = (
+                scored.select("doc_id")
+                .join(index.docmap.select("doc_id", ff), "doc_id")
+                .groupBy(ff)
+                .agg(F.count("*").alias("n"))
             )
-            facets = facets.unionByName(miss)
+            # Solr facet.field semantics: NULL (missing) is never a
+            # ranked value — it is excluded from the list, and
+            # facet.missing=true appends one missing-count bucket AFTER
+            # the limited values (also subject to mincount). The /browse
+            # handler configures facet.mincount=1 + facet.missing=true
+            # (solrconfig.xml:889-895). facet.sort: 'count' = n desc
+            # (value asc tiebreak), 'index' = value order.
+            order = (
+                [F.desc("n"), F.asc(ff)]
+                if facet_sort == "count"
+                else [F.asc(ff)]
+            )
+            out = (
+                counted.filter(F.col(ff).isNotNull())
+                .filter(F.col("n") >= int(facet_mincount))
+                .orderBy(*order)
+                .limit(facet_limit)
+            )
+            if facet_missing:
+                # Solr returns the missing bucket even at count 0 (it
+                # only disappears under mincount), so aggregate to
+                # exactly one row rather than filtering — an empty NULL
+                # group must still surface as n=0.
+                miss = (
+                    counted.filter(F.col(ff).isNull())
+                    .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
+                    .select(
+                        F.lit(None)
+                        .cast(index.docmap.schema[ff].dataType)
+                        .alias(ff),
+                        "n",
+                    )
+                    .filter(F.col("n") >= int(facet_mincount))
+                )
+                out = out.unionByName(miss)
+            return out
+
+        # repeated facet.field params (Solr allows any number): a list
+        # returns Solr's facet_fields MAP shape {field: DataFrame};
+        # a single string keeps the bare-DataFrame back-compat shape
+        if isinstance(facet_field, (list, tuple)):
+            facets = {ff: _one_facet(ff) for ff in facet_field}
+        else:
+            facets = _one_facet(facet_field)
     range_facets = None
     if facet_range is not None:
         # Solr facet.range (the reference's /browse wires it with explicit

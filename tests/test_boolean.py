@@ -1944,3 +1944,22 @@ def test_fl_star_glob(bindex, qterms):
     assert out2.columns[0] == "score"
     with pytest.raises(ValueError, match="fl column"):
         select(bindex, t1, rows=3, fl=["nope"])["response"].collect()
+
+
+def test_facet_field_repeated(bindex, boracle, qterms):
+    """Repeated facet.field params (Solr allows any number): a list
+    returns the facet_fields MAP shape {field: DataFrame}, each entry
+    identical to the single-field call."""
+    t1, _, _ = qterms
+    multi = select(
+        bindex, t1, rows=0, facet_field=["role", "turn_idx"],
+        facet_limit=5,
+    )["facets"]
+    assert set(multi) == {"role", "turn_idx"}
+    for ff in ("role", "turn_idx"):
+        single = select(
+            bindex, t1, rows=0, facet_field=ff, facet_limit=5
+        )["facets"].collect()
+        assert multi[ff].collect() == single
+    with pytest.raises(ValueError, match="unknown facet field"):
+        select(bindex, t1, rows=0, facet_field=["role", "nope"])
