@@ -711,6 +711,20 @@ def _hl_phrases(pq: ParsedQuery) -> list[tuple[str, ...]]:
     return sorted(set(out))
 
 
+def _hl_sloppy(pq: ParsedQuery) -> list[tuple[tuple[str, ...], int]]:
+    """Sloppy (slop>0) positive phrases with their slop, recursively —
+    highlighted at their actual ordered-window occurrences (round-5h)."""
+    out = [
+        (tuple(p.tokens), int(p.slop))
+        for p in pq.phrases
+        if p.occur != MUST_NOT and p.slop > 0 and p.tokens
+    ]
+    for gc in pq.subs:
+        if gc.occur != MUST_NOT:
+            out += _hl_sloppy(gc.sub)
+    return sorted(set(out))
+
+
 def _hl_section(
     index, resp, pq, hl, fragsize, snippets, pre, post, alternate,
     use_phrase_highlighter=True,
@@ -725,13 +739,15 @@ def _hl_section(
     if not hl or resp is None:
         return None
     phrases = _hl_phrases(pq) if use_phrase_highlighter else []
+    sloppy = _hl_sloppy(pq) if use_phrase_highlighter else []
     terms = _hl_terms(pq, phrase_aware=use_phrase_highlighter)
-    if not terms and not phrases:
+    if not terms and not phrases and not sloppy:
         return None
     from .highlight import highlighting
 
     return highlighting(
-        index, resp, terms, phrases=phrases or None, fragsize=fragsize,
+        index, resp, terms, phrases=phrases or None,
+        sloppy_phrases=sloppy or None, fragsize=fragsize,
         snippets=snippets, pre=pre, post=post, alternate=alternate,
     )
 

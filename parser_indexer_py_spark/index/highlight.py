@@ -42,10 +42,45 @@ which highlights only the returned page).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["highlight_fragments", "highlighting", "highlight_text"]
+
+
+def _sloppy_span_positions(
+    low: list[str], words: list[str], slop: int
+) -> set[int]:
+    """Token indexes covered by ordered-proximity matches of ``words``
+    in ``low`` — the SPAN version of search.sloppy_phrase_freq's greedy
+    earliest-completion walk (identical window criterion:
+    q_last - p - (m-1) <= slop), shared verbatim by the engine's Arrow
+    UDF and the pure-Python twin so the gate is exact equality."""
+    pls = []
+    for w in words:
+        pl = [i for i, t in enumerate(low) if t == w]
+        if not pl:
+            return set()
+        pls.append(pl)
+    m = len(words)
+    out: set[int] = set()
+    import bisect
+
+    for p in pls[0]:
+        q = p
+        hit = [p]
+        ok = True
+        for pl in pls[1:]:
+            i = bisect.bisect_right(pl, q)
+            if i == len(pl):
+                ok = False
+                break
+            q = pl[i]
+            hit.append(q)
+        if ok and (q - p - (m - 1)) <= slop:
+            out.update(hit)
+    return out
 
 
 def highlight_fragments(
@@ -53,6 +88,7 @@ def highlight_fragments(
     terms: list[str],
     *,
     phrases: list[tuple[str, ...]] | None = None,
+    sloppy_phrases: list[tuple[tuple[str, ...], int]] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     fragsize: int = 100,
@@ -73,8 +109,17 @@ def highlight_fragments(
     ``"window merge"``. Span detection is a higher-order-function pass
     over the lowercased token array (``filter(sequence(...))`` with a
     ``forall`` adjacency check — still no UDF, still O(page)); matched
-    spans' token indexes union with the bare-term rule."""
-    if not terms and not phrases:
+    spans' token indexes union with the bare-term rule.
+
+    ``sloppy_phrases`` (round-5h): ``[(tokens, slop), ...]`` — ordered-
+    proximity phrases highlight ONLY their actual window occurrences
+    (every token index of a matching window), using the SAME greedy
+    earliest-completion matcher the scorer uses
+    (:func:`_sloppy_span_positions`, the span twin of
+    search.sloppy_phrase_freq). Evaluated by one Arrow-batched UDF over
+    the page rows — highlighting is a page operation, so the Python
+    matcher runs on k documents, never the corpus."""
+    if not terms and not phrases and not sloppy_phrases:
         raise ValueError("highlight_fragments needs at least one term")
     if fragsize < 0 or snippets < 1:
         raise ValueError("fragsize must be >= 0 and snippets >= 1")
@@ -103,6 +148,20 @@ def highlight_fragments(
             F.transform(starts, lambda s: F.sequence(s, s + n - 1))
         ).cast("array<int>")
         hl_pos = F.array_union(hl_pos, spans)
+    if sloppy_phrases:
+        sp = [(list(w), int(sl)) for w, sl in sloppy_phrases]
+
+        @F.pandas_udf("array<int>")
+        def _sloppy_pos(lows: pd.Series) -> pd.Series:
+            def one(lw):
+                out: set[int] = set()
+                for words, sl in sp:
+                    out |= _sloppy_span_positions(list(lw), words, sl)
+                return sorted(out)
+
+            return lows.map(one)
+
+        hl_pos = F.array_union(hl_pos, _sloppy_pos(low))
 
     toks = (
         df.select(
@@ -167,6 +226,7 @@ def highlighting(
     terms: list[str],
     *,
     phrases: list[tuple[str, ...]] | None = None,
+    sloppy_phrases: list[tuple[tuple[str, ...], int]] | None = None,
     fragsize: int = 100,
     snippets: int = 1,
     pre: str = "<em>",
@@ -186,8 +246,8 @@ def highlighting(
     ids = page.select("doc_id")
     texts = ids.join(index.docmap.select("doc_id", "text"), "doc_id", "left")
     frag_rows = highlight_fragments(
-        texts, terms, phrases=phrases, fragsize=fragsize, snippets=snippets,
-        pre=pre, post=post,
+        texts, terms, phrases=phrases, sloppy_phrases=sloppy_phrases,
+        fragsize=fragsize, snippets=snippets, pre=pre, post=post,
     )
     per_doc = frag_rows.groupBy("doc_id").agg(
         F.transform(
@@ -210,6 +270,7 @@ def highlight_text(
     terms: list[str],
     *,
     phrases: list[tuple[str, ...]] | None = None,
+    sloppy_phrases: list[tuple[tuple[str, ...], int]] | None = None,
     fragsize: int = 100,
     snippets: int = 1,
     pre: str = "<em>",
@@ -228,6 +289,10 @@ def highlight_text(
         for st in range(len(low) - n + 1):
             if low[st:st + n] == words:
                 hl_pos.update(range(st, st + n))
+    for p, sl in sloppy_phrases or []:
+        hl_pos |= _sloppy_span_positions(
+            low, [w.lower() for w in p], int(sl)
+        )
     frags: dict[int, list[tuple[str, bool]]] = {}
     off = 0
     for i, w in enumerate(toks):

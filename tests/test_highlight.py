@@ -207,3 +207,68 @@ def test_phrase_highlighter_select_section(spark):
     # span tagging never tags MORE tokens than term tagging
     assert joined_on.count("<em>") <= joined_off.count("<em>")
     assert "<em>" in joined_on
+
+
+def test_sloppy_phrase_spans(docs, spark):
+    """round-5h: slop>0 phrases highlight their actual ordered-window
+    occurrences (the shared greedy matcher), not every term occurrence.
+    'merge ... window' with slop 2 matches in doc 3 ('merge window' at
+    distance 0) and in 'merge the big window' (stretch 2), but NOT when
+    the gap exceeds the slop or order is reversed."""
+    from parser_indexer_py_spark.index.highlight import (
+        _sloppy_span_positions,
+    )
+
+    # shared-matcher unit: positions mirror sloppy_phrase_freq's window
+    low = "a merge x y window b window merge c".split()
+    assert _sloppy_span_positions(low, ["merge", "window"], 2) == {1, 4}
+    assert _sloppy_span_positions(low, ["merge", "window"], 1) == set()
+    # second (reversed) pair never matches the ordered matcher; the
+    # greedy earliest-completion picks window@4 for merge@1
+    assert _sloppy_span_positions(low, ["merge", "window"], 3) == {1, 4}
+
+    two = spark.createDataFrame(
+        [(0, " ".join(low)), (1, "window then merge only")],
+        "doc_id long, text string",
+    )
+    rows = highlight_fragments(
+        two, [], sloppy_phrases=[(("merge", "window"), 2)], fragsize=0
+    ).collect()
+    got = {r["doc_id"]: r["snippet"] for r in rows}
+    assert set(got) == {0}
+    assert got[0] == (
+        "a <em>merge</em> x y <em>window</em> b window merge c"
+    )
+    # twin agrees
+    assert highlight_text(
+        " ".join(low), [], sloppy_phrases=[(("merge", "window"), 2)],
+        fragsize=0,
+    ) == [got[0]]
+
+
+def test_sloppy_phrase_select_section(spark):
+    """select(hl=True) on a slop query tags only window occurrences —
+    strictly fewer tags than term mode, never zero when matches exist."""
+    import tempfile
+
+    from parser_indexer_py_spark.datagen import generate_transcripts
+    from parser_indexer_py_spark.index.boolean import select
+    from parser_indexer_py_spark.index.build import build_index
+    from parser_indexer_py_spark.index.search import load_index
+
+    out = tempfile.mkdtemp(prefix="hls_idx_")
+    build_index(
+        spark, generate_transcripts(spark, 60, partitions=2), out,
+        n_buckets=8, salt=4, n_chunks=1, positions=True,
+    )
+    idx = load_index(spark, out)
+    txt = idx.docmap.select("text").first()["text"].split()
+    w1, w3 = txt[0], txt[2]
+    q = f'"{w1} {w3}"~1'
+    on = select(idx, q, rows=3, hl=True)["highlighting"].collect()
+    off = select(
+        idx, q, rows=3, hl=True, hl_use_phrase_highlighter=False
+    )["highlighting"].collect()
+    j_on = " ".join(s for r in on for s in r["snippets"])
+    j_off = " ".join(s for r in off for s in r["snippets"])
+    assert 0 < j_on.count("<em>") <= j_off.count("<em>")
