@@ -83,12 +83,27 @@ def ngram_contamination(
         .select("g")
         .distinct()
     )
-    hits = doc_ngrams(docs, n, text_col=text_col, id_col=id_col).join(
-        F.broadcast(bench_grams), "g", "left_semi"
+    # ORDER MATTERS at scale: the broadcast semi-join filters FIRST
+    # (map-side, un-deduped gram stream — no corpus-wide shuffle), and
+    # only the surviving contaminated-candidate grams pay the distinct
+    # aggregation. doc_ngrams' own .distinct() would shuffle every gram
+    # of the corpus before the probe, which is exactly the cost this
+    # operator exists to avoid.
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda w: F.length(w) > 0
     )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    raw = docs.select(id_col, F.explode(grams).alias("g"))
+    hits = raw.join(F.broadcast(bench_grams), "g", "left_semi")
     return (
         hits.groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.countDistinct("g").alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
     )
 
