@@ -386,6 +386,7 @@ def main() -> None:
         ("decontaminate", TQ.q_decontaminate),
         ("gopher_repetition", TQ.q_gopher_repetition),
         ("pii_scrub", TQ.q_pii_scrub),
+        ("cluster_kmeans", TQ.q_cluster_kmeans),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 

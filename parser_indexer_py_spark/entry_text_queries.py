@@ -3309,3 +3309,37 @@ SELECT doc_id, ROUND(score, 6) AS score
 FROM comb WHERE doc_id <> {MLT_SRC_DOC}
 ORDER BY score DESC, doc_id LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale k-means (the ClusteringComponent's corpus-level counterpart;
+# operators/clustering.py carries the determinism contract + scale notes)
+# ---------------------------------------------------------------------------
+
+K_KMEANS = 10
+KMEANS_ITERS = 2
+
+
+def q_cluster_kmeans(spark, sf_dir):
+    """Deterministic Lloyd k-means over the embeddings table: k=10 seeds
+    (the 10 smallest vec_ids), 2 update iterations, rounded-6dp cosine
+    and rounded-6dp centroid means at EVERY step so the integer
+    assignments are bit-identical cross-engine (the existing IVF entry's
+    'a k-means iteration would break determinism' limitation, closed).
+    Output: every vector's final (cluster, cosine). Engine: mapInPandas
+    matmul per iteration + pure-Catalyst literal-centroid final assign —
+    zero row amplification, shuffle only the k*dims partial aggregate."""
+    from .operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, K_KMEANS, KMEANS_ITERS)
+    return kmeans_assign(emb, cents)
+
+
+def _sql_cluster_kmeans() -> str:
+    from .operators.clustering import kmeans_sql
+
+    return kmeans_sql(K_KMEANS, KMEANS_ITERS)
+
+
+SQL_CLUSTER_KMEANS = _sql_cluster_kmeans()
