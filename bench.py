@@ -387,6 +387,7 @@ def main() -> None:
         ("gopher_repetition", TQ.q_gopher_repetition),
         ("pii_scrub", TQ.q_pii_scrub),
         ("cluster_kmeans", TQ.q_cluster_kmeans),
+        ("ann_ivf_kmeans", TQ.q_ann_ivf_kmeans),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 

@@ -3343,3 +3343,80 @@ def _sql_cluster_kmeans() -> str:
 
 
 SQL_CLUSTER_KMEANS = _sql_cluster_kmeans()
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with a TRAINED coarse quantizer: the Lloyd centroids from
+    q_cluster_kmeans (k=10, 2 iterations, rounded-6dp at every step)
+    replace q_ann_ivf_probe's 'first K vectors' heuristic — the
+    determinism contract in operators/clustering.py is exactly what makes
+    the trained variant oracle-able. Query probes its NPROBE nearest
+    trained centroids (driver-side numpy over the k*dims centroid rows —
+    a bounded driver object), exact rounded-cosine top-k within the
+    probed lists. At scale: fit is iters x (one mapInPandas matmul pass +
+    a k*dims-row combine); assignment is zero-shuffle Catalyst; a probe
+    reads ~NPROBE/K of the corpus off the cluster partitioning key."""
+    import numpy as np
+
+    from .operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, K_KMEANS, KMEANS_ITERS)
+
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64,
+    )
+    qn = float(np.sqrt((qv * qv).sum()))
+    scored = sorted(
+        (
+            -float(np.round(float(qv @ c) / (qn * float(np.sqrt((c * c).sum()))), 6)),
+            cid,
+        )
+        for cid, c in cents
+    )
+    pcids = [cid for _, cid in scored[:NPROBE]]
+
+    cands = (
+        kmeans_assign(emb, cents)
+        .filter(F.col("cluster").isin(pcids) & (F.col("vec_id") != 0))
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = _cosine_expr(F.col("q_emb"), F.col("embedding"))
+    return (
+        emb.join(cands, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", F.round(cos, 6))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "cosine")
+    )
+
+
+def _sql_ann_ivf_kmeans() -> str:
+    from .operators.clustering import kmeans_cte_chain
+
+    return kmeans_cte_chain(K_KMEANS, KMEANS_ITERS) + f"""
+, asg AS (
+  SELECT vec_id, cid FROM sf
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1
+), probes AS (
+  SELECT cid FROM sf WHERE vec_id = 0
+  QUALIFY row_number() OVER (ORDER BY cos DESC, cid) <= {NPROBE}
+), cands AS (
+  SELECT asg.vec_id FROM asg JOIN probes USING (cid) WHERE asg.vec_id != 0
+), pr AS (
+  SELECT b.vec_id,
+         SUM(a.e * b.e) AS dot,
+         SQRT(SUM(a.e * a.e)) AS na,
+         SQRT(SUM(b.e * b.e)) AS nb
+  FROM ex a JOIN ex b ON a.i = b.i
+  WHERE a.vec_id = 0 AND b.vec_id IN (SELECT vec_id FROM cands)
+  GROUP BY b.vec_id)
+SELECT vec_id, ROUND(dot / (na * nb), 6) AS cosine
+FROM pr ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_id LIMIT 10
+"""
+
+
+SQL_ANN_IVF_KMEANS = _sql_ann_ivf_kmeans()

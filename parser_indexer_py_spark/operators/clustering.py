@@ -188,11 +188,12 @@ def kmeans_assign(
     )
 
 
-def kmeans_sql(k: int, iters: int) -> str:
-    """The DuckDB oracle twin: the identical iteration chain expressed as
-    CTEs (declarative join + AVG per step — linear in corpus size but
-    with the 64x unnest amplification the engine's mapInPandas pass
-    avoids; the oracle's job is exactness, not scale)."""
+def kmeans_cte_chain(k: int, iters: int) -> str:
+    """The shared DuckDB CTE chain: init + ``iters`` Lloyd steps + a
+    final per-(vector, centroid) rounded-cosine table ``sf``. Reused by
+    the k-means oracle (assignment = QUALIFY top-1 of sf) and the
+    IVF-with-trained-quantizer oracle (probes = top-NPROBE of sf at the
+    query vector)."""
     sql = f"""
 WITH ex AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
@@ -223,8 +224,17 @@ WITH ex AS (
          ROUND(SUM(a.e * c.ce) /
                (SQRT(SUM(a.e * a.e)) * SQRT(SUM(c.ce * c.ce))), 6) AS cos
   FROM ex a JOIN {prev} c ON a.i = c.i GROUP BY a.vec_id, c.cid
-)
+)"""
+    return sql
+
+
+def kmeans_sql(k: int, iters: int) -> str:
+    """The DuckDB oracle twin of kmeans_fit + kmeans_assign: the identical
+    iteration chain expressed as CTEs (declarative join + AVG per step —
+    linear in corpus size but with the 64x unnest amplification the
+    engine's mapInPandas pass avoids; the oracle's job is exactness,
+    not scale)."""
+    return kmeans_cte_chain(k, iters) + """
 SELECT vec_id, CAST(cid AS INTEGER) AS cluster, cos AS cosine FROM sf
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1
 """
-    return sql

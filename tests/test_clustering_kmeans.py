@@ -45,10 +45,11 @@ def _numpy_kmeans(E: np.ndarray, ids: np.ndarray, k: int, iters: int):
             vecs.append(np.round(E[mask].sum(axis=0) / mask.sum(), 6))
         cids, M = keep, np.stack(vecs)
     S, A = assign(M, cids)
-    return {
+    mapping = {
         int(ids[r]): (int(cids[A[r]]), float(S[r, A[r]]))
         for r in range(len(ids))
     }
+    return mapping, cids, S
 
 
 @pytest.fixture(scope="module")
@@ -74,7 +75,7 @@ def test_engine_matches_numpy_twin(spark, emb_np):
         int(r["vec_id"]): (int(r["cluster"]), float(r["cosine"]))
         for r in kmeans_assign(emb, cents).collect()
     }
-    want = _numpy_kmeans(E, ids, 10, 2)
+    want, _, _ = _numpy_kmeans(E, ids, 10, 2)
     assert set(got) == set(want)
     mismatched = {i for i in want if got[i][0] != want[i][0]}
     assert not mismatched, f"{len(mismatched)} assignment mismatches"
@@ -131,3 +132,47 @@ def test_lloyd_improves_objective(spark, emb_np):
         return float(row["m"])
 
     assert mean_cos(fitted) > mean_cos(seed_only)
+
+
+def test_ivf_kmeans_query_matches_numpy(spark, emb_np):
+    """q_ann_ivf_kmeans == the numpy twin run whole-corpus: trained-centroid
+    probes (top-NPROBE rounded cosine at the query vector, lowest-cid
+    ties), candidates = assigned members of probed clusters, exact
+    rounded-cosine top-10 among candidates."""
+    from parser_indexer_py_spark.entry_text_queries import (
+        K_KMEANS,
+        KMEANS_ITERS,
+        NPROBE,
+        q_ann_ivf_kmeans,
+    )
+
+    ids, E, _ = emb_np
+    mapping, cids, S = _numpy_kmeans(E, ids, K_KMEANS, KMEANS_ITERS)
+    r0 = int(np.where(ids == 0)[0][0])
+    probe_order = sorted(
+        (-float(S[r0, j]), int(cids[j])) for j in range(len(cids))
+    )
+    pcids = {cid for _, cid in probe_order[:NPROBE]}
+    qv = E[r0]
+    qn = float(np.sqrt((qv * qv).sum()))
+    cand = [
+        (
+            -float(
+                np.round(
+                    float(qv @ E[r]) / (qn * float(np.sqrt((E[r] * E[r]).sum()))),
+                    6,
+                )
+            ),
+            int(ids[r]),
+        )
+        for r in range(len(ids))
+        if ids[r] != 0 and mapping[int(ids[r])][0] in pcids
+    ]
+    want = [(i, -c) for c, i in sorted(cand)[:10]]
+    got = [
+        (int(r["vec_id"]), float(r["cosine"]))
+        for r in q_ann_ivf_kmeans(spark, SF_DIR).collect()
+    ]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (gi, gc), (wi, wc) in zip(got, want):
+        assert gc == pytest.approx(wc, abs=2e-6)
