@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": TQ.q_embedding_near_dup_lsh,
         "cluster_kmeans": TQ.q_cluster_kmeans,
         "ann_ivf_kmeans": TQ.q_ann_ivf_kmeans,
+        "dedup_components": TQ.q_dedup_components,
         # multimodal plumbing (rows-only: no SQL oracle by design)
         "multimodal_decode": TQ.q_multimodal_decode,
     }
@@ -208,4 +209,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_lsh": TQ.SQL_EMB_NEAR_DUP_LSH,
         "cluster_kmeans": TQ.SQL_CLUSTER_KMEANS,
         "ann_ivf_kmeans": TQ.SQL_ANN_IVF_KMEANS,
+        "dedup_components": TQ.SQL_DEDUP_COMPONENTS,
     }

@@ -388,6 +388,7 @@ def main() -> None:
         ("pii_scrub", TQ.q_pii_scrub),
         ("cluster_kmeans", TQ.q_cluster_kmeans),
         ("ann_ivf_kmeans", TQ.q_ann_ivf_kmeans),
+        ("dedup_components", TQ.q_dedup_components),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 

@@ -478,7 +478,10 @@ def q_dedup_minhash_lsh(spark, sf_dir, bands: int = N_BANDS, rows: int = N_ROWS)
     return out
 
 
-def _sql_minhash_lsh(bands: int = N_BANDS, rows: int = N_ROWS) -> str:
+def _sql_minhash_lsh_ctes(bands: int = N_BANDS, rows: int = N_ROWS) -> str:
+    """The minhash-LSH pipeline as a CTE chain ending at ``pairs(da, db,
+    jaccard)`` — shared by the minhash oracle and the connected-components
+    oracle (which appends a recursive closure over the same pairs)."""
     mh_exprs = ",\n".join(
         f"         MIN(('0x' || substr(md5('{i}' || '#' || g), 1, 15))::BIGINT)"
         f" AS mh{i}"
@@ -506,10 +509,16 @@ def _sql_minhash_lsh(bands: int = N_BANDS, rows: int = N_ROWS) -> str:
   FROM cand c
   JOIN grams ga ON ga.doc_id = c.da
   JOIN grams gb ON gb.doc_id = c.db AND gb.g = ga.g
-  GROUP BY c.da, c.db)
-SELECT da, db, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
-FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_TAU}
+  GROUP BY c.da, c.db
+), pairs AS (
+  SELECT da, db, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+  WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_TAU})"""
+
+
+def _sql_minhash_lsh(bands: int = N_BANDS, rows: int = N_ROWS) -> str:
+    return _sql_minhash_lsh_ctes(bands, rows) + """
+SELECT da, db, jaccard FROM pairs
 """
 
 
@@ -3420,3 +3429,53 @@ FROM pr ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_id LIMIT 10
 
 
 SQL_ANN_IVF_KMEANS = _sql_ann_ivf_kmeans()
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster assembly: connected components over the minhash-LSH
+# near-dup pair graph (operators/components.py carries the algorithm +
+# scale notes). Pairs say "these two match"; dedup policy needs clusters.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_components(spark, sf_dir):
+    """Connected components over the verified minhash-LSH near-dup pairs:
+    every document labeled with the smallest doc_id reachable through the
+    pair graph (its canonical representative) plus the component size —
+    exactly the table a keep-one-per-cluster dedup policy consumes.
+    Engine: min-label propagation with path halving (O(log n) rounds of
+    two narrow joins over an (id, lbl) table; see operators/components.py).
+    Oracle: DuckDB recursive CTE transitive closure over the identical
+    pair CTEs — exponential-frontier closure is fine at oracle scale and
+    exact, which is its job."""
+    from pyspark.sql import Window
+
+    from .operators.components import connected_components
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("da", "db")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lbl = connected_components(docs, pairs, id_col="doc_id", src_col="da", dst_col="db")
+    w = Window.partitionBy("component")
+    return lbl.withColumn("csize", F.count("*").over(w)).select(
+        "doc_id", "component", "csize"
+    )
+
+
+SQL_DEDUP_COMPONENTS = (
+    _sql_minhash_lsh_ctes().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+, sym AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION
+  SELECT db, da FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+), comp AS (
+  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+)
+SELECT doc_id, component, COUNT(*) OVER (PARTITION BY component) AS csize
+FROM comp
+"""
+)

@@ -1,0 +1,124 @@
+"""Connected components over a pair graph — duplicate-cluster assembly.
+
+The dedup family (``dedup_minhash_lsh``, ``dedup_simhash_pairs``,
+``embedding_near_dup_lsh``) emits *pairs*; a training-data pipeline needs
+*clusters* — "keep one document per duplicate group" is a component-level
+decision, not a pair-level one. This operator closes that gap: every node
+gets labeled with the smallest node id reachable through the pair graph
+(the canonical representative), entirely in DataFrame ops.
+
+Algorithm: min-label propagation with path halving (pointer jumping).
+Each round does two narrow self-equi-joins over the (id, lbl) table:
+
+1. neighbor step — ``lbl(x) <- min(lbl(x), min over neighbors y of
+   lbl(y))``: one join of the symmetric edge table against labels plus a
+   map-side-combined ``min`` aggregate;
+2. jump step — ``lbl(x) <- lbl(lbl(x))``: labels are themselves node ids,
+   so the label table joins itself (path halving).
+
+Soundness: labels are always ids of nodes in the SAME component (init =
+self; neighbor-min and label-of-label both stay inside the component) and
+monotonically non-increasing, so the fixpoint has every label equal on a
+component — and equal specifically to the component minimum, which is a
+member. Determinism: ``min`` has no float or ordering ambiguity, and any
+iteration count at-or-past convergence yields the identical table, so the
+early-stop test cannot change the result.
+
+Convergence: the neighbor step alone needs O(diameter) rounds (a chain of
+n near-dup docs — the adversarial template-drift case — would need n);
+path halving compresses label chains geometrically, giving O(log n)
+rounds on any graph (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SOCC'14 — this is the two-phase star-contraction idea in its
+simplest deterministic DataFrame form).
+
+Scale shape (the 100 TB story):
+
+- state per round is ONE narrow (id:long, lbl:long) table — 16 bytes a
+  node before encoding, shuffled on ``id``/``lbl`` hash keys; the heavy
+  edge table is loop-invariant and reused as-is each round;
+- each round is two shuffle joins + one partial-aggregating ``min`` —
+  no row amplification anywhere; AQE handles the skew of a giant
+  component's label key (all-equal keys only arise AFTER that component
+  has already converged, at which point its rows stop changing);
+- ``localCheckpoint(eager=True)`` truncates lineage each round so the
+  Catalyst plan (and task closure) stays O(1) across iterations instead
+  of O(rounds) — on a real cluster with an HDFS checkpoint dir,
+  ``checkpoint()`` gives the same truncation with executor-loss safety;
+- the convergence probe is ``limit(1)`` over a changed-label join —
+  driver sees one boolean-sized result per round, never the labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Label every node with the min node id of its connected component.
+
+    ``nodes``: one row per node (``id_col``). ``edges``: undirected pairs
+    (``src_col``, ``dst_col``); endpoints must appear in ``nodes`` and
+    self-loops are harmless. Returns (``id_col``, ``component``).
+
+    Raises after ``max_iter`` rounds without convergence — with path
+    halving that means > ~2^(max_iter/2) chained nodes, i.e. never; a
+    loud error beats silently-wrong clusters.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"))
+        .union(
+            edges.select(F.col(dst_col).alias("e_src"), F.col(src_col).alias("e_dst"))
+        )
+        .distinct()
+    )
+    lbl = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                lbl.select(F.col("id").alias("e_dst"), F.col("lbl").alias("dlbl")),
+                "e_dst",
+            )
+            .groupBy("e_src")
+            .agg(F.min("dlbl").alias("nlbl"))
+        )
+        stepped = (
+            lbl.join(nbr, lbl["id"] == nbr["e_src"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+        )
+        jump = stepped.select(
+            F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
+        )
+        new = (
+            stepped.join(jump, stepped["lbl"] == jump["jid"], "left")
+            .select("id", F.coalesce("jlbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(lbl.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        lbl = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return lbl.select(F.col("id").alias(id_col), F.col("lbl").alias("component"))
