@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_kmeans": TQ.q_cluster_kmeans,
         "ann_ivf_kmeans": TQ.q_ann_ivf_kmeans,
         "dedup_components": TQ.q_dedup_components,
+        "quality_unigram_xent": TQ.q_quality_unigram_xent,
         # multimodal plumbing (rows-only: no SQL oracle by design)
         "multimodal_decode": TQ.q_multimodal_decode,
     }
@@ -210,4 +211,5 @@ def oracle_sql() -> dict[str, str]:
         "cluster_kmeans": TQ.SQL_CLUSTER_KMEANS,
         "ann_ivf_kmeans": TQ.SQL_ANN_IVF_KMEANS,
         "dedup_components": TQ.SQL_DEDUP_COMPONENTS,
+        "quality_unigram_xent": TQ.SQL_QUALITY_UNIGRAM_XENT,
     }

@@ -389,6 +389,7 @@ def main() -> None:
         ("cluster_kmeans", TQ.q_cluster_kmeans),
         ("ann_ivf_kmeans", TQ.q_ann_ivf_kmeans),
         ("dedup_components", TQ.q_dedup_components),
+        ("quality_unigram_xent", TQ.q_quality_unigram_xent),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 

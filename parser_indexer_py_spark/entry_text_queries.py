@@ -3479,3 +3479,52 @@ SELECT doc_id, component, COUNT(*) OVER (PARTITION BY component) AS csize
 FROM comp
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM cross-entropy quality signal (the KenLM-perplexity-filter
+# shape of CCNet/Gopher pipelines, with the corpus itself as the LM —
+# q_quality_score's surface heuristics measure form, this measures how
+# "surprising" a doc's vocabulary is against the collection)
+# ---------------------------------------------------------------------------
+
+
+def q_quality_unigram_xent(spark, sf_dir):
+    """Per-document unigram cross-entropy under the corpus MLE:
+    ``xent(d) = sum_w tf(d,w) * -ln(cf(w)/total) / len(d)`` — low means
+    templated/stopword-heavy text, high means rare-vocabulary text; both
+    tails are the filter targets in CCNet-style pipelines. Plan shape for
+    scale: everything runs over the per-doc DISTINCT-term table (doc_id,
+    w, tf) — |doc x distinct-term| rows, not |tokens| — so the vocabulary
+    join shuffles the small table; cf/total derive from the same table
+    (one extra narrow shuffle on w, map-side combined); the scalar total
+    broadcasts as a one-row cross join. Float policy: ln() may differ by
+    ~1 ulp per term between JVM and DuckDB libm and the sum order is
+    engine-specific; ROUND(...,6) after the division absorbs both (the
+    established ANN-family policy)."""
+    tok = _tok(spark, sf_dir)
+    dtf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    stats = dtf.groupBy("w").agg(F.sum("tf").alias("cf"))
+    tot = stats.agg(F.sum("cf").alias("tot"))
+    nll = -F.log(F.col("cf").cast("double") / F.col("tot").cast("double"))
+    return (
+        dtf.join(stats, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("tf") * nll) / F.sum("tf"), 6).alias("xent"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+SQL_QUALITY_UNIGRAM_XENT = SQL_TOK + """
+, dtf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w)
+, stats AS (SELECT w, SUM(tf) AS cf FROM dtf GROUP BY w)
+, tot AS (SELECT SUM(cf) AS tot FROM stats)
+SELECT doc_id,
+       ROUND(SUM(tf * -ln(cf::DOUBLE / tot::DOUBLE)) / SUM(tf), 6) AS xent,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens
+FROM dtf JOIN stats USING (w), tot
+GROUP BY doc_id
+"""

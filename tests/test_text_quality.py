@@ -1,0 +1,35 @@
+"""Unigram cross-entropy quality signal (q_quality_unigram_xent).
+
+The oracle row gives cross-engine equality; this gate pins the MATH to a
+hand-computed toy corpus so a same-bug-both-twins regression can't hide.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def test_unigram_xent_hand_computed(spark, tmp_path):
+    from parser_indexer_py_spark.entry_text_queries import (
+        q_quality_unigram_xent,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["xent"], r["n_tokens"])
+        for r in q_quality_unigram_xent(spark, str(tmp_path)).collect()
+    }
+    # cf: a=2 b=2 c=1, total=5
+    # d1 = (2*-ln(2/5) + 1*-ln(2/5)) / 3 = -ln(0.4)
+    # d2 = (-ln(0.4) + -ln(0.2)) / 2
+    assert got[1][1] == 3 and got[2][1] == 2
+    assert got[1][0] == pytest.approx(-math.log(0.4), abs=1e-6)
+    assert got[2][0] == pytest.approx(
+        (-math.log(0.4) - math.log(0.2)) / 2, abs=1e-6
+    )
