@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": TQ.q_ann_ivf_kmeans,
         "dedup_components": TQ.q_dedup_components,
         "quality_unigram_xent": TQ.q_quality_unigram_xent,
+        "dedup_keep_canonical": TQ.q_dedup_keep_canonical,
         # multimodal plumbing (rows-only: no SQL oracle by design)
         "multimodal_decode": TQ.q_multimodal_decode,
     }
@@ -212,4 +213,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans": TQ.SQL_ANN_IVF_KMEANS,
         "dedup_components": TQ.SQL_DEDUP_COMPONENTS,
         "quality_unigram_xent": TQ.SQL_QUALITY_UNIGRAM_XENT,
+        "dedup_keep_canonical": TQ.SQL_DEDUP_KEEP_CANONICAL,
     }

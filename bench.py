@@ -390,6 +390,7 @@ def main() -> None:
         ("ann_ivf_kmeans", TQ.q_ann_ivf_kmeans),
         ("dedup_components", TQ.q_dedup_components),
         ("quality_unigram_xent", TQ.q_quality_unigram_xent),
+        ("dedup_keep_canonical", TQ.q_dedup_keep_canonical),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 

@@ -3481,6 +3481,58 @@ FROM comp
 )
 
 
+def q_dedup_keep_canonical(spark, sf_dir):
+    """The dedup DECISION table: per duplicate cluster keep the longest
+    document (ties to the smallest doc_id — the standard
+    keep-one-representative policy), emit every doc with its component
+    and a kept flag. Composition of connected components + a
+    partial-aggregating argmax (max over (n_chars, -doc_id) structs —
+    map-side combined, no window sort over the corpus)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = q_dedup_components(spark, sf_dir).select("doc_id", "component")
+    keep = (
+        comp.join(docs, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("nd")
+                )
+            ).alias("m")
+        )
+        .select("component", (-F.col("m.nd")).alias("keep_doc"))
+    )
+    return comp.join(keep, "component").select(
+        "doc_id", "component", (F.col("doc_id") == F.col("keep_doc")).alias("kept")
+    )
+
+
+SQL_DEDUP_KEEP_CANONICAL = (
+    _sql_minhash_lsh_ctes().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+, sym AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION
+  SELECT db, da FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+), comp AS (
+  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+), keep AS (
+  SELECT component, doc_id AS keep_doc FROM (
+    SELECT c.component, d.doc_id,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rn
+    FROM comp c JOIN documents d USING (doc_id)) WHERE rn = 1
+)
+SELECT c.doc_id, c.component, c.doc_id = k.keep_doc AS kept
+FROM comp c JOIN keep k USING (component)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM cross-entropy quality signal (the KenLM-perplexity-filter
 # shape of CCNet/Gopher pipelines, with the corpus itself as the LM —

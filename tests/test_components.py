@@ -89,3 +89,30 @@ def test_driver_query_matches_union_find(spark):
     # the corpus actually exercises the operator: planted near-dup
     # clusters exist (some component bigger than a lone pair)
     assert max(sizes.values()) >= 2
+
+
+def test_keep_canonical_policy(spark):
+    """Exactly one kept doc per component, and it is the longest
+    (smallest doc_id at ties)."""
+    from parser_indexer_py_spark.entry_text_queries import (
+        q_dedup_keep_canonical,
+    )
+
+    rows = q_dedup_keep_canonical(spark, SF_DIR).collect()
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        kept = [r["doc_id"] for r in members if r["kept"]]
+        assert len(kept) == 1
+        want = min(
+            (m["doc_id"] for m in members),
+            key=lambda d: (-chars[d], d),
+        )
+        assert kept[0] == want
