@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": TQ.q_dedup_components,
         "quality_unigram_xent": TQ.q_quality_unigram_xent,
         "dedup_keep_canonical": TQ.q_dedup_keep_canonical,
+        "mix_temperature": TQ.q_mix_temperature,
         # multimodal plumbing (rows-only: no SQL oracle by design)
         "multimodal_decode": TQ.q_multimodal_decode,
     }
@@ -214,4 +215,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": TQ.SQL_DEDUP_COMPONENTS,
         "quality_unigram_xent": TQ.SQL_QUALITY_UNIGRAM_XENT,
         "dedup_keep_canonical": TQ.SQL_DEDUP_KEEP_CANONICAL,
+        "mix_temperature": TQ.SQL_MIX_TEMPERATURE,
     }

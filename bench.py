@@ -391,6 +391,7 @@ def main() -> None:
         ("dedup_components", TQ.q_dedup_components),
         ("quality_unigram_xent", TQ.q_quality_unigram_xent),
         ("dedup_keep_canonical", TQ.q_dedup_keep_canonical),
+        ("mix_temperature", TQ.q_mix_temperature),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 

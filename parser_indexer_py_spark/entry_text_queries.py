@@ -3570,6 +3570,28 @@ def q_quality_unigram_xent(spark, sf_dir):
     )
 
 
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-T=2 mixture sampling over the skewed ``lang`` column
+    (en dominates): downsample-only rates p_g ∝ n_g^(1/T), portable-md5
+    keep gate so both engines keep literally the same rows; the whole
+    operator is one tiny groupBy + a broadcast rate join + a scan-side
+    codegen predicate (see operators/mixing.py for the scale/float
+    policy notes)."""
+    from .operators.mixing import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix(docs, "lang", 2.0).select("doc_id", "lang", "rate")
+
+
+def _sql_mix_temperature() -> str:
+    from .operators.mixing import mixing_sql
+
+    return mixing_sql("documents", "lang", 2.0)
+
+
+SQL_MIX_TEMPERATURE = _sql_mix_temperature()
+
+
 SQL_QUALITY_UNIGRAM_XENT = SQL_TOK + """
 , dtf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w)
 , stats AS (SELECT w, SUM(tf) AS cf FROM dtf GROUP BY w)
