@@ -231,6 +231,22 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--len-col", required=True)
     pk.add_argument("--budget", type=int, required=True)
 
+    mx = sub.add_parser("mix")
+    mx.add_argument("--input", required=True, help="parquet path")
+    mx.add_argument("--out", required=True)
+    mx.add_argument("--group-col", required=True)
+    mx.add_argument("--temperature", type=float, required=True)
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--salt", default="mix")
+
+    cc = sub.add_parser("components")
+    cc.add_argument("--nodes", required=True, help="parquet path")
+    cc.add_argument("--edges", required=True, help="parquet path of pairs")
+    cc.add_argument("--out", required=True)
+    cc.add_argument("--id-col", default="doc_id")
+    cc.add_argument("--src-col", default="a")
+    cc.add_argument("--dst-col", default="b")
+
     an = sub.add_parser("analyze")
     an.add_argument("--text", required=True)
     an.add_argument("-q", default=None, help="query for analysis.showmatch")
@@ -425,6 +441,52 @@ def main(argv: list[str] | None = None) -> int:
             "stream_len": g["stream_len"],
             "n_sequences": int(g["n_seqs_minus_1"]) + 1,
             "budget": args.budget,
+        }))
+        return 0
+
+    if args.cmd == "mix":
+        from .operators.mixing import temperature_mix, temperature_rates
+
+        df = spark.read.parquet(args.input)
+        out = temperature_mix(
+            df, args.group_col, args.temperature,
+            id_col=args.id_col, salt=args.salt,
+        )
+        out.write.mode("errorifexists").parquet(args.out)
+        rates = {
+            r[args.group_col]: {"n": r["n"], "rate": r["rate"]}
+            for r in temperature_rates(
+                df, args.group_col, args.temperature
+            ).collect()
+        }
+        print(json.dumps({
+            "written": args.out,
+            "rows": spark.read.parquet(args.out).count(),
+            "of": df.count(), "temperature": args.temperature,
+            "rates": rates,
+        }))
+        return 0
+
+    if args.cmd == "components":
+        from pyspark.sql import functions as _F
+
+        from .operators.components import connected_components
+
+        nodes = spark.read.parquet(args.nodes)
+        edges = spark.read.parquet(args.edges)
+        out = connected_components(
+            nodes, edges, id_col=args.id_col,
+            src_col=args.src_col, dst_col=args.dst_col,
+        )
+        out.write.mode("errorifexists").parquet(args.out)
+        back = spark.read.parquet(args.out)
+        g = back.agg(
+            _F.count("*").alias("rows"),
+            _F.countDistinct("component").alias("n_components"),
+        ).collect()[0]
+        print(json.dumps({
+            "written": args.out, "rows": g["rows"],
+            "n_components": g["n_components"],
         }))
         return 0
 

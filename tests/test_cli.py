@@ -69,3 +69,34 @@ def test_cli_analyze(capsys):
     assert [(t["text"], t["match"]) for t in toks] == [
         ("hello", True), ("world", False),
     ]
+
+
+def test_cli_mix(src_parquet, spark, tmp_path, capsys):
+    # add a skewed group column derived from doc_id (300 "a" / 100 "b")
+    src2 = str(tmp_path / "mix_src")
+    spark.read.parquet(src_parquet).withColumn(
+        "grp", F.when(F.col("doc_id") < 300, "a").otherwise("b")
+    ).write.parquet(src2)
+    out = str(tmp_path / "mixed")
+    rep = _run(capsys, [
+        "mix", "--input", src2, "--out", out,
+        "--group-col", "grp", "--temperature", "2.0",
+    ])
+    # T=2: w=(sqrt300, sqrt100), b keeps rate 1.0, a downsamples
+    assert rep["rates"]["b"]["rate"] == 1.0
+    assert 0 < rep["rates"]["a"]["rate"] < 1.0
+    assert rep["rows"] < rep["of"] == 400
+
+
+def test_cli_components(spark, tmp_path, capsys):
+    nodes = str(tmp_path / "nodes")
+    edges = str(tmp_path / "edges")
+    spark.range(0, 10).select(F.col("id").alias("doc_id")).write.parquet(nodes)
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "a long, b long"
+    ).write.parquet(edges)
+    out = str(tmp_path / "comp")
+    rep = _run(capsys, [
+        "components", "--nodes", nodes, "--edges", edges, "--out", out,
+    ])
+    assert rep["rows"] == 10 and rep["n_components"] == 7
