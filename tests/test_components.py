@@ -116,3 +116,46 @@ def test_keep_canonical_policy(spark):
             key=lambda d: (-chars[d], d),
         )
         assert kept[0] == want
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property gate: on randomized graph shapes (chains, stars, cliques,
+    sparse noise) the operator equals union-find. Seeded RNG — the
+    failure case is replayable."""
+    import random
+
+    rng = random.Random(20260818)
+    for trial in range(4):
+        n = rng.randrange(30, 120)
+        ids = list(range(n))
+        edges = set()
+        # sparse random edges
+        for _ in range(rng.randrange(10, n)):
+            a, b = rng.sample(ids, 2)
+            edges.add((min(a, b), max(a, b)))
+        # one chain and one star to force interesting diameters
+        chain = rng.sample(ids, min(12, n))
+        edges.update(
+            (min(x, y), max(x, y)) for x, y in zip(chain, chain[1:])
+        )
+        hub = rng.choice(ids)
+        for leaf in rng.sample(ids, 5):
+            if leaf != hub:
+                edges.add((min(hub, leaf), max(hub, leaf)))
+
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in ids}
+
+        got = _cc(spark, ids, sorted(edges))
+        assert got == want, f"trial {trial} (n={n}) diverged"

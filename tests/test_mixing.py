@@ -77,3 +77,20 @@ def test_partitioning_invariance(spark):
         ).collect()
     )
     assert base == repart
+
+
+def test_mix_plan_shape(spark):
+    """The keep gate is a broadcast join + scan-side predicate: the big
+    side must NOT shuffle (exchanges only under the tiny rate aggregate),
+    and the join must be broadcast."""
+    from parser_indexer_py_spark.operators.mixing import temperature_mix
+    from parser_indexer_py_spark.plans.explain_audit import (
+        assert_broadcast_join,
+        plan_string,
+    )
+
+    df = temperature_mix(_toy(spark), "grp", 2.0)
+    assert_broadcast_join(df)
+    # no SortMergeJoin anywhere — the corpus side never shuffles for
+    # the join itself
+    assert "SortMergeJoin" not in plan_string(df)
