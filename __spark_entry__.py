@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_unigram_xent": TQ.q_quality_unigram_xent,
         "dedup_keep_canonical": TQ.q_dedup_keep_canonical,
         "mix_temperature": TQ.q_mix_temperature,
+        "mix_by_cluster": TQ.q_mix_by_cluster,
         # multimodal plumbing (rows-only: no SQL oracle by design)
         "multimodal_decode": TQ.q_multimodal_decode,
     }
@@ -216,4 +217,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_unigram_xent": TQ.SQL_QUALITY_UNIGRAM_XENT,
         "dedup_keep_canonical": TQ.SQL_DEDUP_KEEP_CANONICAL,
         "mix_temperature": TQ.SQL_MIX_TEMPERATURE,
+        "mix_by_cluster": TQ.SQL_MIX_BY_CLUSTER,
     }

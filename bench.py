@@ -392,6 +392,7 @@ def main() -> None:
         ("quality_unigram_xent", TQ.q_quality_unigram_xent),
         ("dedup_keep_canonical", TQ.q_dedup_keep_canonical),
         ("mix_temperature", TQ.q_mix_temperature),
+        ("mix_by_cluster", TQ.q_mix_by_cluster),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 

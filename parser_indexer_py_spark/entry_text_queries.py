@@ -3541,6 +3541,49 @@ FROM comp c JOIN keep k USING (component)
 # ---------------------------------------------------------------------------
 
 
+def q_mix_by_cluster(spark, sf_dir):
+    """Composition capstone: temperature-T=2 mixture sampling where the
+    GROUP is a learned k-means topic cluster (q_cluster_kmeans's
+    deterministic Lloyd assignments) — 'rebalance training data by
+    topic' end-to-end, all oracled: the DuckDB twin chains the k-means
+    CTEs into the rate/md5-gate CTEs. Engine: fit (bounded driver
+    centroids) -> zero-shuffle Catalyst assign -> tiny rate aggregate ->
+    broadcast-join keep gate."""
+    from .operators.clustering import kmeans_assign, kmeans_fit
+    from .operators.mixing import temperature_mix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, K_KMEANS, KMEANS_ITERS)
+    asg = kmeans_assign(emb, cents).select("vec_id", "cluster")
+    return temperature_mix(asg, "cluster", 2.0, id_col="vec_id").select(
+        "vec_id", "cluster", "rate"
+    )
+
+
+def _sql_mix_by_cluster() -> str:
+    from .operators.clustering import kmeans_cte_chain
+    from .operators.mixing import HASH_RANGE
+
+    return kmeans_cte_chain(K_KMEANS, KMEANS_ITERS) + f"""
+, asg AS (
+  SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM sf
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1
+), cnt AS (SELECT cluster, COUNT(*) AS n FROM asg GROUP BY cluster),
+ w AS (SELECT cluster, n, POW(CAST(n AS DOUBLE), 1.0 / 2.0) AS wg FROM cnt),
+ tot AS (SELECT SUM(wg) AS sw FROM w),
+ p AS (SELECT cluster, n, wg / sw AS pg FROM w, tot),
+ s AS (SELECT MIN(n / pg) AS s FROM p),
+ r AS (SELECT cluster, ROUND(LEAST(1.0, pg * s / n), 12) AS rate FROM p, s)
+SELECT a.vec_id, a.cluster, r.rate
+FROM asg a JOIN r USING (cluster)
+WHERE ('0x' || substr(md5('mix' || '#' || CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT
+      / {HASH_RANGE!r} < r.rate
+"""
+
+
+SQL_MIX_BY_CLUSTER = _sql_mix_by_cluster()
+
+
 def q_quality_unigram_xent(spark, sf_dir):
     """Per-document unigram cross-entropy under the corpus MLE:
     ``xent(d) = sum_w tf(d,w) * -ln(cf(w)/total) / len(d)`` — low means
