@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical": TQ.q_dedup_keep_canonical,
         "mix_temperature": TQ.q_mix_temperature,
         "mix_by_cluster": TQ.q_mix_by_cluster,
+        "dedup_substring_signal": TQ.q_dedup_substring_signal,
         # multimodal plumbing (rows-only: no SQL oracle by design)
         "multimodal_decode": TQ.q_multimodal_decode,
     }
@@ -218,4 +219,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_canonical": TQ.SQL_DEDUP_KEEP_CANONICAL,
         "mix_temperature": TQ.SQL_MIX_TEMPERATURE,
         "mix_by_cluster": TQ.SQL_MIX_BY_CLUSTER,
+        "dedup_substring_signal": TQ.SQL_DEDUP_SUBSTRING,
     }

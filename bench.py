@@ -393,6 +393,7 @@ def main() -> None:
         ("dedup_keep_canonical", TQ.q_dedup_keep_canonical),
         ("mix_temperature", TQ.q_mix_temperature),
         ("mix_by_cluster", TQ.q_mix_by_cluster),
+        ("dedup_substring_signal", TQ.q_dedup_substring_signal),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 

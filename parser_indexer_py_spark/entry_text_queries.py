@@ -344,6 +344,82 @@ WITH toks AS (
 ), sz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id)
 """
 
+# exact-substring duplication window, in tokens. 5 here so the toy corpus
+# exercises the operator; the published recipe (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better") uses 50 at production scale
+# — a constant, not a structural difference.
+SUBSTR_N = 5
+
+
+def q_dedup_substring_signal(spark, sf_dir):
+    """Window-level exact-substring duplication (the Lee-et-al shape,
+    complementary to whole-doc near-dup): every SUBSTR_N-token window is
+    hashed; a window whose hash occurs in >= 2 DISTINCT docs is
+    'duplicated text'; per doc emit window count, duplicated-window count
+    and fraction — the signal a remove-duplicated-spans pass consumes.
+    Plan: zero-shuffle positioned gram slide -> one groupBy over the
+    md5 window key (narrow shuffle regardless of window width) -> one
+    partial-aggregating per-doc rollup over the joined stats. No
+    windows, no row amplification beyond the gram slide itself."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda w: F.length(w) > 0
+    )
+    idx = F.sequence(F.lit(1), F.size(F.col("toks")) - (SUBSTR_N - 1))
+    slide = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(F.col("toks"), i + F.lit(k)) for k in range(SUBSTR_N)],
+        ),
+    )
+    # F.sequence(1, n) with n < 1 DESCENDS — mask short docs explicitly
+    grams = F.when(F.size(F.col("toks")) >= SUBSTR_N, slide).otherwise(
+        F.array().cast("array<string>")
+    )
+    pg = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.md5("g").alias("h"))
+    )
+    stats = pg.groupBy("h").agg(F.countDistinct("doc_id").alias("dfg"))
+    dup = F.when(F.col("dfg") >= 2, 1).otherwise(0)
+    return (
+        pg.join(stats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(dup).cast("long").alias("n_shared"),
+            F.round(F.sum(dup) / F.count("*"), 6).alias("shared_frac"),
+        )
+    )
+
+
+_SUBSTR_GRAM_SQL = " || ' ' || ".join(
+    "t[i]" if k == 0 else f"t[i+{k}]" for k in range(SUBSTR_N)
+)
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> length(w) > 0) AS t
+  FROM documents
+), pg AS (
+  SELECT doc_id, md5({_SUBSTR_GRAM_SQL}) AS h
+  FROM toks, unnest(range(1, len(t) - {SUBSTR_N - 2})) AS u(i)
+  WHERE len(t) >= {SUBSTR_N}
+), stats AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS dfg FROM pg GROUP BY h
+)
+SELECT doc_id, COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN dfg >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       ROUND(SUM(CASE WHEN dfg >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS shared_frac
+FROM pg JOIN stats USING (h)
+GROUP BY doc_id
+"""
+
+
 JACCARD_TAU = 0.8
 
 

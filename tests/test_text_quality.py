@@ -33,3 +33,25 @@ def test_unigram_xent_hand_computed(spark, tmp_path):
     assert got[2][0] == pytest.approx(
         (-math.log(0.4) - math.log(0.2)) / 2, abs=1e-6
     )
+
+
+def test_substring_signal_hand_computed(spark, tmp_path):
+    from parser_indexer_py_spark.entry_text_queries import (
+        q_dedup_substring_signal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # windows: [a b c d e], [b c d e f]
+            (2, "z a b c d e"),   # windows: [z a b c d], [a b c d e]
+            (3, "q r s t u"),     # one unshared window
+            (4, "x y"),           # too short: no windows, absent
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_shared"], r["shared_frac"])
+        for r in q_dedup_substring_signal(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
