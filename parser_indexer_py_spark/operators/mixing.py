@@ -76,7 +76,10 @@ def temperature_mix(
 ) -> DataFrame:
     """Rows of ``df`` kept under temperature-``T`` mixture sampling, with
     the group rate attached. ``salt`` decorrelates this gate from any
-    other hash-based sampling over the same ids."""
+    other hash-based sampling over the same ids. Rows with a NULL group
+    key drop (null never equi-joins its rate row) — identically in the
+    DuckDB twin, so the behavior is oracle-checked; pre-fill a sentinel
+    group if nulls must survive."""
     rates = temperature_rates(df, group_col, temperature)
     u = _hash_frac(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string")))
     return (
