@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature": TQ.q_mix_temperature,
         "mix_by_cluster": TQ.q_mix_by_cluster,
         "dedup_substring_signal": TQ.q_dedup_substring_signal,
+        "dedup_substring_spans": TQ.q_dedup_substring_spans,
         # multimodal plumbing (rows-only: no SQL oracle by design)
         "multimodal_decode": TQ.q_multimodal_decode,
     }
@@ -220,4 +221,5 @@ def oracle_sql() -> dict[str, str]:
         "mix_temperature": TQ.SQL_MIX_TEMPERATURE,
         "mix_by_cluster": TQ.SQL_MIX_BY_CLUSTER,
         "dedup_substring_signal": TQ.SQL_DEDUP_SUBSTRING,
+        "dedup_substring_spans": TQ.SQL_DEDUP_SUBSTRING_SPANS,
     }

@@ -394,6 +394,7 @@ def main() -> None:
         ("mix_temperature", TQ.q_mix_temperature),
         ("mix_by_cluster", TQ.q_mix_by_cluster),
         ("dedup_substring_signal", TQ.q_dedup_substring_signal),
+        ("dedup_substring_spans", TQ.q_dedup_substring_spans),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 

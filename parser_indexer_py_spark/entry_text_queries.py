@@ -420,6 +420,104 @@ GROUP BY doc_id
 """
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """The actionable half of the Lee-et-al recipe: duplicated windows
+    merged into REMOVABLE token spans. Positioned SUBSTR_N-token windows
+    -> shared-window marks (>= 2 distinct docs) -> per-doc island merge
+    (the J7 lag+cumsum pattern: a new span starts when the next
+    duplicated window begins more than SUBSTR_N tokens after the
+    previous, i.e. the windows neither overlap nor touch). Output one
+    row per (doc, span): 1-based token positions [span_start, span_end]
+    and the window count — exactly what a remove-duplicated-spans pass
+    consumes. Per-doc windows are small (bounded by doc length), so the
+    island window function partitions by doc_id — no global sort."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda w: F.length(w) > 0
+    )
+    idx = F.sequence(F.lit(1), F.size(F.col("toks")) - (SUBSTR_N - 1))
+    slide = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(F.col("toks"), i + F.lit(k)) for k in range(SUBSTR_N)],
+        ),
+    )
+    grams = F.when(F.size(F.col("toks")) >= SUBSTR_N, slide).otherwise(
+        F.array().cast("array<string>")
+    )
+    pg = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.posexplode(grams).alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("g").alias("h"))
+    )
+    shared = (
+        pg.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("dfg"))
+        .filter(F.col("dfg") >= 2)
+        .select("h")
+    )
+    marked = pg.join(shared, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = marked.withColumn("prev", F.lag("pos").over(w)).withColumn(
+        "brk",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("pos") - F.col("prev") > SUBSTR_N),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            # cast to long: posexplode yields int32, DuckDB range BIGINT
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (SUBSTR_N - 1)).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def _sql_dedup_substring_spans() -> str:
+    gram = " || ' ' || ".join(
+        "t[i]" if k == 0 else f"t[i+{k}]" for k in range(SUBSTR_N)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> length(w) > 0) AS t
+  FROM documents
+), pg AS (
+  SELECT doc_id, i AS pos, md5({gram}) AS h
+  FROM toks, unnest(range(1, len(t) - {SUBSTR_N - 2})) AS u(i)
+  WHERE len(t) >= {SUBSTR_N}
+), shared AS (
+  SELECT h FROM pg GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT doc_id, pos FROM pg JOIN shared USING (h)
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {SUBSTR_N}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM marked)
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       MAX(pos) + {SUBSTR_N - 1} AS span_end,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
+SQL_DEDUP_SUBSTRING_SPANS = _sql_dedup_substring_spans()
+
+
 JACCARD_TAU = 0.8
 
 

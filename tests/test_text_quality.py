@@ -55,3 +55,32 @@ def test_substring_signal_hand_computed(spark, tmp_path):
         for r in q_dedup_substring_signal(spark, str(tmp_path)).collect()
     }
     assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
+
+
+def test_substring_spans_hand_computed(spark, tmp_path):
+    from parser_indexer_py_spark.entry_text_queries import (
+        q_dedup_substring_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # shared window [a b c d e] at pos 1
+            (2, "z a b c d e"),       # same window at pos 2
+            (3, "q r s t u"),         # = window at pos 2 of docs 5 and 6
+            (5, "p q r s t u"),       # two overlapping shared windows
+            (6, "p q r s t u v"),     # ... shared with doc 5
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in q_dedup_substring_spans(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        (1, 1, 5, 1),
+        (2, 2, 6, 1),
+        (3, 1, 5, 1),
+        (5, 1, 6, 2),
+        (6, 1, 6, 2),
+    ]
