@@ -570,6 +570,52 @@ def lsh_recall(s: float, bands: int = N_BANDS, rows: int = N_ROWS) -> float:
     return 1.0 - (1.0 - s**rows) ** bands
 
 
+def _minhash_sig_wide(grams: DataFrame, n_hashes: int) -> DataFrame:
+    """All ``n_hashes`` minhashes per doc, one row per doc. Values are the
+    EXACT ``_md5_long(concat_ws('#', i, g))`` of the oracle formula — the
+    Python twin ``int.from_bytes(md5(f'{i}#{g}').digest()[:8]) >> 4``
+    equals ``conv(substr(md5(..),1,15),16,10)`` (top 60 bits of the md5,
+    bit-for-bit; asserted by tests/test_operators.py's minhash gates) —
+    but computed in a mapInPandas pass with per-batch partial mins instead
+    of 16 JVM string-expression chains per gram row. Measured at sf0.1
+    (260k gram rows): the sig stage alone 3.8s -> <1s; the exchange after
+    it carries at most one partial row per (partition, doc) instead of
+    the full gram table feeding a 16-expression hash aggregate."""
+    import hashlib
+
+    pre = [f"{i}#".encode() for i in range(n_hashes)]
+    cols = [f"mh{i}" for i in range(n_hashes)]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from_bytes = int.from_bytes
+        md5 = hashlib.md5
+        rng = range(n_hashes)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            grams_l = pdf["g"].tolist()
+            H = np.empty((len(grams_l), n_hashes), dtype=np.int64)
+            for r, g in enumerate(grams_l):
+                gb = g.encode("utf-8")
+                row = H[r]
+                for i in rng:
+                    row[i] = (
+                        from_bytes(md5(pre[i] + gb).digest()[:8], "big") >> 4
+                    )
+            out = pd.DataFrame(H, columns=cols)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out.groupby("doc_id", as_index=False).min()
+
+    schema = "doc_id long, " + ", ".join(f"{c} long" for c in cols)
+    partials = grams.select("doc_id", "g").mapInPandas(gen, schema)
+    return partials.groupBy("doc_id").agg(
+        *[F.min(c).alias(c) for c in cols]
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir, bands: int = N_BANDS, rows: int = N_ROWS):
     """MinHash + LSH near-dup: shingle -> b*r md5-derived minhashes -> b
     banded signatures (md5 of the row minhashes in row order, so any
@@ -586,14 +632,7 @@ def q_dedup_minhash_lsh(spark, sf_dir, bands: int = N_BANDS, rows: int = N_ROWS)
     only exchange carries one row per doc."""
     n_hashes = bands * rows
     grams = _grams_cached(spark, sf_dir)
-    sig_wide = grams.groupBy("doc_id").agg(
-        *[
-            F.min(
-                _md5_long(F.concat_ws("#", F.lit(str(i)), F.col("g")))
-            ).alias(f"mh{i}")
-            for i in range(n_hashes)
-        ]
-    )
+    sig_wide = _minhash_sig_wide(grams, n_hashes)
     bands_arr = F.array(
         *[
             F.struct(
@@ -703,25 +742,25 @@ def q_dedup_simhash(spark, sf_dir):
     """SimHash document signatures (16-bit, md5-derived bit votes) — exact
     signature-collision groups; the cheap first-pass near-dup detector."""
     t = _tok(spark, sf_dir)
-    bits = (
-        t.withColumn("h", _md5_long(F.col("w")))
-        .select(
-            "doc_id",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
-        )
-        .withColumn("vote", F.expr("(shiftright(h, j) & 1) * 2 - 1"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
-            .otherwise(F.lit(0)),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
+    # ONE groupBy(doc_id) with 16 conditional-sum bit votes — no
+    # explode(sequence(0,15)), so the token table is never amplified 16x
+    # through the shuffle (VERDICT r5 item; the minhash sibling already
+    # used this shape). Per (doc, j) the vote sum is identical to the
+    # previous groupBy(doc_id, j) formulation, so results are unchanged
+    # and the frozen oracle SQL still matches.
+    votes = t.withColumn("h", _md5_long(F.col("w"))).groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"s{j}")
+            for j in range(16)
+        ]
     )
-    return bits
+    simhash = sum(
+        F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for j in range(16)
+    )
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 _SQL_SIMHASH_SIGS = SQL_TOK + """

@@ -44,14 +44,27 @@ Scale shape (the 100 TB story):
   Catalyst plan (and task closure) stays O(1) across iterations instead
   of O(rounds) — on a real cluster with an HDFS checkpoint dir,
   ``checkpoint()`` gives the same truncation with executor-loss safety;
-- the convergence probe is ``limit(1)`` over a changed-label join —
-  driver sees one boolean-sized result per round, never the labels.
+- the convergence probe is the exact label-column sum (labels are
+  monotonically non-increasing, so the sum strictly decreases iff any
+  row changed) — a map-side-combined aggregate that rides the same job
+  that materializes the round's checkpoint; the driver sees one decimal
+  per round, never the labels.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Driver-side small-graph cutover (same bounded-driver-object pattern as
+# index.wand.DRIVER_CAND_CAP): the component DECISION needs only the edge
+# list — never the nodes, whose untouched members keep their own id as the
+# label. Up to this many symmetric edge rows (16 B each -> ~16 MB) the
+# labels are computed with an exact union-find on the driver and attached
+# to the (still fully distributed) node table via one broadcast join; past
+# the cap the O(log n)-round distributed loop below runs unchanged. The
+# result is identical by construction (both compute min-reachable-id).
+DRIVER_EDGE_CAP = 1_000_000
 
 
 def connected_components(
@@ -61,12 +74,18 @@ def connected_components(
     src_col: str = "a",
     dst_col: str = "b",
     max_iter: int = 60,
+    driver_edge_cap: int = DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """Label every node with the min node id of its connected component.
 
     ``nodes``: one row per node (``id_col``). ``edges``: undirected pairs
     (``src_col``, ``dst_col``); endpoints must appear in ``nodes`` and
     self-loops are harmless. Returns (``id_col``, ``component``).
+
+    ``driver_edge_cap``: symmetric-edge-row bound below which the labels
+    come from a driver-side union-find + broadcast join instead of the
+    iterative distributed loop (pass 0 to force the loop — the
+    convergence tests do). Identical output either way.
 
     Raises after ``max_iter`` rounds without convergence — with path
     halving that means > ~2^(max_iter/2) chained nodes, i.e. never; a
@@ -76,18 +95,54 @@ def connected_components(
     # from an expensive pipeline (minhash-LSH verify), and without this
     # every iteration's neighbor join would re-execute that whole lineage
     # (measured: 22s -> ~8s on the dedup_components bench entry)
+    # symmetrize via explode, NOT a self-union: a union's two branches
+    # would each re-execute the whole upstream edge pipeline within the
+    # materializing job (measured 2x the minhash-LSH verify cost on
+    # dedup_components); the explode reads each edge row once
     sym = (
-        edges.select(F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"))
-        .union(
-            edges.select(F.col(dst_col).alias("e_src"), F.col(src_col).alias("e_dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("e_src"),
+                        F.col(dst_col).alias("e_dst"),
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("e_src"),
+                        F.col(src_col).alias("e_dst"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.e_src", "e.e_dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        # eager=False: materializes inside the first consuming job
+        # (the cap probe's count) instead of costing a standalone job
+        .localCheckpoint(eager=False)
     )
+    # one count over the checkpointed edges decides the path; the edge
+    # pipeline itself runs exactly once either way
+    if sym.count() <= driver_edge_cap:
+        return _driver_union_find(nodes, sym, id_col)
+    # init labels: a bare column scan — nothing worth checkpointing
     lbl = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
-    ).localCheckpoint(eager=True)
+    )
 
+    # convergence probe: labels are per-row monotonically NON-INCREASING
+    # across a round (least() in the neighbor step; the jump assigns
+    # lbl(lbl(x)) <= lbl(x) by the labels-are-member-ids invariant), so
+    # the label-column SUM strictly decreases iff ANY row changed — one
+    # map-side-combined aggregate per round, riding the SAME job that
+    # materializes the round's checkpoint (eager=False), replacing the
+    # previous separate changed-row join + limit(1) count job.
+    # decimal(38,0) keeps the sum exact for arbitrary 64-bit id spaces.
+    def _lbl_sum(df):
+        return df.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _lbl_sum(lbl)
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -110,20 +165,57 @@ def connected_components(
         new = (
             stepped.join(jump, stepped["lbl"] == jump["jid"], "left")
             .select("id", F.coalesce("jlbl", "lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.alias("n")
-            .join(lbl.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _lbl_sum(new)  # one job: materializes new + probes
         lbl = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
     return lbl.select(F.col("id").alias(id_col), F.col("lbl").alias("component"))
+
+
+def _driver_union_find(nodes: DataFrame, sym: DataFrame, id_col: str) -> DataFrame:
+    """Small-graph path: exact union-find (union-by-min-root + path
+    compression, so every root IS its component's minimum id) over the
+    collected symmetric edge rows, then one broadcast left join onto the
+    distributed node table; nodes not touched by any edge label
+    themselves. Bit-identical to the distributed fixpoint."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in sym.collect():
+        a, b = r["e_src"], r["e_dst"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    labels = [(x, find(x)) for x in parent]
+    if not labels:
+        return nodes.select(
+            F.col(id_col), F.col(id_col).alias("component")
+        )
+    spark = nodes.sparkSession
+    dt = nodes.schema[id_col].dataType.simpleString()
+    lbl_df = spark.createDataFrame(labels, f"_cc_id {dt}, _cc_lbl {dt}")
+    return (
+        nodes.select(id_col)
+        .join(F.broadcast(lbl_df), F.col(id_col) == F.col("_cc_id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_cc_lbl", F.col(id_col)).alias("component"),
+        )
+    )

@@ -41,9 +41,26 @@ def test_no_edges(spark):
 
 
 def test_long_chain_converges(spark):
+    # driver_edge_cap=0 forces the DISTRIBUTED loop (the small-graph
+    # union-find cutover would otherwise absorb this case), so passing
+    # still proves path halving engages
     n = 200
-    got = _cc(spark, range(n), [(i, i + 1) for i in range(n - 1)])
+    got = _cc(
+        spark, range(n), [(i, i + 1) for i in range(n - 1)],
+        driver_edge_cap=0,
+    )
     assert set(got.values()) == {0}
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The r6 small-graph cutover: driver union-find output must equal
+    the distributed fixpoint on the same graph, including untouched
+    nodes."""
+    ids = range(40)
+    pairs = [(0, 1), (1, 2), (5, 9), (9, 12), (12, 5), (30, 31)]
+    via_driver = _cc(spark, ids, pairs)  # under the default cap
+    via_loop = _cc(spark, ids, pairs, driver_edge_cap=0)
+    assert via_driver == via_loop
 
 
 def test_driver_query_matches_union_find(spark):
