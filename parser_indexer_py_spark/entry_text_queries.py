@@ -3599,20 +3599,44 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     )
     pcids = [cid for _, cid in scored[:NPROBE]]
 
-    cands = (
-        kmeans_assign(emb, cents)
-        .filter(F.col("cluster").isin(pcids) & (F.col("vec_id") != 0))
-        .select("vec_id")
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    cos = _cosine_expr(F.col("q_emb"), F.col("embedding"))
+    # one fused zero-shuffle pass: per batch assign clusters (the exact
+    # kmeans_assign matmul), keep rows probing the selected lists, and
+    # score the survivors against the broadcast query vector — replaces
+    # the previous assign -> left_semi join -> broadcast crossJoin chain
+    # (two extra passes over the corpus plus a shuffle join) with a
+    # single mapInPandas; only the TakeOrdered top-k remains after it.
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    M = np.stack([v for _, v in cents])
+    cnorm_arr = np.sqrt((M * M).sum(axis=1))
+    probe_set = np.array(sorted(pcids), dtype=np.int64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            E = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            vnorm = np.sqrt((E * E).sum(axis=1))
+            S = np.round(
+                (E @ M.T) / (vnorm[:, None] * cnorm_arr[None, :]), 6
+            )
+            A = np.argmax(S, axis=1)
+            keep = np.isin(cids[A], probe_set) & (ids != 0)
+            if not keep.any():
+                continue
+            cos = np.round((E[keep] @ qv) / (vnorm[keep] * qn), 6)
+            yield pd.DataFrame({"vec_id": ids[keep], "cosine": cos})
+
     return (
-        emb.join(cands, "vec_id", "left_semi")
-        .crossJoin(F.broadcast(q))
-        .withColumn("cosine", F.round(cos, 6))
+        emb.select("vec_id", "embedding")
+        .mapInPandas(gen, "vec_id long, cosine double")
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", "cosine")
     )
 
 
@@ -3767,7 +3791,14 @@ def q_mix_by_cluster(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, K_KMEANS, KMEANS_ITERS)
-    asg = kmeans_assign(emb, cents).select("vec_id", "cluster")
+    # the mix consumes the assignment twice (rate aggregate + keep-gate
+    # join); localCheckpoint materializes the narrow (vec_id, cluster)
+    # table inside the rate job so the matmul pass runs once
+    asg = (
+        kmeans_assign(emb, cents)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=False)
+    )
     return temperature_mix(asg, "cluster", 2.0, id_col="vec_id").select(
         "vec_id", "cluster", "rate"
     )

@@ -40,16 +40,14 @@ Scale shape (the 100 TB story):
 - centroids live driver-side between iterations (k*dims doubles — a
   bounded driver object, like the WAND term-stat rows) and ship back
   inside the next iteration's closure;
-- the FINAL assignment is pure Catalyst — literal centroid arrays,
-  zero shuffle, whole-stage codegen — and structurally mirrors the
-  oracle SQL, so the graded artifact is the declarative plan, with the
-  mapInPandas pass reserved for the iterate-then-aggregate inner loop
-  that Catalyst cannot express without a 64x posexplode amplification.
+- the FINAL assignment is the same zero-shuffle mapInPandas matmul pass
+  the fit steps use (one BLAS call per Arrow batch) — a Catalyst
+  transform/aggregate formulation was measured slower because
+  higher-order functions are interpreted (CodegenFallback), and sharing
+  the fit's float path keeps one rounding story end to end.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -150,41 +148,49 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Pure-Catalyst nearest-centroid assignment: literal centroid arrays
-    (k*dims doubles constant-folded into the plan), rounded-6dp cosine,
-    lowest-cid tie-break via an ascending struct sort on (-cosine, cid).
-    Zero shuffle — one whole-stage-codegen map over the corpus; at 1000
-    executors this is embarrassingly parallel scan work.
+    """Nearest-centroid assignment as one zero-shuffle mapInPandas matmul
+    pass — the EXACT numpy expression ``_lloyd_update`` assigns with
+    (rounded-6dp cosine in the oracle's dot/(|v||c|) form; ``argmax``
+    first-max tie-break = lowest cid, centroids in ascending cid order),
+    so fit-step and final assignments share one float path and the
+    equality gate in tests/test_clustering_kmeans.py is the same
+    expression verbatim. Replaces the previous Catalyst
+    transform/aggregate formulation: higher-order functions are
+    interpreted (CodegenFallback), costing k x dims allocations per row,
+    where the batched numpy matmul is one BLAS call per Arrow batch
+    (guide §4.2). Still embarrassingly parallel scan work at 1000
+    executors — no shuffle on either side of the pass.
 
     Output: (id_col, cluster int, cosine double)."""
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    nv = F.sqrt(
-        F.aggregate(
-            F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-        )
-    )
-    entries = []
-    for cid, vec in centroids:
-        lit = F.array(*[F.lit(float(v)) for v in vec])
-        dot = F.aggregate(
-            F.zip_with(vd, lit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        cnorm = math.sqrt(sum(float(v) * float(v) for v in vec))
-        cos = F.round(dot / (nv * F.lit(cnorm)), 6)
-        entries.append(
-            F.struct(
-                (-cos).alias("nc"),
-                F.lit(int(cid)).cast("int").alias("cid"),
-                cos.alias("c"),
+    import numpy as np
+
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    M = np.stack([v for _, v in centroids])  # ascending cid order
+    cnorm = np.sqrt((M * M).sum(axis=1))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-        )
-    best = F.element_at(F.array_sort(F.array(*entries)), 1)
-    return emb.select(
-        F.col(id_col),
-        best["cid"].alias("cluster"),
-        best["c"].alias("cosine"),
+            vnorm = np.sqrt((E * E).sum(axis=1))
+            S = np.round((E @ M.T) / (vnorm[:, None] * cnorm[None, :]), 6)
+            A = np.argmax(S, axis=1)  # first max = lowest cid
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": cids[A].astype(np.int32),
+                    "cosine": S[np.arange(len(A)), A],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, cluster int, cosine double"
     )
 
 
