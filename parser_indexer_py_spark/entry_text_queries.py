@@ -14,6 +14,8 @@ make the rich analyzer a cross-engine oracle).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -2676,36 +2678,33 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
         .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
         .distinct()
     )
-    # verify: per-vector norms are precomputed ONCE (same fold expression,
-    # so float results are bit-identical to inlining it); per-pair work is
-    # then a single dot-product fold instead of three
-    def _norm(a):
-        ad = F.transform(a, lambda x: x.cast("double"))
-        return F.sqrt(
-            F.aggregate(
-                F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-            )
-        )
+    # verify: vectorized Arrow-batched cosine (np matmul row-dot) — the
+    # previous per-pair transform/zip_with/aggregate folds are interpreted
+    # (CodegenFallback), ~192 boxed ops per candidate pair; one numpy
+    # expression per batch does the same rounded-6dp dot/(|a||b|) in the
+    # accepted float class (same story as the k-means matmul and the
+    # DuckDB SUM on the oracle side).
+    @F.pandas_udf("double")
+    def _cos_pairs(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in ea])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in eb])
+        dot = (A * B).sum(axis=1)
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        return pd.Series(np.round(dot / (na * nb), 6))
 
     ea = emb.select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        _norm(F.col("embedding")).alias("na"),
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
     )
     eb = emb.select(
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        _norm(F.col("embedding")).alias("nb"),
-    )
-    ad = F.transform(F.col("ea"), lambda x: x.cast("double"))
-    bd = F.transform(F.col("eb"), lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
     )
     return (
         cand.join(ea, "va")
         .join(eb, "vb")
-        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .withColumn("cosine", _cos_pairs(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine") >= COS_TAU)
         .select("va", "vb", "cosine")
     )

@@ -393,6 +393,38 @@ def search_pruned(
     # ---- phases 2-3 as one evaluator (run once per selection pass) ----------
     from .search import _payload_cols
 
+    def _finish(decoded, R):
+        """Shared phase-3 tail: boosts, scoring, delegated filters, top-k
+        collect, completeness check. Returns (top_rows, complete)."""
+        if boosted:
+            decoded = _apply_boosts(decoded, terms, boost_of)
+        need_cs = bool(contain_all or contain_any)
+        scored = _score_decoded(decoded, keep_cs=need_cs)
+        if need_cs:
+            # delegated term-containment (MUST beside SHOULD, flattened
+            # MUST groups): filter on the collected structs — candidates
+            # only, no doc-set decode/join; the completeness check runs
+            # after it like every score-neutral filter
+            scored = _containment_filter(scored, contain_all, contain_any)
+            scored = scored.drop("cs")
+        if conjunctive:
+            scored = scored.filter(F.col("n_terms") == len(terms))
+        elif min_match > 0:
+            # delegated minimumNumberShouldMatch (score-neutral doc
+            # filter like fq — the completeness check runs after it)
+            scored = scored.filter(F.col("n_terms") >= int(min_match))
+        scored = scored.drop("n_terms")
+        allowed = allowed_docs(index, role, filters)
+        if allowed is not None:
+            scored = scored.join(allowed, "doc_id", "left_semi")
+        top = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        complete = R == 0.0 or (len(top) == k and top[-1]["score"] > R)
+        return top, complete
+
     def _evaluate(sel_blocks, R):
         """Phases 2-3 for ONE block selection; (top_rows, complete)."""
         # phase 2: candidate docIDs from selected blocks
@@ -413,8 +445,45 @@ def search_pruned(
             cand_set = cand_set.join(require, "doc_id", "left_semi")
         if exclude is not None:
             cand_set = cand_set.join(exclude, "doc_id", "left_anti")
-        # one materialization serves the count/bounds agg AND the phase-3
-        # consumers (re-running the phase-2 decode per consumer triples it)
+        guard_cap = int(max(k * 64, CAND_FRAC_GUARD * total_postings))
+        if guard_cap <= driver_cand_cap:
+            # FUSED fast path: the economic guard already bounds any
+            # survivable candidate set at guard_cap (<= the driver handoff
+            # cap), so ONE bounded limit+toPandas both materializes the set
+            # and decides the guard — replacing the persist + count/bounds
+            # agg job + separate toPandas job (two driver round-trips and a
+            # cache write) of the general path below. Ids are 8 B each:
+            # the fetch is <= ~8 MB, the established driver comfort bound.
+            pdf = cand_set.limit(guard_cap + 1).toPandas()
+            n_cand = len(pdf)
+            if n_cand == 0:
+                return None, False
+            if n_cand > guard_cap:
+                raise _TooManyCandidates(n_cand)
+            candidates = np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
+            lo, hi = int(candidates[0]), int(candidates[-1])
+            blocks3 = blocks.filter(
+                (F.col("doc_max") >= lo) & (F.col("doc_min") <= hi)
+            )
+            est_meta3 = total_postings // 128 + len(terms)
+            if n_cand * est_meta3 <= BNL_CELL_CAP:
+                cand_df = spark.createDataFrame(
+                    pd.DataFrame({"cand": candidates})
+                )
+                blocks3 = blocks3.join(
+                    F.broadcast(cand_df),
+                    (F.col("cand") >= F.col("doc_min"))
+                    & (F.col("cand") <= F.col("doc_max")),
+                    "left_semi",
+                )
+            decoded = blocks3.select(*_payload_cols(blocks3)).mapInPandas(
+                _make_filtered_decoder(index.avgdl, candidates),
+                _DECODED_SCHEMA,
+            )
+            return _finish(decoded, R)
+        # general path: the guard bound exceeds the driver handoff cap
+        # (total_postings > 10 * driver_cand_cap), so the candidate set
+        # must stay distributed until its size is known
         cand_set = cand_set.persist()
         try:
             cstats = cand_set.agg(
@@ -425,7 +494,7 @@ def search_pruned(
             n_cand = int(cstats["n"] or 0)
             if n_cand == 0:
                 return None, False
-            if n_cand > max(k * 64, CAND_FRAC_GUARD * total_postings):
+            if n_cand > guard_cap:
                 raise _TooManyCandidates(n_cand)
             lo, hi = int(cstats["lo"]), int(cstats["hi"])
 
@@ -486,34 +555,10 @@ def search_pruned(
                     )
                     .join(cand_set, "doc_id", "left_semi")
                 )
-            if boosted:
-                decoded = _apply_boosts(decoded, terms, boost_of)
-            need_cs = bool(contain_all or contain_any)
-            scored = _score_decoded(decoded, keep_cs=need_cs)
-            if need_cs:
-                # delegated term-containment (MUST beside SHOULD, flattened
-                # MUST groups): filter on the collected structs —
-                # candidates only, no doc-set decode/join; the completeness
-                # check runs after it like every score-neutral filter
-                scored = _containment_filter(scored, contain_all, contain_any)
-                scored = scored.drop("cs")
-            if conjunctive:
-                scored = scored.filter(F.col("n_terms") == len(terms))
-            elif min_match > 0:
-                # delegated minimumNumberShouldMatch (score-neutral doc
-                # filter like fq — the completeness check runs after it)
-                scored = scored.filter(F.col("n_terms") >= int(min_match))
-            scored = scored.drop("n_terms")
-            allowed = allowed_docs(index, role, filters)
-            if allowed is not None:
-                scored = scored.join(allowed, "doc_id", "left_semi")
-            top = (
-                scored.orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
-                .collect()
-            )
-            complete = R == 0.0 or (len(top) == k and top[-1]["score"] > R)
-            return top, complete
+            # _finish collects inside this try block, while the persisted
+            # candidate set (referenced by the distributed-handoff plan)
+            # is still materialized
+            return _finish(decoded, R)
         finally:
             cand_set.unpersist()
 
@@ -811,57 +856,8 @@ def dismax_pruned(
             cand = d if cand is None else cand.unionByName(d)
         if cand is None:
             return None, False
-        cand_set = cand.distinct().persist()
-        try:
-            cstats = cand_set.agg(
-                F.count("*").alias("n"),
-                F.min("doc_id").alias("lo"),
-                F.max("doc_id").alias("hi"),
-            ).collect()[0]
-            n_cand = int(cstats["n"] or 0)
-            if n_cand == 0:
-                return None, False
-            if n_cand > max(k * 64, CAND_FRAC_GUARD * total_postings):
-                raise _TooManyCandidates(n_cand)
-            lo, hi = int(cstats["lo"]), int(cstats["hi"])
 
-            # phase 3: exact per-field rescore of candidates
-            rng = (F.col("doc_max") >= lo) & (F.col("doc_min") <= hi)
-            est_meta3 = total_postings // 128 + len(terms) * len(fields)
-            if n_cand <= driver_cand_cap:
-                candidates = np.sort(
-                    cand_set.toPandas()["doc_id"].to_numpy(dtype=np.int64)
-                )
-                if n_cand * est_meta3 <= BNL_CELL_CAP:
-                    cand_df = spark.createDataFrame(
-                        pd.DataFrame({"cand": candidates})
-                    )
-
-                    def p3_filter(f, blocks):
-                        return blocks.filter(rng).join(
-                            F.broadcast(cand_df),
-                            (F.col("cand") >= F.col("doc_min"))
-                            & (F.col("cand") <= F.col("doc_max")),
-                            "left_semi",
-                        )
-                else:
-
-                    def p3_filter(f, blocks):
-                        return blocks.filter(rng)
-
-                un = _qf_union(
-                    indexes, fields, terms, qf,
-                    block_filter=p3_filter, cand=candidates,
-                )
-            else:
-                # distributed handoff: coarse bound only, candidate
-                # semi-join after decode, before the groupBy shuffle (same
-                # rationale and no-broadcast rule as search_pruned's
-                # over-cap branch)
-                un = _qf_union(
-                    indexes, fields, terms, qf,
-                    block_filter=lambda f, blocks: blocks.filter(rng),
-                ).join(cand_set, "doc_id", "left_semi")
+        def _finish(un, R):
             scored = _qf_score(un, tie)
             if mm_n > 0:
                 scored = scored.filter(F.col("n_terms") >= mm_n)
@@ -873,6 +869,83 @@ def dismax_pruned(
             )
             complete = R == 0.0 or (len(top) == k and top[-1]["score"] > R)
             return top, complete
+
+        def _driver_union(candidates, lo, hi):
+            rng = (F.col("doc_max") >= lo) & (F.col("doc_min") <= hi)
+            est_meta3 = total_postings // 128 + len(terms) * len(fields)
+            if len(candidates) * est_meta3 <= BNL_CELL_CAP:
+                cand_df = spark.createDataFrame(
+                    pd.DataFrame({"cand": candidates})
+                )
+
+                def p3_filter(f, blocks):
+                    return blocks.filter(rng).join(
+                        F.broadcast(cand_df),
+                        (F.col("cand") >= F.col("doc_min"))
+                        & (F.col("cand") <= F.col("doc_max")),
+                        "left_semi",
+                    )
+            else:
+
+                def p3_filter(f, blocks):
+                    return blocks.filter(rng)
+
+            return _qf_union(
+                indexes, fields, terms, qf,
+                block_filter=p3_filter, cand=candidates,
+            )
+
+        guard_cap = int(max(k * 64, CAND_FRAC_GUARD * total_postings))
+        if guard_cap <= driver_cand_cap:
+            # FUSED fast path (see search_pruned._evaluate): one bounded
+            # limit+toPandas replaces persist + count/bounds agg + a
+            # second toPandas — the guard bound itself fits the driver
+            pdf = cand.distinct().limit(guard_cap + 1).toPandas()
+            n_cand = len(pdf)
+            if n_cand == 0:
+                return None, False
+            if n_cand > guard_cap:
+                raise _TooManyCandidates(n_cand)
+            candidates = np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
+            return _finish(
+                _driver_union(
+                    candidates, int(candidates[0]), int(candidates[-1])
+                ),
+                R,
+            )
+        cand_set = cand.distinct().persist()
+        try:
+            cstats = cand_set.agg(
+                F.count("*").alias("n"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            ).collect()[0]
+            n_cand = int(cstats["n"] or 0)
+            if n_cand == 0:
+                return None, False
+            if n_cand > guard_cap:
+                raise _TooManyCandidates(n_cand)
+            lo, hi = int(cstats["lo"]), int(cstats["hi"])
+
+            # phase 3: exact per-field rescore of candidates
+            if n_cand <= driver_cand_cap:
+                candidates = np.sort(
+                    cand_set.toPandas()["doc_id"].to_numpy(dtype=np.int64)
+                )
+                un = _driver_union(candidates, lo, hi)
+            else:
+                # distributed handoff: coarse bound only, candidate
+                # semi-join after decode, before the groupBy shuffle (same
+                # rationale and no-broadcast rule as search_pruned's
+                # over-cap branch)
+                rng = (F.col("doc_max") >= lo) & (F.col("doc_min") <= hi)
+                un = _qf_union(
+                    indexes, fields, terms, qf,
+                    block_filter=lambda f, blocks: blocks.filter(rng),
+                ).join(cand_set, "doc_id", "left_semi")
+            # collect happens inside the try: the persisted candidate set
+            # backing the distributed-handoff plan is still materialized
+            return _finish(un, R)
         finally:
             cand_set.unpersist()
 
