@@ -2088,15 +2088,23 @@ def q_more_like_this(spark, sf_dir):
     from .index.mlt import more_like_this
 
     idx = _docs_pos_index(spark, sf_dir)
-    src = idx.docmap.filter(
-        F.col("conv_id") == str(MLT_SRC_DOC)
-    ).select("doc_id").collect()[0]["doc_id"]
+    # one point lookup serves both the id resolution and the MLT source
+    # text (previously interesting_terms re-fetched the text by doc_id —
+    # a second full docmap scan job)
+    src_row = (
+        idx.docmap.filter(F.col("conv_id") == str(MLT_SRC_DOC))
+        .select("doc_id", "text")
+        .collect()[0]
+    )
     # count large enough to cover the whole table: the 10-row cut happens
     # HERE on the ROUNDED score with the numeric documents doc_id
     # tiebreak — the same cut the oracle's LIMIT makes (module float
     # policy: round before sort+limit; an unrounded engine-side cut could
     # disagree with the oracle on a 6dp tie at rank 10/11)
-    hits = more_like_this(idx, int(src), count=1_000_000, with_meta=True)
+    hits = more_like_this(
+        idx, int(src_row["doc_id"]), count=1_000_000, with_meta=True,
+        source_text=src_row["text"],
+    )
     return (
         hits.select(
             F.col("conv_id").cast("long").alias("doc_id"),

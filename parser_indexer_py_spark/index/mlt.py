@@ -87,19 +87,23 @@ def select_interesting(
 
 
 def interesting_terms(
-    index: Index, doc_id: int, **overrides
+    index: Index, doc_id: int, *, source_text: str | None = None, **overrides
 ) -> list[tuple[str, float]]:
     """MLT 'interesting terms' of one indexed document (the Solr
-    ``mlt.interestingTerms=details`` view)."""
+    ``mlt.interestingTerms=details`` view). ``source_text`` skips the
+    docmap point lookup when the caller already holds the document's text
+    (one fewer driver round-trip; the analysis is identical)."""
     cfg = {**MLT_DEFAULTS, **overrides}
-    rows = (
-        index.docmap.filter(F.col("doc_id") == int(doc_id))
-        .select("text")
-        .collect()
-    )
-    if not rows:
-        raise ValueError(f"doc_id {doc_id} not in the index")
-    tokens = analyze_text(rows[0]["text"])
+    if source_text is None:
+        rows = (
+            index.docmap.filter(F.col("doc_id") == int(doc_id))
+            .select("text")
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"doc_id {doc_id} not in the index")
+        source_text = rows[0]["text"]
+    tokens = analyze_text(source_text)
     cand = sorted({t for t, c in Counter(tokens).items()
                    if c >= cfg["min_term_freq"]})
     dfs = {
@@ -126,8 +130,14 @@ def more_like_this(
     disjunctive BM25 over the interesting terms through the block-max
     pruned path (rank-identical to full evaluation by WAND's completeness
     fallback; float behavior identical to search())."""
+    source_text = overrides.pop("source_text", None)
     cfg = {**MLT_DEFAULTS, **overrides}
-    terms = [t for t, _ in interesting_terms(index, doc_id, **overrides)]
+    terms = [
+        t
+        for t, _ in interesting_terms(
+            index, doc_id, source_text=source_text, **overrides
+        )
+    ]
     if not terms:
         schema = (
             "doc_id long, score double, conv_id string, turn_idx int, "
