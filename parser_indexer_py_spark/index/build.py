@@ -575,7 +575,8 @@ def build_index(
                 # \p{L}\p{N} regex chain was ~10s/130k docs at sf0.1 vs
                 # ~0.3s for the vectorized str.count on a scan that is
                 # otherwise free (guide §4.2). Null text keeps the JVM
-                # F.size(null) == -1 convention.
+                # F.size(tokens_expr(null)) == NULL convention
+                # (tests/test_hash_twins_r6.py asserts the equality).
                 from ..functions.analyzer import _TOKEN_RE_PY, _fold_series
 
                 pos: dict[int, int] = {}
@@ -592,14 +593,14 @@ def build_index(
                         cnt = int(m.sum())
                         out[m] = np.arange(start, start + cnt)
                         pos[pid_val] = start + cnt
-                    dl = (
+                    counts = (
                         _fold_series(pdf["text"])
                         .str.count(_TOKEN_RE_PY)
                         .to_numpy()
+                        .astype(np.int32)
                     )
-                    dl = np.where(
-                        pdf["text"].isna().to_numpy(), -1, dl
-                    ).astype(np.int32)
+                    dl = pd.array(counts, dtype="Int32")
+                    dl[pdf["text"].isna().to_numpy()] = pd.NA
                     yield pdf.assign(doc_id=out, dl=dl).drop(columns=["pid"])
 
             assigned = staged.mapInPandas(
