@@ -629,9 +629,10 @@ def q_dedup_minhash_lsh(spark, sf_dir, bands: int = N_BANDS, rows: int = N_ROWS)
     hashing, the verify join, and sizes (round-1 recomputed them 3x via
     self-joins).
 
-    All b*r minhashes are computed as ONE groupBy(doc_id) aggregation with
-    b*r min() expressions — no 16x explode, no (doc_id, i) shuffle; the
-    only exchange carries one row per doc."""
+    All b*r minhashes are computed in ONE pass (_minhash_sig_wide: a
+    mapInPandas digest-slice hasher with per-batch partial mins + a final
+    min-combine) — no 16x explode, no (doc_id, i) shuffle; the only
+    exchange carries at most one partial row per (partition, doc)."""
     n_hashes = bands * rows
     grams = _grams_cached(spark, sf_dir)
     sig_wide = _minhash_sig_wide(grams, n_hashes)
@@ -3583,11 +3584,15 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     trained centroids (driver-side numpy over the k*dims centroid rows —
     a bounded driver object), exact rounded-cosine top-k within the
     probed lists. At scale: fit is iters x (one mapInPandas matmul pass +
-    a k*dims-row combine); assignment is zero-shuffle Catalyst; a probe
-    reads ~NPROBE/K of the corpus off the cluster partitioning key."""
+    a k*dims-row combine); the probe scan is ONE fused zero-shuffle
+    mapInPandas pass (assign + probe-list filter + query scoring per
+    Arrow batch; previously assign -> semi-join -> broadcast crossJoin)
+    followed only by the TakeOrdered top-k; at rest the cluster id is
+    the IVF list partitioning key, so a probe reads ~NPROBE/K of the
+    corpus."""
     import numpy as np
 
-    from .operators.clustering import kmeans_assign, kmeans_fit
+    from .operators.clustering import kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, K_KMEANS, KMEANS_ITERS)
