@@ -76,6 +76,11 @@ DEFAULT_SALT = 8
 # docmap is hash-partitioned by conv_id so metadata updates rewrite only
 # touched partitions (index/update.py), not the whole table
 DOCMAP_PARTS = 16
+# target rows per docmap writer task (~a few MB of text each): the write
+# width is ceil(n_rows / this), capped at the input partition count — see
+# the coalesce in build_index (measured sf0.1: 4.6s/1024 files at width
+# 64 vs 1.8s/272 files at width 17; an 8k-doc micro-batch 2.9s -> 0.5s)
+DOCMAP_WRITE_ROWS = 8_000
 
 
 def docmap_dkey(col) -> "F.Column":
@@ -622,6 +627,26 @@ def build_index(
                 # irrelevant (doc_id is explicit)
                 .withColumn("dkey", docmap_dkey(F.col("conv_id")))
             )
+            # scale-adaptive write width: this write is NARROW (the
+            # shuffle-free docID assignment means no exchange precedes
+            # it), so AQE can never coalesce its tasks and every writer
+            # fans out up to |dkey| dynamic-partition files — P tasks of
+            # a micro-batch emit P*16 tiny files (a 2-segment streaming
+            # append measured 290 files for 8k docs; the sf0.1 build
+            # 1024). Width derives from the measured row count (`acc` is
+            # already on the driver for the docID offsets): at scale
+            # ceil(acc/8k) >= P leaves the plan untouched, small inputs
+            # collapse to few writers (coalesce keeps per-pid row order,
+            # and `assign` handles multi-pid tasks, so docIDs are
+            # unchanged — partition-count stability is already tested).
+            # Floor at ~cores/4: width 1 measured pathological (a single
+            # assign+write task, 2.6s -> 9-13s on an 8k-doc micro-batch)
+            # while 8..64 are indistinguishable there, and 17 beats 64 by
+            # ~9s on the 130k-doc build (same-process A/B, min-of-2).
+            floor_w = max(2, spark.sparkContext.defaultParallelism // 4)
+            width = min(P, max(floor_w, -(-acc // DOCMAP_WRITE_ROWS)))
+            if width < P:
+                docmap = docmap.coalesce(width)
             # piggyback the global stats on the write job (observe costs
             # nothing; saves a full docmap re-scan for the globals stage)
             obs = Observation("globals")
