@@ -45,6 +45,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..index.build import build_index, merge_indexes
 from ..index.search import Index, load_index
@@ -156,13 +157,25 @@ class SegmentedIndex:
         racing a compaction interleave safely."""
         if self._epoch_guard(self.commits(), epoch_id, writer_id):
             return  # exactly-once: epoch replayed after a failure
-        if batch_df.isEmpty():
-            return  # empty micro-batch: nothing to index, don't kill the query
-        seg_dir = os.path.join(self.root, f"seg-{epoch_id:08d}")
-        build_index(
-            self.spark, batch_df, seg_dir, n_chunks=1,
-            positions=self.positions,
-        )
+        # one materialization serves the emptiness probe, the builder's
+        # range-sampling pass AND its staging shuffle — unpersisted, a
+        # foreachBatch source is re-executed ~3x per append, and on a real
+        # stream each execution is a replayed source fetch (guide §2.4:
+        # remove duplicated subtrees). No-op when the caller persisted.
+        own_persist = batch_df.storageLevel == StorageLevel.NONE
+        if own_persist:
+            batch_df = batch_df.persist(StorageLevel.DISK_ONLY)
+        try:
+            if batch_df.isEmpty():
+                return  # empty micro-batch: nothing to index, keep the query alive
+            seg_dir = os.path.join(self.root, f"seg-{epoch_id:08d}")
+            build_index(
+                self.spark, batch_df, seg_dir, n_chunks=1,
+                positions=self.positions,
+            )
+        finally:
+            if own_persist:
+                batch_df.unpersist()
         idx = load_index(self.spark, seg_dir)
         with self._commit_lock():
             commits = self.commits()
