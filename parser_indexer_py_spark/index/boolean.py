@@ -1463,7 +1463,8 @@ def _cached_fq(index, caches, fq, default_op, field_indexes, now=None):
     req = None
     for s in [fq] if isinstance(fq, str) else list(fq):
         ds = caches.filter_docset(
-            index, s, default_op=default_op, field_indexes=field_indexes
+            index, s, default_op=default_op, field_indexes=field_indexes,
+            now=now,
         )
         req = ds if req is None else req.join(ds, "doc_id", "left_semi")
     return req, None

@@ -54,6 +54,47 @@ __all__ = ["LRUCache", "SearcherCaches"]
 _MISSING = object()
 
 
+def _index_ident(ix):
+    """Stable identity of a mapped field index for cache keys: its
+    on-disk root (two Index objects over the same root ARE the same
+    filter domain — a reopened index must hit), falling back to object
+    identity for synthetic views without paths. ADVICE r5: field NAMES
+    alone let the same fq string under a different field_indexes wiring
+    with identical names return the wrong cached docset."""
+    return getattr(getattr(ix, "paths", None), "root", None) or id(ix)
+
+
+def _fields_key(field_indexes):
+    return tuple(
+        sorted((f, _index_ident(ix)) for f, ix in (field_indexes or {}).items())
+    )
+
+
+def _resolve_now(now, *texts):
+    """The NOW component of a cache key, plus the instant to parse with.
+
+    Solr's caches key on the PARSED query — dates already resolved — so
+    a date-math query must key on its resolved instant (ADVICE r5: the
+    old keys omitted it, serving the first resolution stale and ignoring
+    a caller-anchored ``NOW=``). An anchored request keys on that
+    instant and hits across identical anchors; an un-anchored one keys
+    on the wall-clock instant it resolves — fresh per call, exactly
+    Solr, where un-rounded NOW queries are uncacheable by design (its
+    docs recommend ``NOW/DAY`` rounding for cacheability). Texts without
+    a NOW anchor keep a NOW-free key and full cacheability (the common
+    case; a literal term containing "NOW" conservatively degrades only
+    cacheability, never correctness). Returns ``(key_part, now)``."""
+    if not any(t and "NOW" in t for t in texts):
+        return None, now
+    from datetime import datetime, timezone
+
+    if now is None:
+        now = datetime.now(timezone.utc)
+    elif now.tzinfo is None:
+        now = now.replace(tzinfo=timezone.utc)
+    return now.isoformat(), now
+
+
 class LRUCache:
     """Solr LRUCache/FastLRUCache twin: bounded, move-to-front on hit,
     hit/insert/eviction stats (the cache page of Solr's admin UI), an
@@ -143,14 +184,20 @@ class SearcherCaches:
         *,
         default_op: str = "OR",
         field_indexes: dict | None = None,
+        now=None,
     ) -> DataFrame:
         """The fq's match set as a persisted ``doc_id`` DataFrame
-        (filterCache twin). Key = (fq, q.op) — same normalization Solr
-        applies (the cache key is the parsed filter query)."""
-        # the key carries WHICH fields scored/filtered as indexes too:
-        # the same fq string under different field_indexes wirings is a
-        # different filter query (Solr's key is the parsed query object)
-        key = (fq, default_op, tuple(sorted(field_indexes or {})))
+        (filterCache twin). Key = (fq, q.op, field wiring, resolved NOW)
+        — same normalization Solr applies (the cache key is the parsed
+        filter query, dates already resolved). ``now`` is the request's
+        ``NOW=`` anchor; date-math fqs resolve against it and carry it
+        in the key (see :func:`_resolve_now`)."""
+        # the key carries WHICH fields scored/filtered as index
+        # IDENTITIES too: the same fq string under different
+        # field_indexes wirings is a different filter query (Solr's key
+        # is the parsed query object)
+        now_key, now = _resolve_now(now, fq)
+        key = (fq, default_op, _fields_key(field_indexes), now_key)
         hit = self.filter_cache.get(key)
         if hit is not _MISSING:
             return hit
@@ -158,7 +205,7 @@ class SearcherCaches:
         from .boolean import _scored_docs
 
         sub = _scored_docs(
-            index, parse_query(fq, default_op=default_op),
+            index, parse_query(fq, default_op=default_op, now=now),
             field_indexes=field_indexes,
         )
         if sub is None:
@@ -204,21 +251,26 @@ class SearcherCaches:
         fq=None,
         mode: str = "full",
         default_op: str = "OR",
+        now=None,
     ) -> DataFrame:
         """A cached ``boolean_search`` page: (doc_id, score, conv_id,
         turn_idx, role) with the engine's exact ordering. fq strings go
         through the filterCache; the (q, fq, mode) page list through the
         queryResultCache with Solr's window/cap policy; metadata through
         the documentCache. Falls through to the engine verbatim when
-        caching cannot apply (start+rows beyond queryResultMaxDocsCached)."""
+        caching cannot apply (start+rows beyond queryResultMaxDocsCached).
+        ``now`` anchors date math for the page AND every fq — ONE
+        instant per request, Solr's model — and joins the page key when
+        any text carries a NOW anchor."""
         from .boolean import boolean_search
         from .search import META_SCHEMA
 
         fqs = tuple([fq] if isinstance(fq, str) else list(fq or []))
+        now_key, now = _resolve_now(now, q, *fqs)
         require = None
         for s in fqs:
             ds = self.filter_docset(
-                index, s, default_op=default_op
+                index, s, default_op=default_op, now=now
             )
             require = (
                 ds if require is None
@@ -232,9 +284,9 @@ class SearcherCaches:
             # inserted — run the engine directly (fq still cached)
             return boolean_search(
                 index, q, k=need, mode=mode, default_op=default_op,
-                require=require, with_meta=True,
+                require=require, with_meta=True, now=now,
             ).offset(start)
-        key = (q, fqs, mode, default_op)
+        key = (q, fqs, mode, default_op, now_key)
         entry = self.query_result_cache.get(key)
         if entry is _MISSING or (
             len(entry["page"]) < need and not entry["exhausted"]
@@ -247,7 +299,7 @@ class SearcherCaches:
                 (int(r["doc_id"]), float(r["score"]))
                 for r in boolean_search(
                     index, q, k=n, mode=mode, default_op=default_op,
-                    require=require, with_meta=False,
+                    require=require, with_meta=False, now=now,
                 ).collect()
             ]
             entry = {"page": got, "exhausted": len(got) < n}

@@ -70,7 +70,7 @@ def test_query_result_window_and_hits(cindex):
     p0 = _page(caches.search(cindex, q, rows=5, start=0))
     assert caches.query_result_cache.stats["inserts"] == 1
     # the windowed superset was collected: 20 ids cached for a 5-row page
-    entry = caches.query_result_cache._d[(q, (), "full", "OR")]
+    entry = caches.query_result_cache._d[(q, (), "full", "OR", None)]
     assert len(entry["page"]) == 20 and not entry["exhausted"]
     # pages inside the window are cache hits (no new insert)
     p1 = _page(caches.search(cindex, q, rows=5, start=5))
@@ -95,7 +95,7 @@ def test_exhausted_match_set_serves_deep_pages(cindex):
     assert 0 < len(full) < 20
     got = _page(caches.search(cindex, q, rows=10))
     assert got == full[:10]
-    entry = caches.query_result_cache._d[(q, (), "full", "OR")]
+    entry = caches.query_result_cache._d[(q, (), "full", "OR", None)]
     assert entry["exhausted"]
     # a page past the end never relaunches the search
     inserts = caches.query_result_cache.stats["inserts"]
@@ -110,7 +110,7 @@ def test_filter_cache_reuse_and_eviction(cindex):
     caches.search(cindex, "cedi", rows=5, fq="role:assistant")
     assert caches.filter_cache.stats["hits"] == 1
     assert caches.filter_cache.stats["inserts"] == 1
-    ds = caches.filter_cache._d[("role:assistant", "OR", ())]
+    ds = caches.filter_cache._d[("role:assistant", "OR", (), None)]
     assert ds.storageLevel.useMemory or ds.storageLevel.useDisk
     # a second fq evicts the first (size=1) and unpersists it
     caches.search(cindex, "bace", rows=5, fq="role:user")
@@ -202,3 +202,57 @@ def test_select_rides_filter_cache(cindex):
     assert caches.filter_cache.stats["inserts"] == 1
     assert caches.filter_cache.stats["hits"] >= 1
     caches.invalidate()
+
+
+def test_cached_datemath_fq_threads_now(cindex):
+    """ADVICE r5 (boolean.py:1465): a date-math fq on the CACHED path
+    must resolve NOW from the caller's anchor and key on the resolved
+    instant — two different NOW= anchors are two different filters, and
+    each cached page equals its uncached engine page bit-for-bit."""
+    from datetime import datetime, timezone
+
+    caches = SearcherCaches()
+    fq = "ts:[NOW-150DAYS TO NOW]"
+    now1 = datetime(2025, 6, 1, tzinfo=timezone.utc)
+    now2 = datetime(2025, 12, 1, tzinfo=timezone.utc)
+    eng1 = _page(
+        boolean_search(cindex, "bace", k=10, fq=fq, now=now1, with_meta=True)
+    )
+    eng2 = _page(
+        boolean_search(cindex, "bace", k=10, fq=fq, now=now2, with_meta=True)
+    )
+    assert eng1 != eng2  # the anchors select different windows
+    got1 = _page(caches.search(cindex, "bace", rows=10, fq=fq, now=now1))
+    got2 = _page(caches.search(cindex, "bace", rows=10, fq=fq, now=now2))
+    assert got1 == eng1 and got2 == eng2
+    # two anchors -> two filter entries and two page entries, and a
+    # REPEATED anchor hits instead of re-inserting
+    assert caches.filter_cache.stats["inserts"] == 2
+    inserts = caches.query_result_cache.stats["inserts"]
+    assert inserts == 2
+    again = _page(caches.search(cindex, "bace", rows=10, fq=fq, now=now1))
+    assert again == eng1
+    assert caches.filter_cache.stats["inserts"] == 2
+    assert caches.query_result_cache.stats["inserts"] == inserts
+    # NOW-free queries keep a NOW-free key (full cacheability)
+    from parser_indexer_py_spark.index.caches import _resolve_now
+
+    assert _resolve_now(None, "bace", "role:assistant")[0] is None
+    caches.invalidate()
+
+
+def test_filter_cache_keys_on_index_identity(cindex, tmp_path, spark):
+    """ADVICE r5 (caches.py:153): the filterCache key carries the mapped
+    index IDENTITIES, not just the field names — the same fq under a
+    different field_indexes wiring with identical names is a different
+    key, while a reopened Index over the same root is the same key."""
+    from parser_indexer_py_spark.index.caches import _fields_key
+
+    other_dir = str(tmp_path / "other_idx")
+    df = generate_transcripts(spark, 10, partitions=2)
+    build_index(spark, df, other_dir, n_partitions=2, n_chunks=1)
+    other = load_index(spark, other_dir)
+    same_root_again = load_index(spark, cindex.paths.root)
+    k_main = _fields_key({"text": cindex})
+    assert _fields_key({"text": other}) != k_main
+    assert _fields_key({"text": same_root_again}) == k_main
